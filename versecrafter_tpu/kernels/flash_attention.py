@@ -1,0 +1,197 @@
+"""Pallas TPU flash attention with variable KV-length masking.
+
+TPU-native replacement for the reference's flash-attn-2 dispatch
+(videox_fun.models.attention_utils.attention, consumed at
+/root/reference/versecrafter/models/wan_transformer3d.py:394-399,425-430 with
+`k_lens` masking). Design per the TPU kernel playbook: blockwise online
+softmax, fp32 statistics, grid (batch, heads, q_blocks, kv_blocks) with the
+KV dimension as the sequential reduction, and per-batch `k_lens` delivered
+via scalar prefetch so fully-masked KV tiles are skipped before any matmul.
+
+Layout is head-major [B, N, S, D]: the S×D tiles are MXU-shaped (D=128 for
+Wan) and the head axis is a pure parallel grid dimension, which also makes
+`tp` sharding of heads a no-op for the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref,
+               m_ref, l_ref, acc_ref, *, sm_scale: float, block_kv: int,
+               num_kv_blocks: int):
+    b = pl.program_id(0)
+    ikv = pl.program_id(3)
+    k_len = klens_ref[b]
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Skip KV tiles entirely past this batch element's true KV length.
+    @pl.when(ikv * block_kv < k_len)
+    def _run():
+        q = q_ref[0, 0]  # [bq, D]
+        k = k_ref[0, 0]  # [bkv, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= sm_scale
+
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_kv
+        s = jnp.where(col < k_len, s, NEG_INF)
+
+        m_prev = m_ref[...]                                  # [bq, LANES]
+        m_curr = jnp.max(s, axis=1, keepdims=True)           # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_curr)                 # broadcast
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])       # [bq, 1]
+        p = jnp.exp(s - m_next[:, :1])                       # [bq, bkv]
+
+        l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = m_next
+
+        v = v_ref[0, 0]  # [bkv, D]
+        pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(ikv == num_kv_blocks - 1)
+    def _store():
+        l = l_ref[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "block_q", "block_kv", "interpret"),
+)
+def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
+                            interpret):
+    B, N, Sq, D = q.shape
+    Skv = k.shape[2]
+
+    sq_pad = _ceil_to(Sq, block_q)
+    skv_pad = _ceil_to(Skv, block_kv)
+    if sq_pad != Sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - Sq), (0, 0)))
+    if skv_pad != Skv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_pad - Skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_pad - Skv), (0, 0)))
+
+    num_kv_blocks = skv_pad // block_kv
+    grid = (B, N, sq_pad // block_q, num_kv_blocks)
+
+    kernel = functools.partial(
+        _fa_kernel, sm_scale=sm_scale, block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, sq_pad, D), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv, *_: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv, *_: (b, h, ikv, 0)),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv, *_: (b, h, ikv, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, D), lambda b, h, iq, ikv, *_: (b, h, iq, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * N * sq_pad * skv_pad * D,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=B * N * sq_pad * skv_pad,
+        ),
+        interpret=interpret,
+    )(k_lens, q, k, v)
+
+    if sq_pad != Sq:
+        out = out[:, :, :Sq]
+    return out
+
+
+def attention_reference(q, k, v, k_lens=None, sm_scale=None):
+    """XLA reference attention (fp32 softmax). Same [B, N, S, D] layout and
+    masking semantics as the Pallas kernel; used for tests, CPU runs, and
+    small KV (text cross-attention is 512 tokens — not worth a kernel)."""
+    B, N, Sq, D = q.shape
+    Skv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+    s = jnp.einsum("bnqd,bnkd->bnqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    s = s * sm_scale
+    if k_lens is not None:
+        col = jnp.arange(Skv)[None, None, None, :]
+        s = jnp.where(col < k_lens[:, None, None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bnqk,bnkd->bnqd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    k_lens: Optional[jnp.ndarray] = None,
+    sm_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_kv: int = 512,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Attention over [B, N, S, D] tensors with optional per-batch KV lengths.
+
+    impl: 'pallas' (TPU kernel), 'xla' (reference math), or 'auto'
+    (pallas on TPU, xla elsewhere — keeps tests runnable on the virtual CPU
+    mesh without interpret-mode overhead).
+    """
+    assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4
+    B, N, Sq, D = q.shape
+    Skv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return attention_reference(q, k, v, k_lens=k_lens, sm_scale=sm_scale)
+
+    block_q = min(block_q, _ceil_to(Sq, 128))
+    block_kv = min(block_kv, _ceil_to(Skv, 128))
+    if k_lens is None:
+        k_lens = jnp.full((B,), Skv, dtype=jnp.int32)
+    else:
+        k_lens = jnp.minimum(k_lens.astype(jnp.int32), Skv)
+    interpret = jax.default_backend() != "tpu"
+    return _flash_attention_pallas(
+        q, k, v, k_lens, sm_scale=float(sm_scale), block_q=block_q,
+        block_kv=block_kv, interpret=interpret,
+    )

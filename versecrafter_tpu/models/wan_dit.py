@@ -232,10 +232,12 @@ def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
     q = apply_rope(q.reshape(b, s, n, hd), cos, sin)
     k = apply_rope(k.reshape(b, s, n, hd), cos, sin)
     v = v.reshape(b, s, n, hd)
-    out = flash_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
-        impl=attn_impl,
-    )
+    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    if attn_impl == "sp":
+        from versecrafter_tpu.parallel.sharding import ulysses_attention
+        out = ulysses_attention(q, k, v)
+    else:
+        out = flash_attention(q, k, v, impl=attn_impl)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
     return _linear(p["o"], out)
 
@@ -256,7 +258,12 @@ def _cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
     q = q.reshape(b, s, n, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, -1, n, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, -1, n, hd).transpose(0, 2, 1, 3)
-    out = flash_attention(q, k, v, impl=attn_impl)
+    if attn_impl == "sp":
+        from versecrafter_tpu.parallel.sharding import sp_cross_attention
+        _xattn = sp_cross_attention
+    else:
+        _xattn = functools.partial(flash_attention, impl=attn_impl)
+    out = _xattn(q, k, v)
     if context_img is not None:
         # i2v: separate K/V over the 257 CLIP tokens, added to the text path
         # (WanI2VCrossAttention, wan_transformer3d.py:439-493)
@@ -266,7 +273,7 @@ def _cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
         v_img = _linear(p["v_img"], context_img)
         k_img = k_img.reshape(b, -1, n, hd).transpose(0, 2, 1, 3)
         v_img = v_img.reshape(b, -1, n, hd).transpose(0, 2, 1, 3)
-        out = out + flash_attention(q, k_img, v_img, impl=attn_impl)
+        out = out + _xattn(q, k_img, v_img)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
     return _linear(p["o"], out)
 
@@ -441,10 +448,16 @@ def wan_dit_forward(
     tokens, e, e0, ctx, ctx_img, grid = wan_dit_embed(
         params, cfg, x, t, context, clip_fea)
 
+    if attn_impl == "sp":
+        from versecrafter_tpu.parallel.sharding import constrain_tokens
+        tokens = constrain_tokens(tokens)
+
     gtokens = None
     if geoada_context is not None and cfg.has_geoadapter:
         gtokens = _linear(params["geoada_patch_embedding"],
                           patchify(geoada_context, cfg.patch_size))
+        if attn_impl == "sp":
+            gtokens = constrain_tokens(gtokens)
 
     tokens = wan_dit_blocks(params, cfg, tokens, e0, cos, sin, ctx,
                             geoada_tokens=gtokens, geoada_scale=geoada_scale,

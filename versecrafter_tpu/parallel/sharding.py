@@ -1,0 +1,169 @@
+"""Declarative parallelism: mesh context, param shardings, and the
+sequence-parallel attention collectives.
+
+TPU-native replacement for the reference's USP runtime (videox_fun.dist:
+`set_multi_gpus_devices(ulysses, ring)`, `usp_attn_forward` monkey-patched
+onto every self-attention, manual pad/chunk/all_gather —
+/root/reference/versecrafter/models/wan_transformer3d.py:901-921,1050-1054,
+1099-1100). Here:
+
+- the mesh has axes (dp, fsdp, sp, tp); activations are sharded
+  [B@dp, S@sp, D] and GSPMD handles all pad/chunk/gather bookkeeping;
+- **Ulysses** is `ulysses_attention`: a shard_map whose all_to_all trades the
+  sequence shard for a head shard, runs the exact Pallas flash kernel on the
+  full sequence locally, and trades back (same collective pattern as
+  xfuser's all-to-all, but over ICI and fused into one jitted program);
+- **cross-attention** under sp needs no collectives at all: KV is the 512
+  text tokens, replicated; each sequence shard attends locally
+  (`sp_cross_attention`);
+- FSDP is a PartitionSpec on the parameters, not a wrapper class.
+
+A ring-attention variant (KV ppermute inside the kernel loop) is the planned
+upgrade path when sp must exceed the head count; Ulysses covers the
+reference's operating points (sp<=8, 40 heads).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from versecrafter_tpu.kernels.flash_attention import flash_attention
+
+_STATE = threading.local()
+
+
+@contextlib.contextmanager
+def mesh_context(mesh: Optional[Mesh], dp="dp", fsdp="fsdp", sp="sp", tp="tp"):
+    """Install the mesh + axis names used by model-internal collectives."""
+    prev = getattr(_STATE, "ctx", None)
+    _STATE.ctx = None if mesh is None else {
+        "mesh": mesh, "dp": dp, "fsdp": fsdp, "sp": sp, "tp": tp}
+    try:
+        yield
+    finally:
+        _STATE.ctx = prev
+
+
+def current_mesh():
+    return getattr(_STATE, "ctx", None)
+
+
+# ---------------------------------------------------------------------------
+# parameter shardings
+# ---------------------------------------------------------------------------
+
+def dit_param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree for DiT params (same tree structure).
+
+    Stacked block matrices [L, d_in, d_out]: contracting dim on fsdp, output
+    dim on tp for qkv/ffn_in; reversed for the output projections (so each
+    tp shard holds whole heads). Everything small is replicated."""
+
+    def spec_for(path: Tuple[str, ...], leaf) -> P:
+        names = [getattr(p, "key", str(p)) for p in path]
+        joined = ".".join(names)
+        stacked = names[0] in ("blocks", "geoada_blocks")
+        lead = (None,) if stacked else ()
+        if "modulation" in joined or leaf.ndim - len(lead) != 2:
+            return P()  # biases, norms, modulation: replicated
+        if any(s in joined for s in (".q.", ".k.", ".v.", "k_img", "v_img",
+                                     "ffn_in", "qkv")):
+            return P(*lead, "fsdp", "tp")
+        if any(s in joined for s in (".o.", "ffn_out", "proj")):
+            return P(*lead, "tp", "fsdp")
+        # embeddings / head / time / text projections: fsdp on the big dim
+        return P(*lead, "fsdp", None)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def _divisible(leaf, spec: P, mesh: Mesh) -> bool:
+    for dim, names in zip(leaf.shape, tuple(spec) + (None,) * leaf.ndim):
+        if names is None:
+            continue
+        size = np.prod([mesh.shape[n] for n in
+                        (names if isinstance(names, tuple) else (names,))])
+        if dim % size != 0:
+            return False
+    return True
+
+
+def shard_dit_params(params, mesh: Mesh):
+    specs = dit_param_pspecs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, s if _divisible(x, s, mesh) else P())),
+        params, specs)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def constrain_tokens(x: jnp.ndarray) -> jnp.ndarray:
+    """Shard [B, S, D] activations over (dp, sp) when a mesh is active."""
+    ctx = current_mesh()
+    if ctx is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(ctx["mesh"], P(ctx["dp"], ctx["sp"], None)))
+
+
+# ---------------------------------------------------------------------------
+# sequence-parallel attention
+# ---------------------------------------------------------------------------
+
+def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      k_lens=None) -> jnp.ndarray:
+    """Self-attention for [B, N, S, D] with the sequence sharded over `sp`
+    and heads over `tp`.
+
+    all_to_all over sp: [B, N/tp, S/sp, D] -> [B, N/(tp*sp), S, D]; exact
+    local flash attention over the full sequence; all_to_all back. Requires
+    (N/tp) % sp == 0 (40 heads / sp<=8: fine)."""
+    ctx = current_mesh()
+    if ctx is None:
+        return flash_attention(q, k, v, k_lens=k_lens)
+    mesh, dp, sp, tp = ctx["mesh"], ctx["dp"], ctx["sp"], ctx["tp"]
+    sp_size = mesh.shape[sp]
+    spec = P(dp, tp, sp, None)
+
+    def local(ql, kl, vl):
+        if sp_size > 1:
+            ql = jax.lax.all_to_all(ql, sp, split_axis=1, concat_axis=2, tiled=True)
+            kl = jax.lax.all_to_all(kl, sp, split_axis=1, concat_axis=2, tiled=True)
+            vl = jax.lax.all_to_all(vl, sp, split_axis=1, concat_axis=2, tiled=True)
+        o = flash_attention(ql, kl, vl)
+        if sp_size > 1:
+            o = jax.lax.all_to_all(o, sp, split_axis=2, concat_axis=1, tiled=True)
+        return o
+
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_rep=False)(q, k, v)
+
+
+def sp_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       k_lens=None) -> jnp.ndarray:
+    """Cross-attention with the query sequence sharded over sp and the
+    (short, replicated) KV: zero collectives — each shard attends locally."""
+    ctx = current_mesh()
+    if ctx is None:
+        return flash_attention(q, k, v, k_lens=k_lens)
+    mesh, dp, sp, tp = ctx["mesh"], ctx["dp"], ctx["sp"], ctx["tp"]
+    qspec = P(dp, tp, sp, None)
+    kvspec = P(dp, tp, None, None)
+
+    def local(ql, kl, vl):
+        return flash_attention(ql, kl, vl)
+
+    return shard_map(local, mesh=mesh, in_specs=(qspec, kvspec, kvspec),
+                     out_specs=qspec, check_rep=False)(q, k, v)

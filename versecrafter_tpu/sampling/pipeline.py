@@ -1,0 +1,284 @@
+"""End-to-end controlled video generation pipeline.
+
+Re-implements the behavior of the reference's `WanVerseCrafterPipeline`
+(/root/reference/versecrafter/pipeline/pipeline_wan_versecrafter.py:170-948):
+T5 prompt encoding, control-video VAE encoding (4 control videos -> 64 ch),
+mask pixel-shuffle encoding (8x8 -> 64 ch), 128-ch GeoAdapter context,
+noise init, CFG denoising loop with flow-matching solvers, VAE decode.
+
+TPU-native design:
+- one jitted denoise step reused across all steps (fixed shapes per
+  resolution bucket) with TeaCache as an in-graph lax.cond and cfg-skip as a
+  second compiled variant on the cond-only half;
+- device-resident state end to end: latents/residuals never leave HBM until
+  the final decode;
+- parallelism arrives via the mesh + shardings passed at construction
+  (parallel/sharding.py), not via monkey-patched attention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from versecrafter_tpu.core.config import (
+    PipelineConfig, SchedulerConfig, T5Config, VAEConfig, WanDiTConfig)
+from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
+from versecrafter_tpu.models.t5 import t5_encode
+from versecrafter_tpu.models.vae import latent_frames, vae_decode, vae_encode
+from versecrafter_tpu.models.wan_dit import wan_dit_forward
+from versecrafter_tpu.sampling import teacache as tc
+from versecrafter_tpu.sampling.schedulers import make_scheduler
+from versecrafter_tpu.utils.tokenizer import load_tokenizer
+
+
+def encode_mask_pixelshuffle(mask: jnp.ndarray, latent_t: int,
+                             vae_stride=(4, 8, 8)) -> jnp.ndarray:
+    """[B, 1, T, H, W] binary mask -> [B, 64, latent_t, H/8, W/8].
+
+    8x8 spatial pixel-shuffle into channels + nearest-exact temporal resize
+    (geoada_encode_masks, pipeline_wan_versecrafter.py:440-486)."""
+    b, _, t, h, w = mask.shape
+    sh = vae_stride[1]
+    hh, ww = h // sh, w // sh
+    m = mask[:, 0]  # [B, T, H, W]
+    m = m.reshape(b, t, hh, sh, ww, sh)
+    m = m.transpose(0, 3, 5, 1, 2, 4)  # [B, 8, 8, T, h, w]
+    m = m.reshape(b, sh * sh, t, hh, ww)
+    # nearest-exact over depth t -> latent_t
+    idx = jnp.floor((jnp.arange(latent_t) + 0.5) * t / latent_t).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, t - 1)
+    return jnp.take(m, idx, axis=2)
+
+
+@dataclasses.dataclass
+class VerseCrafterPipeline:
+    """Holds params + configs; orchestrates jitted stages.
+
+    Components mirror the reference pipeline's registered modules
+    (tokenizer / text_encoder / vae / transformer / scheduler,
+    pipeline_wan_versecrafter.py:187-209)."""
+
+    dit_params: Any
+    dit_cfg: WanDiTConfig
+    vae_params: Any
+    vae_cfg: VAEConfig
+    t5_params: Any
+    t5_cfg: T5Config
+    tokenizer: Any = None
+    scheduler_name: str = "unipc"
+    scheduler_cfg: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
+    attn_impl: str = "auto"
+    # acceleration state (enable_* mirror the reference's runtime toggles)
+    teacache_threshold: float = 0.0
+    teacache_skip_start: int = 5
+    teacache_coefficients: Tuple[float, ...] = tc.VERSECRAFTER_COEFFS
+    cfg_skip_ratio: float = 0.0
+
+    def __post_init__(self):
+        if self.tokenizer is None:
+            self.tokenizer = load_tokenizer(vocab_size=self.t5_cfg.vocab)
+        self._angles = tuple(
+            jnp.asarray(a) for a in rope_3d_angles(
+                self.dit_cfg.head_dim, self.dit_cfg.rope_max_pos,
+                self.dit_cfg.rope_theta))
+        self._jit_cache: Dict[Any, Callable] = {}
+
+    # -- acceleration toggles (reference API parity:
+    #    enable_teacache / enable_cfg_skip / enable_riflex) ----------------
+    def enable_teacache(self, threshold: float, skip_start: int = 5,
+                        coefficients=tc.VERSECRAFTER_COEFFS):
+        self.teacache_threshold = threshold
+        self.teacache_skip_start = skip_start
+        self.teacache_coefficients = tuple(coefficients)
+
+    def disable_teacache(self):
+        self.teacache_threshold = 0.0
+
+    def enable_cfg_skip(self, ratio: float):
+        self.cfg_skip_ratio = ratio
+
+    def enable_riflex(self, k: int, L_test: int, L_test_scale: Optional[float] = None):
+        """RoPE intrinsic-frequency override for temporal extrapolation
+        (enable_riflex, wan_transformer3d.py:873-888)."""
+        self._angles = tuple(
+            jnp.asarray(a) for a in rope_3d_angles(
+                self.dit_cfg.head_dim, self.dit_cfg.rope_max_pos,
+                self.dit_cfg.rope_theta, riflex_k=k, riflex_L_test=L_test,
+                riflex_L_test_scale=L_test_scale))
+
+    # -- stages ----------------------------------------------------------
+    def encode_prompt(self, prompt, negative_prompt="") -> jnp.ndarray:
+        """-> [2B, text_len, text_dim] (negative first, then positive —
+        matching in_prompt_embeds = negative + positive, pipeline:740-743)."""
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        negs = ([negative_prompt] * len(prompts)
+                if isinstance(negative_prompt, str) else list(negative_prompt))
+        toks = self.tokenizer(negs + prompts, max_length=self.t5_cfg.text_length)
+        emb = t5_encode(self.t5_params, self.t5_cfg,
+                        jnp.asarray(toks["input_ids"]),
+                        jnp.asarray(toks["attention_mask"]))
+        return emb
+
+    def encode_controls(self, control_videos: Sequence[np.ndarray],
+                        mask_video: np.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+        """control_videos: list of [B, 3, T, H, W] in [0, 1]; mask_video
+        [B, 1, T, H, W] in [0, 1] -> geoada context [B, 128, T', H/8, W/8]."""
+        lat = []
+        encode = jax.jit(functools.partial(vae_encode, self.vae_params, self.vae_cfg))
+        for cv in control_videos:
+            x = jnp.asarray(cv, dtype) * 2.0 - 1.0  # image processor normalize
+            lat.append(encode(x).astype(dtype))
+        zs = jnp.concatenate(lat, axis=1)
+        stride = (self.vae_cfg.temporal_compression_ratio,
+                  self.vae_cfg.spatial_compression_ratio,
+                  self.vae_cfg.spatial_compression_ratio)
+        m = encode_mask_pixelshuffle(jnp.asarray(mask_video, dtype),
+                                     zs.shape[2], vae_stride=stride)
+        return jnp.concatenate([zs, m.astype(dtype)], axis=1)
+
+    def _denoise_fn(self, cfg_batched: bool):
+        """Jitted model step: returns (noise_pred, tea_state)."""
+        dit_cfg = self.dit_cfg
+        use_tea = self.teacache_threshold > 0.0
+
+        def fn(dit_params, latents, t, step_idx, context, geoada, cos, sin,
+               tea_state, guidance, geoada_scale):
+            if cfg_batched:
+                x = jnp.concatenate([latents, latents], axis=0)
+                g = jnp.concatenate([geoada, geoada], axis=0)
+                ctx = context
+            else:  # cond-only (cfg-skip window): positive prompts are the
+                # second half of context
+                x = latents
+                g = geoada
+                ctx = context[context.shape[0] // 2:]
+            tvec = jnp.full((x.shape[0],), t, jnp.float32)
+
+            if not use_tea:
+                pred = wan_dit_forward(
+                    dit_params, dit_cfg, x, tvec, ctx, cos, sin,
+                    geoada_context=g, geoada_scale=geoada_scale,
+                    attn_impl=self.attn_impl)
+                new_state = tea_state
+            else:
+                from versecrafter_tpu.models.wan_dit import (
+                    wan_dit_blocks, wan_dit_embed, wan_dit_head, patchify,
+                    _linear)
+                tokens, e, e0, ctx_e, _, grid = wan_dit_embed(
+                    dit_params, dit_cfg, x, tvec, ctx)
+                gtok = _linear(dit_params["geoada_patch_embedding"],
+                               patchify(g, dit_cfg.patch_size)) \
+                    if dit_cfg.has_geoadapter else None
+
+                def run(tk):
+                    return wan_dit_blocks(
+                        dit_params, dit_cfg, tk, e0, cos, sin, ctx_e,
+                        geoada_tokens=gtok, geoada_scale=geoada_scale,
+                        attn_impl=self.attn_impl)
+
+                tokens, new_state = tc.gated_blocks(
+                    run, tokens, e0, tea_state, step_idx,
+                    self.teacache_threshold, self.teacache_skip_start,
+                    self.teacache_coefficients)
+                pred = wan_dit_head(dit_params, dit_cfg, tokens, e, grid)
+
+            if cfg_batched:
+                uncond, cond = jnp.split(pred, 2, axis=0)
+                pred = uncond + guidance * (cond - uncond)
+            return pred, new_state
+
+        return jax.jit(fn, donate_argnums=(8,))
+
+    def _get_denoise(self, cfg_batched: bool, key_extra=()):
+        key = (cfg_batched, self.teacache_threshold, self.teacache_skip_start,
+               self.teacache_coefficients, self.attn_impl, *key_extra)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._denoise_fn(cfg_batched)
+        return self._jit_cache[key]
+
+    # -- main entry --------------------------------------------------------
+    def __call__(
+        self,
+        prompt,
+        negative_prompt: str = "",
+        control_videos: Optional[Sequence[np.ndarray]] = None,
+        mask_video: Optional[np.ndarray] = None,
+        geoada_context: Optional[jnp.ndarray] = None,
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 81,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 5.0,
+        shift: float = 16.0,
+        seed: int = 2025,
+        geoada_context_scale: float = 1.0,
+        dtype=jnp.bfloat16,
+        output_type: str = "numpy",
+        progress: Optional[Callable[[int, int], None]] = None,
+    ):
+        """Returns video as numpy [B, T, H, W, 3] in [0,1] (output_type
+        'numpy') or latents (output_type 'latent')."""
+        batch = 1 if isinstance(prompt, str) else len(prompt)
+        context = self.encode_prompt(prompt, negative_prompt).astype(dtype)
+
+        if geoada_context is None:
+            if control_videos is None:
+                raise ValueError("need control_videos or geoada_context")
+            if mask_video is None:
+                mask_video = np.ones(
+                    (batch, 1, num_frames, height, width), np.float32)
+            geoada_context = self.encode_controls(control_videos, mask_video, dtype)
+
+        t_lat = geoada_context.shape[2]
+        h_lat = height // self.vae_cfg.spatial_compression_ratio
+        w_lat = width // self.vae_cfg.spatial_compression_ratio
+        pt, ph, pw = self.dit_cfg.patch_size
+        grid_f, grid_h, grid_w = t_lat // pt, h_lat // ph, w_lat // pw
+        seq_len = grid_f * grid_h * grid_w
+        cos, sin = grid_cos_sin(self._angles, grid_f, grid_h, grid_w)
+
+        sched = make_scheduler(self.scheduler_name, self.scheduler_cfg)
+        timesteps = sched.set_timesteps(num_inference_steps, shift=shift)
+
+        latents = jax.random.normal(
+            jax.random.key(seed),
+            (batch, self.vae_cfg.z_dim, t_lat, h_lat, w_lat), dtype)
+
+        do_cfg = guidance_scale > 1.0
+        tea_batch = 2 * batch if do_cfg else batch
+        tea_state = tc.init_state(tea_batch, seq_len, self.dit_cfg.dim, dtype)
+        skip_from = num_inference_steps * (1.0 - self.cfg_skip_ratio)
+
+        guidance = jnp.asarray(guidance_scale, jnp.float32)
+        gscale = jnp.asarray(geoada_context_scale, jnp.float32)
+
+        for i, t in enumerate(timesteps):
+            use_cfg = do_cfg and not (
+                self.cfg_skip_ratio > 0.0 and i >= skip_from)
+            if use_cfg != (tea_state.prev_residual.shape[0] == 2 * batch):
+                # entering the cfg-skip window: keep the cond half of the cache
+                tea_state = tc.TeaCacheState(
+                    prev_mod=tea_state.prev_mod[-batch:],
+                    prev_residual=tea_state.prev_residual[-batch:],
+                    accum=tea_state.accum, valid=tea_state.valid)
+            fn = self._get_denoise(use_cfg)
+            noise_pred, tea_state = fn(
+                self.dit_params, latents, jnp.asarray(float(t), jnp.float32),
+                jnp.asarray(i, jnp.int32), context, geoada_context, cos, sin,
+                tea_state, guidance, gscale)
+            latents = sched.step(noise_pred, i, latents)
+            if progress is not None:
+                progress(i + 1, num_inference_steps)
+
+        if output_type == "latent":
+            return latents
+        video = vae_decode(self.vae_params, self.vae_cfg, latents)
+        video = jnp.clip(video.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+        return np.asarray(video.transpose(0, 2, 3, 4, 1))

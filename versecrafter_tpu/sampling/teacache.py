@@ -1,0 +1,91 @@
+"""TeaCache: timestep-embedding-aware step skipping, jit-native.
+
+Behavioral contract from the reference (videox_fun TeaCache consumed at
+/root/reference/versecrafter/models/wan_transformer3d.py:828-848 with skip
+logic :205-245 and residual reuse :1057-1080; coefficients hardcoded at
+inference/versecrafter_inference.py:306): accumulate a polynomial-rescaled
+relative-L1 distance of the time-modulation tensor e0 across steps; when the
+accumulator stays below threshold, skip the transformer blocks and reuse the
+previous residual; never skip the first `skip_start` steps; reset the
+accumulator whenever a full forward runs.
+
+TPU-native design: the decision is a traced scalar and the skip is a
+`lax.cond` over the blocks section — the whole denoise step stays one
+compiled program, no host round-trip and no CPU offload of residuals (the
+reference clones residuals to CPU; here they stay device-resident, sharded
+like the activations)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# rescale polynomial for Wan/VerseCrafter 14B (versecrafter_inference.py:306)
+VERSECRAFTER_COEFFS = (
+    8.10705460e03, 2.13393892e03, -3.72934672e02, 1.66203073e01, -4.17769401e-02
+)
+
+
+class TeaCacheState(NamedTuple):
+    prev_mod: jnp.ndarray       # [B, 6, D] fp32 — previous e0
+    prev_residual: jnp.ndarray  # [B, S, D] — previous blocks residual
+    accum: jnp.ndarray          # scalar fp32 accumulated rescaled distance
+    valid: jnp.ndarray          # scalar bool — prev_mod/res populated
+
+
+def init_state(batch: int, seq: int, dim: int, dtype=jnp.bfloat16) -> TeaCacheState:
+    return TeaCacheState(
+        prev_mod=jnp.zeros((batch, 6, dim), jnp.float32),
+        prev_residual=jnp.zeros((batch, seq, dim), dtype),
+        accum=jnp.zeros((), jnp.float32),
+        valid=jnp.zeros((), jnp.bool_),
+    )
+
+
+def _poly(coeffs, x):
+    acc = jnp.zeros_like(x)
+    for c in coeffs:
+        acc = acc * x + c
+    return acc
+
+
+def gated_blocks(
+    run_blocks: Callable[[jnp.ndarray], jnp.ndarray],
+    tokens: jnp.ndarray,
+    e0: jnp.ndarray,
+    state: TeaCacheState,
+    step_index: jnp.ndarray,
+    threshold: float,
+    skip_start: int = 5,
+    coefficients=VERSECRAFTER_COEFFS,
+) -> Tuple[jnp.ndarray, TeaCacheState]:
+    """Wrap the transformer-blocks section with the TeaCache gate.
+
+    run_blocks: tokens -> tokens (the expensive part).
+    Returns (tokens_out, new_state)."""
+    rel = jnp.mean(jnp.abs(e0 - state.prev_mod)) / jnp.maximum(
+        jnp.mean(jnp.abs(state.prev_mod)), 1e-8)
+    accum = state.accum + _poly(coefficients, rel)
+
+    must_calc = jnp.logical_or(
+        step_index < skip_start, jnp.logical_not(state.valid))
+    should_calc = jnp.logical_or(must_calc, accum >= threshold)
+
+    def do_calc(_):
+        out = run_blocks(tokens)
+        return out, (out - tokens).astype(state.prev_residual.dtype), jnp.zeros((), jnp.float32)
+
+    def do_skip(_):
+        out = tokens + state.prev_residual.astype(tokens.dtype)
+        return out, state.prev_residual, accum
+
+    out, residual, new_accum = jax.lax.cond(should_calc, do_calc, do_skip, None)
+    new_state = TeaCacheState(
+        prev_mod=e0.astype(jnp.float32),
+        prev_residual=residual,
+        accum=new_accum,
+        valid=jnp.ones((), jnp.bool_),
+    )
+    return out, new_state

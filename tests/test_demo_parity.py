@@ -1,0 +1,130 @@
+"""Golden-file parity tests against the reference demo_data intermediates.
+
+The reference ships per-stage golden outputs for two demo clips (SURVEY.md
+§4). These tests regenerate stage outputs with this framework and compare:
+
+- gaussian fitting: means/covs vs the shipped gaussian_params.json
+- control-map rendering: a few frames vs the shipped mp4s (PSNR / IoU —
+  mp4s are crf18-compressed, exact match is impossible by construction)
+
+Heavy renders run at a subsampled frame set to keep CPU CI tolerable.
+"""
+
+import json
+import os
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+DEMO = Path("/root/reference/demo_data/dc58debb-191d-50cb-8ba1-a5afdeec1808_0000091_0000172")
+
+pytestmark = pytest.mark.skipif(not DEMO.exists(), reason="demo data not mounted")
+
+
+def _read_frames(path, idxs):
+    if not Path(path).exists():
+        pytest.skip(f"golden video not shipped in demo_data: {Path(path).name}")
+    cap = cv2.VideoCapture(str(path))
+    frames = {}
+    i = 0
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        if i in idxs:
+            frames[i] = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+        i += 1
+    cap.release()
+    return [frames[i] for i in idxs]
+
+
+def test_gaussian_fit_matches_reference_json(tmp_path):
+    from versecrafter_tpu.geometry.gaussians import process_single_image
+
+    out = process_single_image(
+        str(DEMO / "estimated_depth/depth_intrinsics.npz"),
+        str(DEMO / "object_mask/masks"),
+        str(tmp_path),
+    )
+    with open(DEMO / "fitted_3D_gaussian/gaussian_params.json") as f:
+        ref = json.load(f)
+
+    assert out["num_objects"] == ref["num_objects"]
+    for oid, rp in ref["gaussian_params"].items():
+        got = out["gaussian_params"][int(oid)]
+        np.testing.assert_allclose(got["mean"], rp["mean"], rtol=0.05, atol=0.02)
+        np.testing.assert_allclose(got["cov"], rp["cov"], rtol=0.15, atol=0.01)
+        assert got["label"] == rp["label"]
+
+
+@pytest.fixture(scope="module")
+def rendered(tmp_path_factory):
+    """Render a 9-frame subsample of the demo trajectory."""
+    import numpy as np
+
+    from versecrafter_tpu.geometry.pointcloud import load_background_from_files
+    from versecrafter_tpu.geometry.render import (
+        load_camera_trajectory, load_gaussian_trajectory, render_control_maps)
+
+    pts, cols, K, h, w = load_background_from_files(
+        str(DEMO / "0001.png"),
+        str(DEMO / "estimated_depth/depth_intrinsics.npz"),
+        str(DEMO / "object_mask/masks"))
+    w2cs = load_camera_trajectory(str(DEMO / "camera_object_0/custom_camera_trajectory.npz"))
+    means, covs, present, ocolors, _ = load_gaussian_trajectory(
+        str(DEMO / "camera_object_0/custom_3D_gaussian_trajectory.json"))
+    idxs = list(range(0, 81, 10))
+    vids = render_control_maps(
+        pts, cols, K, w2cs[idxs], means[idxs], covs[idxs], present[idxs],
+        ocolors, (h, w))
+    return idxs, vids
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def test_background_rgb_parity(rendered):
+    idxs, vids = rendered
+    ref = _read_frames(DEMO / "camera_object_0/rendering_4D_maps/background_RGB.mp4", idxs)
+    psnrs = [_psnr(vids["background_RGB"][i], r) for i, r in enumerate(ref)]
+    # frame 0 is a near-identity reprojection; later frames warp
+    assert psnrs[0] > 25.0, psnrs
+    assert np.mean(psnrs) > 18.0, psnrs
+
+
+def test_background_depth_parity(rendered):
+    idxs, vids = rendered
+    ref = _read_frames(DEMO / "camera_object_0/rendering_4D_maps/background_depth.mp4", idxs)
+    psnrs = [_psnr(vids["background_depth"][i], r) for i, r in enumerate(ref)]
+    assert np.mean(psnrs) > 18.0, psnrs
+
+
+def test_merged_mask_parity(rendered):
+    idxs, vids = rendered
+    ref = _read_frames(DEMO / "camera_object_0/rendering_4D_maps/merged_mask.mp4", idxs)
+    ious = []
+    for i, r in enumerate(ref):
+        got = vids["merged_mask"][i][..., 0] > 127
+        want = r[..., 0] > 127
+        inter = (got & want).sum()
+        union = (got | want).sum()
+        ious.append(inter / max(union, 1))
+    assert np.mean(ious) > 0.75, ious
+
+
+def test_gaussian_rgb_parity(rendered):
+    idxs, vids = rendered
+    ref = _read_frames(DEMO / "camera_object_0/rendering_4D_maps/3D_gaussian_RGB.mp4", idxs)
+    psnrs = [_psnr(vids["3D_gaussian_RGB"][i], r) for i, r in enumerate(ref)]
+    assert np.mean(psnrs) > 20.0, psnrs
+
+
+def test_gaussian_depth_parity(rendered):
+    idxs, vids = rendered
+    ref = _read_frames(DEMO / "camera_object_0/rendering_4D_maps/3D_gaussian_depth.mp4", idxs)
+    psnrs = [_psnr(vids["3D_gaussian_depth"][i], r) for i, r in enumerate(ref)]
+    assert np.mean(psnrs) > 20.0, psnrs

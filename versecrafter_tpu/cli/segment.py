@@ -1,0 +1,47 @@
+"""CLI: text-prompted segmentation (step 2 of the pipeline).
+
+Surface-compatible with /root/reference/inference/grounded_sam2_infer.py's
+CLI (image + text prompt -> per-object masks, combined mask, annotations).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Text-prompted segmentation")
+    p.add_argument("--image", "-i", required=True)
+    p.add_argument("--text", "-t", required=True,
+                   help="e.g. 'car. person.'")
+    p.add_argument("--output", "-o", default="./output")
+    p.add_argument("--depth_npz", default=None,
+                   help="optional depth to assist the fallback backend")
+    p.add_argument("--backend", default="saliency")
+    p.add_argument("--box_threshold", type=float, default=0.25)
+    p.add_argument("--text_threshold", type=float, default=0.25)
+    p.add_argument("--max_objects", type=int, default=5)
+    args = p.parse_args(argv)
+
+    import cv2
+    import numpy as np
+
+    from versecrafter_tpu.perception.segmenter import ImageSegmenter
+
+    img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
+    depth = None
+    if args.depth_npz:
+        d = np.load(args.depth_npz)["depth"].astype(np.float32)
+        depth = d[0] if d.ndim == 3 else d
+
+    seg = ImageSegmenter(backend=args.backend,
+                         box_threshold=args.box_threshold,
+                         text_threshold=args.text_threshold,
+                         max_objects=args.max_objects)
+    dets = seg.segment_image(img, args.text, depth=depth)
+    paths = seg.save_results(img, dets, args.output)
+    print(f"segmented {len(dets)} objects -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,260 @@
+"""XLA rasterizers: z-buffered point splatting and analytic ellipsoid
+ray-casting with Phong shading.
+
+TPU-native replacement for the pytorch3d C++/CUDA rasterizers the reference
+uses (/root/reference/inference/rendering_4D_control_maps.py:243-338 point
+rasterization with radius splats + AlphaCompositor, :150-241 icosphere-mesh
+rasterization + HardPhongShader). Design:
+
+- everything projects with plain OpenCV pinhole math (the reference's
+  pytorch3d NDC sign-flip dance at :363-366 exists only to reproduce exactly
+  that projection);
+- point splatting is a scatter-min z-buffer with a small per-point pixel
+  footprint (the pytorch3d radius in NDC units maps to
+  radius_px = radius * min(H, W) / 2), winner color by front-most depth —
+  a dense organized cloud composites to an opaque surface, matching the
+  AlphaCompositor output away from silhouette edges;
+- ellipsoids are ray-cast analytically per pixel (a quadratic per ellipsoid)
+  instead of tessellating icospheres: exact silhouettes and normals, and a
+  dense [H, W, K] computation that XLA maps straight onto the VPU/MXU.
+
+All functions are jit-friendly; frames batch with vmap.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = 1e9
+
+
+def project_points(points: jnp.ndarray, K: jnp.ndarray, w2c: jnp.ndarray):
+    """[N,3] world -> (u, v, z) pixel coords + camera depth."""
+    R = w2c[:3, :3]
+    t = w2c[:3, 3]
+    pc = points @ R.T + t
+    z = pc[:, 2]
+    u = K[0, 0] * pc[:, 0] / z + K[0, 2]
+    v = K[1, 1] * pc[:, 1] / z + K[1, 2]
+    return u, v, z
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "footprint"))
+def splat_points(points: jnp.ndarray, colors: jnp.ndarray, K: jnp.ndarray,
+                 w2c: jnp.ndarray, height: int, width: int,
+                 radius_px: float = 1.2, footprint: int = 1):
+    """Render one frame of a point cloud.
+
+    points [N,3] (world), colors [N,3] float 0..255.
+    Returns (rgb [H,W,3] float 0..255, depth [H,W] (0 where empty),
+    mask [H,W] bool).
+
+    TPU-friendly two-stage design (naive scatter-min with duplicate indices
+    lowers to a sequential loop on TPU):
+      1. z-buffer at native pixels via a lexicographic sort on
+         (pixel, depth-bits) — the first entry of each pixel run is the
+         front-most point; winners scatter with UNIQUE indices.
+      2. the radius footprint becomes a dense depth-aware neighborhood pass:
+         each output pixel takes the front-most neighboring splat whose true
+         (subpixel) center lies within radius_px — pure VPU shifts.
+    """
+    u, v, z = project_points(points, K, w2c)
+    valid = (z > 1e-6) & jnp.isfinite(u) & jnp.isfinite(v)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    inb = valid & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
+
+    hw = height * width
+    pix = jnp.where(inb, vi * width + ui, hw)  # hw = dump slot
+    # positive-float bits are monotone as int32
+    zbits = jnp.where(inb, jax.lax.bitcast_convert_type(
+        jnp.maximum(z, 1e-9), jnp.int32), jnp.iinfo(jnp.int32).max)
+
+    n = points.shape[0]
+    sp, sz, sidx = jax.lax.sort(
+        (pix, zbits, jnp.arange(n, dtype=jnp.int32)), num_keys=2)
+    first = jnp.concatenate([jnp.ones((1,), bool), sp[1:] != sp[:-1]])
+    win_pix = jnp.where(first & (sp < hw), sp, hw)
+
+    payload = jnp.concatenate([
+        z[sidx, None], u[sidx, None], v[sidx, None], colors[sidx]], axis=1)
+    buf = jnp.zeros((hw, 6), jnp.float32).at[win_pix].set(payload, mode="drop")
+    buf = buf.reshape(height, width, 6)
+    zb, ub, vb = buf[..., 0], buf[..., 1], buf[..., 2]
+    cb = buf[..., 3:6]
+    occ = zb > 0
+
+    # stage 2: depth-aware radius dilation over a (2f+1)^2 window
+    yy, xx = jnp.mgrid[0:height, 0:width]
+    best_z = jnp.full((height, width), BIG, jnp.float32)
+    best_c = jnp.zeros((height, width, 3), jnp.float32)
+    r2 = radius_px * radius_px
+    for dy in range(-footprint, footprint + 1):
+        for dx in range(-footprint, footprint + 1):
+            zs = jnp.roll(zb, (dy, dx), (0, 1))
+            us = jnp.roll(ub, (dy, dx), (0, 1))
+            vs = jnp.roll(vb, (dy, dx), (0, 1))
+            cs = jnp.roll(cb, (dy, dx), (0, 1))
+            os_ = jnp.roll(occ, (dy, dx), (0, 1))
+            # roll wraps; mask wrapped rows/cols
+            ok = os_
+            if dy > 0:
+                ok = ok & (yy >= dy)
+            elif dy < 0:
+                ok = ok & (yy < height + dy)
+            if dx > 0:
+                ok = ok & (xx >= dx)
+            elif dx < 0:
+                ok = ok & (xx < width + dx)
+            d2 = (us - xx.astype(jnp.float32)) ** 2 + (vs - yy.astype(jnp.float32)) ** 2
+            ok = ok & (d2 <= r2)
+            zc = jnp.where(ok, zs, BIG)
+            closer = zc < best_z
+            best_z = jnp.where(closer, zc, best_z)
+            best_c = jnp.where(closer[..., None], cs, best_c)
+
+    mask = best_z < BIG * 0.5
+    depth = jnp.where(mask, best_z, 0.0)
+    rgb = jnp.where(mask[..., None], best_c, 0.0)
+    return rgb, depth, mask
+
+
+# ---------------------------------------------------------------------------
+# analytic ellipsoid rendering
+# ---------------------------------------------------------------------------
+
+# pytorch3d defaults: PointLights ambient .5 / diffuse .3 / specular .2,
+# Materials all-ones with shininess 64 (HardPhongShader at
+# rendering_4D_control_maps.py:206-210, light at world origin)
+AMBIENT, DIFFUSE, SPECULAR, SHININESS = 0.5, 0.3, 0.2, 64.0
+
+
+def ellipsoid_cam_params(means, covs, K3, w2c, scale_factor=2.5):
+    """World-frame Gaussians -> camera-frame ellipsoid quadric matrices.
+
+    Ellipsoid surface: (x-c)^T A (x-c) = 1 with principal axes
+    scale_factor * sqrt(eigvals) (make_ellipsoid_mesh semantics,
+    rendering_4D_control_maps.py:98-104)."""
+    R = w2c[:3, :3]
+    t = w2c[:3, 3]
+    c_cam = means @ R.T + t                       # [K,3]
+    cov_cam = jnp.einsum("ij,kjl,ml->kim", R, covs, R)  # R C R^T
+    evals, evecs = jnp.linalg.eigh(cov_cam)
+    evals = jnp.maximum(evals, 1e-8)
+    axes2 = (scale_factor ** 2) * evals           # squared semi-axes
+    A = jnp.einsum("kij,kj,klj->kil", evecs, 1.0 / axes2, evecs)
+    return c_cam, A
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def raster_ellipsoids(means: jnp.ndarray, covs: jnp.ndarray,
+                      colors: jnp.ndarray, present: jnp.ndarray,
+                      K: jnp.ndarray, w2c: jnp.ndarray,
+                      height: int, width: int, scale_factor: float = 2.5):
+    """Ray-cast K ellipsoids for one frame.
+
+    means [K,3], covs [K,3,3] (world/Blender), colors [K,3] 0..1,
+    present [K] bool (padding slots off).
+    Returns (rgb [H,W,3] float 0..255, depth [H,W], mask [H,W])."""
+    c_cam, A = ellipsoid_cam_params(means, covs, K, w2c, scale_factor)
+
+    y, x = jnp.mgrid[0:height, 0:width]
+    dirs = jnp.stack([
+        (x.astype(jnp.float32) - K[0, 2]) / K[0, 0],
+        (y.astype(jnp.float32) - K[1, 2]) / K[1, 1],
+        jnp.ones((height, width), jnp.float32),
+    ], -1)  # [H,W,3] rays through pixel centers, origin at camera
+
+    def one(c, Amat, ok):
+        # quadratic a t^2 + b t + cc = 0 along ray o=0, dir d
+        Ad = jnp.einsum("ij,hwj->hwi", Amat, dirs)
+        a = jnp.einsum("hwi,hwi->hw", dirs, Ad)
+        Ac = Amat @ c
+        b = -2.0 * jnp.einsum("hwi,i->hw", dirs, Ac)
+        cc = c @ Ac - 1.0
+        disc = b * b - 4 * a * cc
+        hit = ok & (disc > 0)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = (-b - sq) / (2 * a)
+        t1 = (-b + sq) / (2 * a)
+        tt = jnp.where(t0 > 1e-6, t0, t1)  # nearest intersection in front
+        hit = hit & (tt > 1e-6)
+        p = dirs * tt[..., None]
+        depth = jnp.where(hit, p[..., 2], BIG)
+        n = jnp.einsum("ij,hwj->hwi", Amat, p - c)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        return depth, n
+
+    depths, normals = jax.vmap(one)(c_cam, A, present)  # [K,H,W], [K,H,W,3]
+    kmin = jnp.argmin(depths, axis=0)                   # [H,W]
+    depth = jnp.take_along_axis(depths, kmin[None], 0)[0]
+    mask = depth < BIG * 0.5
+
+    nrm = jnp.take_along_axis(normals, kmin[None, ..., None], 0)[0]  # [H,W,3]
+    base = colors[kmin]                                              # [H,W,3]
+    # flip normal toward the viewer
+    p = dirs * depth[..., None]
+    view = -p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
+    nrm = jnp.where(jnp.sum(nrm * view, -1, keepdims=True) < 0, -nrm, nrm)
+    # light at world origin -> camera-frame position w2c @ origin = t
+    lpos = w2c[:3, 3]
+    ldir = lpos - p
+    ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir, axis=-1, keepdims=True), 1e-12)
+    ndl = jnp.maximum(jnp.sum(nrm * ldir, -1), 0.0)
+    refl = 2 * ndl[..., None] * nrm - ldir
+    rdv = jnp.maximum(jnp.sum(refl * view, -1), 0.0)
+    spec = SPECULAR * jnp.power(rdv, SHININESS)
+    shaded = base * (AMBIENT + DIFFUSE * ndl[..., None]) + spec[..., None]
+
+    rgb = jnp.where(mask[..., None], jnp.clip(shaded, 0, 1) * 255.0, 0.0)
+    depth = jnp.where(mask, depth, 0.0)
+    return rgb, depth, mask
+
+
+# ---------------------------------------------------------------------------
+# compositing / visualization (reference semantics)
+# ---------------------------------------------------------------------------
+
+def composite_by_depth(bg_rgb, bg_depth, fg_rgb, fg_depth, fg_mask):
+    """Foreground wins where it exists and is closer
+    (rendering_4D_control_maps.py:398-411)."""
+    take = fg_mask & ((bg_depth <= 0) | ((fg_depth > 0) & (fg_depth < bg_depth - 1e-6)))
+    rgb = jnp.where(take[..., None], fg_rgb, bg_rgb)
+    depth = jnp.where(take, fg_depth, bg_depth)
+    return rgb, depth
+
+
+def depth_to_grayscale(depth, min_depth: float, max_depth: float):
+    """Disparity grayscale: closer -> lighter (visualize_depth_as_grayscale,
+    rendering_4D_control_maps.py:487-539). Returns [H,W] float 0..255."""
+    disp = jnp.where(depth > 0, 1.0 / jnp.maximum(depth, 1e-9), 0.0)
+    if max_depth > 0 and min_depth > 0:
+        min_disp = 1.0 / max_depth
+        max_disp = 1.0 / min_depth
+        disp = (disp - min_disp) / (max_disp - min_disp + 1e-8)
+    return jnp.clip(disp, 0, 1) * 255.0
+
+
+def merge_masks(bg_depth, fg_depth, bg_mask, fg_mask):
+    """merged_mask semantics (rendering_4D_control_maps.py:736-763):
+    background holes are white, visible foreground is white."""
+    take_fg = fg_mask & ((bg_depth <= 0) | ((fg_depth > 0) & (fg_depth < bg_depth - 1e-6)))
+    out = jnp.where(take_fg, fg_mask, ~bg_mask)
+    return out
+
+
+def global_depth_range(depths: np.ndarray) -> Tuple[float, float]:
+    """0.1% / 99% percentiles of positive depths
+    (compute_global_depth_range, rendering_4D_control_maps.py:541-571)."""
+    vals = depths[depths > 0]
+    if vals.size == 0:
+        return 0.0, 1.0
+    if vals.size > 1_000_000:
+        vals = np.random.default_rng(0).choice(vals, 1_000_000, replace=False)
+    return float(np.quantile(vals, 0.001)), float(np.quantile(vals, 0.99))

@@ -1,0 +1,142 @@
+"""Text-prompted image segmentation interface.
+
+Re-implements the surface of the reference's `ImageSegmenter`
+(/root/reference/inference/grounded_sam2_infer.py:37-383: GroundingDINO
+text-prompted boxes -> SAM2 box-prompted masks, top-K-by-area keep :159-169,
+area-ratio filter :201-225, per-object mask files mask_{id:02d}_{label}.png
+:352, combined mask + annotation txt) with pluggable detection/mask
+backends:
+
+- `backend="auto"`: JAX SAM2 + GroundingDINO ports when their weights are
+  available (scheduled build-out; see perception/sam2.py once landed);
+- `backend="saliency"`: a dependency-free classical fallback (color k-means
+  + depth-assisted component analysis) that produces usable object masks for
+  driving the downstream pipeline in offline environments. Quality is NOT
+  SAM2-parity; it exists so every pipeline stage is runnable end-to-end.
+
+The file-output contract is exact, so downstream stages (Gaussian fitting,
+rendering, the Blender addon) cannot tell backends apart.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+
+@dataclass
+class Detection:
+    label: str
+    score: float
+    box: Tuple[int, int, int, int]  # x0, y0, x1, y1
+    mask: np.ndarray                # [H, W] bool
+
+
+@dataclass
+class ImageSegmenter:
+    backend: str = "saliency"
+    box_threshold: float = 0.25
+    text_threshold: float = 0.25
+    max_objects: int = 5
+    min_area_ratio: float = 0.002
+    max_area_ratio: float = 0.6
+
+    def segment_image(self, image: np.ndarray, text_prompt: str,
+                      depth: Optional[np.ndarray] = None) -> List[Detection]:
+        """image [H,W,3] uint8 RGB; text_prompt 'car. person.' ->
+        detections sorted by area (top-K kept, area-ratio filtered —
+        grounded_sam2_infer.py:159-225 semantics)."""
+        labels = [t.strip() for t in text_prompt.replace(",", ".").split(".")
+                  if t.strip()]
+        if self.backend == "saliency":
+            dets = self._saliency_segment(image, labels, depth)
+        else:
+            raise NotImplementedError(
+                f"backend {self.backend!r}: SAM2/GroundingDINO JAX ports load "
+                "here once weights are present")
+
+        h, w = image.shape[:2]
+        area = h * w
+        dets = [d for d in dets
+                if self.min_area_ratio <= d.mask.sum() / area <= self.max_area_ratio]
+        dets.sort(key=lambda d: d.mask.sum(), reverse=True)
+        return dets[: self.max_objects]
+
+    # -- classical fallback -------------------------------------------------
+    def _saliency_segment(self, image, labels, depth) -> List[Detection]:
+        h, w = image.shape[:2]
+        # k-means over (color, position) features; treat compact non-border
+        # clusters as objects
+        feats = np.concatenate([
+            cv2.GaussianBlur(image, (9, 9), 0).reshape(-1, 3).astype(np.float32) / 255.0,
+            (np.mgrid[0:h, 0:w].transpose(1, 2, 0).reshape(-1, 2)
+             / [h, w]).astype(np.float32) * 0.5,
+        ], 1)
+        if depth is not None:
+            d = depth.astype(np.float32)
+            d = (d - d.min()) / max(d.max() - d.min(), 1e-6)
+            feats = np.concatenate([feats, d.reshape(-1, 1)], 1)
+        k = min(8, max(3, len(labels) + 2))
+        _, lab, _ = cv2.kmeans(
+            feats, k, None,
+            (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 10, 1.0),
+            3, cv2.KMEANS_PP_CENTERS)
+        lab = lab.reshape(h, w)
+
+        dets: List[Detection] = []
+        for c in range(k):
+            m = (lab == c).astype(np.uint8)
+            # border-touching clusters are background
+            border = m[0].mean() + m[-1].mean() + m[:, 0].mean() + m[:, -1].mean()
+            if border > 0.5:
+                continue
+            n, comp, stats, _ = cv2.connectedComponentsWithStats(m)
+            for i in range(1, n):
+                x, y, bw, bh, a = stats[i]
+                if a < self.min_area_ratio * h * w:
+                    continue
+                mask = comp == i
+                label = labels[len(dets) % len(labels)] if labels else f"object"
+                dets.append(Detection(label, 0.5, (x, y, x + bw, y + bh), mask))
+        return dets
+
+    # -- file contract -------------------------------------------------------
+    def save_results(self, image: np.ndarray, detections: Sequence[Detection],
+                     output_dir: str, stem: str = "") -> Dict[str, str]:
+        """Writes masks/mask_{id:02d}_{label}.png, {stem}_mask_combined.png,
+        {stem}_annotations.txt, {stem}_visualization.png (reference layout,
+        grounded_sam2_infer.py:316-383)."""
+        os.makedirs(os.path.join(output_dir, "masks"), exist_ok=True)
+        paths = {}
+        combined = np.zeros(image.shape[:2], np.uint8)
+        vis = image.copy()
+        lines = []
+        for i, d in enumerate(detections, start=1):
+            name = f"mask_{i:02d}_{d.label}.png"
+            p = os.path.join(output_dir, "masks", name)
+            cv2.imwrite(p, d.mask.astype(np.uint8) * 255)
+            paths[name] = p
+            combined |= d.mask.astype(np.uint8) * 255
+            x0, y0, x1, y1 = d.box
+            cv2.rectangle(vis, (x0, y0), (x1, y1), (255, 60, 60), 2)
+            cv2.putText(vis, f"{i}:{d.label}", (x0, max(y0 - 4, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 60, 60), 1)
+            lines.append(f"{i}\t{d.label}\t{d.score:.3f}\t{x0},{y0},{x1},{y1}\t"
+                         f"{int(d.mask.sum())}")
+
+        pre = f"{stem}_" if stem else ""
+        cp = os.path.join(output_dir, f"{pre}mask_combined.png")
+        cv2.imwrite(cp, combined)
+        paths["combined"] = cp
+        vp = os.path.join(output_dir, f"{pre}visualization.png")
+        cv2.imwrite(vp, cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
+        paths["visualization"] = vp
+        ap = os.path.join(output_dir, f"{pre}annotations.txt")
+        with open(ap, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        paths["annotations"] = ap
+        return paths

@@ -19,6 +19,9 @@ import time
 
 def main():
     import jax
+
+    from versecrafter_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from versecrafter_tpu.core.config import WAN21_1_3B

@@ -1,0 +1,213 @@
+"""Serving layer tests: real HTTP round-trips against in-process servers."""
+
+import base64
+import json
+import os
+import time
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+from versecrafter_tpu.serve.api_server import ApiServer, build_router
+from versecrafter_tpu.serve.http import make_server, serve_forever_in_thread
+from versecrafter_tpu.serve.tasks import ChunkStore, TaskRegistry
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, payload=None, raw=None, headers=None):
+    data = raw if raw is not None else json.dumps(payload or {}).encode()
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def _tiny_pipeline_factory():
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from versecrafter_tpu.core.config import T5Config, VAEConfig, WanDiTConfig
+    from versecrafter_tpu.models.t5 import init_t5
+    from versecrafter_tpu.models.vae import init_vae
+    from versecrafter_tpu.models.wan_dit import init_wan_dit
+    from versecrafter_tpu.sampling.pipeline import VerseCrafterPipeline
+
+    vae_cfg = VAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+                        temporal_downsample=(True,), spatial_compression_ratio=2,
+                        temporal_compression_ratio=2, use_latent_stats=False)
+    t5_cfg = T5Config(vocab=256, dim=32, dim_attn=32, dim_ffn=64, num_heads=4,
+                      num_layers=1, num_buckets=8, text_length=16)
+    # 4 controls x 4ch + (2*2) mask ch = 20
+    dit_cfg = WanDiTConfig(in_dim=4, dim=64, ffn_dim=128, freq_dim=32,
+                           text_dim=32, out_dim=4, num_heads=2, num_layers=2,
+                           text_len=16, geoada_layers=(), geoada_in_dim=20)
+
+    def factory():
+        return VerseCrafterPipeline(
+            dit_params=init_wan_dit(jax.random.key(0), dit_cfg, jnp.float32),
+            dit_cfg=dit_cfg,
+            vae_params=init_vae(jax.random.key(1), vae_cfg, jnp.float32),
+            vae_cfg=vae_cfg,
+            t5_params=init_t5(jax.random.key(2), t5_cfg, jnp.float32),
+            t5_cfg=t5_cfg,
+        )
+    return factory
+
+
+@pytest.fixture(scope="module")
+def api(tmp_path_factory):
+    workdir = tmp_path_factory.mktemp("api")
+    server = ApiServer(workdir=str(workdir),
+                       pipeline_factory=_tiny_pipeline_factory())
+    httpd = make_server(build_router(server), "127.0.0.1", 0)
+    serve_forever_in_thread(httpd)
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", server
+    httpd.shutdown()
+
+
+def _wait_task(base, task_id, timeout=300):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        _, st = _get(f"{base}/api/status/{task_id}")
+        if st["status"] in ("COMPLETED", "FAILED"):
+            return st
+        time.sleep(0.3)
+    raise TimeoutError(st)
+
+
+def test_health_and_stats(api):
+    base, _ = api
+    assert _get(f"{base}/api/health")[1]["status"] == "ok"
+    st = _get(f"{base}/system_stats")[1]
+    assert "devices" in st and len(st["devices"]) >= 1
+    assert _get(f"{base}/api/model_status")[1]["model_loaded"] is False
+
+
+def test_upload_download_roundtrip(api):
+    base, _ = api
+    payload = os.urandom(1024)
+    _post(f"{base}/api/upload?filename=blob.bin", raw=payload)
+    with urllib.request.urlopen(f"{base}/api/download/blob.bin") as r:
+        assert r.read() == payload
+    b64 = _get(f"{base}/api/download_base64/blob.bin")[1]["data"]
+    assert base64.b64decode(b64) == payload
+
+
+def test_chunked_upload_and_download(api):
+    base, _ = api
+    data = os.urandom(3000)
+    for i in range(3):
+        _post(f"{base}/api/upload_chunk?upload_id=u1&index={i}&total=3&filename=c.bin",
+              raw=data[i * 1000:(i + 1) * 1000])
+    _post(f"{base}/api/upload_complete", payload={"upload_id": "u1", "filename": "c.bin"})
+    got = b""
+    off = 0
+    while True:
+        st = _get(f"{base}/api/download_chunk/c.bin?offset={off}&size=1024")[1]
+        got += base64.b64decode(st["data"])
+        if st["done"]:
+            break
+        off += 1024
+    assert got == data
+
+
+def test_path_traversal_blocked(api):
+    base, _ = api
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{base}/api/download/..%2F..%2Fetc%2Fpasswd")
+    assert ei.value.code in (404, 500)
+    # and uploads cannot escape either
+    try:
+        _post(f"{base}/api/upload?filename=../escape.bin", raw=b"x")
+        escaped = True
+    except urllib.error.HTTPError:
+        escaped = False
+    assert not escaped
+
+
+def test_unknown_task_404(api):
+    base, _ = api
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{base}/api/status/nonexistent")
+    assert ei.value.code == 404
+
+
+def test_preprocess_task(api):
+    base, server = api
+    import cv2
+    img = np.full((64, 96, 3), 30, np.uint8)
+    img[20:44, 30:60] = [220, 60, 60]
+    cv2.imwrite(os.path.join(server.workdir, "input.png"),
+                cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    # tiny MoGe so the test is fast
+    import jax
+    from versecrafter_tpu.perception import moge
+    server._moge_cache = moge.init_moge(
+        jax.random.key(0), vit_kwargs=dict(patch=14, dim=32, depth=2, heads=2))
+
+    _, resp = _post(f"{base}/api/preprocess",
+                    payload={"image": "input.png", "text_prompt": "box."})
+    st = _wait_task(base, resp["task_id"])
+    assert st["status"] == "COMPLETED", st
+    assert os.path.exists(os.path.join(server.workdir,
+                                       st["result"]["depth_npz"]))
+    assert os.path.exists(os.path.join(server.workdir,
+                                       st["result"]["gaussian_params"]))
+
+
+def test_generate_task_in_process(api):
+    base, server = api
+    from versecrafter_tpu.utils.video import save_video
+
+    maps = os.path.join(server.workdir, "maps")
+    rng = np.random.default_rng(0)
+    t, h, w = 5, 8, 8
+    for name in ["background_RGB", "background_depth", "3D_gaussian_RGB",
+                 "3D_gaussian_depth", "merged_mask"]:
+        save_video(rng.random((t, h, w, 3)).astype(np.float32),
+                   os.path.join(maps, f"{name}.mp4"), fps=5)
+
+    _, resp = _post(f"{base}/api/generate", payload={
+        "rendering_maps_path": "maps", "prompt": "a test",
+        "height": h, "width": w, "num_frames": t,
+        "num_inference_steps": 2, "guidance_scale": 2.0, "fps": 5,
+    })
+    st = _wait_task(base, resp["task_id"])
+    assert st["status"] == "COMPLETED", st
+    out = os.path.join(server.workdir, st["result"]["video_path"])
+    assert os.path.exists(out)
+    assert _get(f"{base}/api/model_status")[1]["model_loaded"] is True
+
+
+def test_task_registry_and_chunkstore_thread_safety():
+    import threading
+
+    reg = TaskRegistry()
+    ids = [reg.create("t").task_id for _ in range(4)]
+
+    def hammer(tid):
+        for i in range(200):
+            reg.update(tid, progress=i)
+
+    th = [threading.Thread(target=hammer, args=(t,)) for t in ids]
+    [t.start() for t in th]
+    [t.join() for t in th]
+    assert all(reg.get(t)["progress"] == 199 for t in ids)
+
+    cs = ChunkStore()
+
+    def put(i):
+        cs.put("u", i, bytes([i]), total=50)
+
+    th = [threading.Thread(target=put, args=(i,)) for i in range(50)]
+    [t.start() for t in th]
+    [t.join() for t in th]
+    assert cs.complete("u") == bytes(range(50))

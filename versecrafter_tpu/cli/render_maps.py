@@ -36,6 +36,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from versecrafter_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from versecrafter_tpu.geometry.render import render_from_files
 
     def progress(i, n):

@@ -1,0 +1,393 @@
+"""API orchestrator.
+
+Re-implements the endpoint surface of /root/reference/api_server.py
+(endpoints listed at :25-32; upload/download incl. base64-GET and chunked
+variants for proxy traversal :1738-1943; GET mirrors of all APIs
+:1950-2170; path-traversal guard get_safe_filepath :1701-1736; 3-way
+generation dispatch :1442-1480) on the stdlib HTTP stack.
+
+TPU-native differences (SURVEY.md §5.8): no CUDA_VISIBLE_DEVICES process
+partitioning — preprocessing and rendering share the host/mesh with the
+model; generation dispatches to a resident model server over HTTP or runs
+in-process; no torchrun-subprocess fallback tier (there is no rank spawning
+to fall back to).
+
+Workflow endpoints:
+  POST/GET /api/preprocess[_get]  image -> depth + masks + gaussians
+  POST/GET /api/render[_get]      trajectories -> control-map videos
+  POST/GET /api/generate[_get]    control maps -> video
+  POST     /api/workflow          render then generate
+  GET      /api/status/<task_id>, /api/tasks
+  POST     /api/upload, /api/upload_chunk, /api/upload_complete
+  GET      /api/upload_base64_get (payload in query)
+  GET      /api/download/<name>, /api/download_base64/<name>,
+           /api/download_chunk/<name> (?offset=&size=)
+  GET      /api/health, /api/model_status, /system_stats
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import threading
+import traceback
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from versecrafter_tpu.serve.http import Router, make_server
+from versecrafter_tpu.serve.tasks import (
+    COMPLETED, FAILED, RUNNING, ChunkStore, TaskRegistry)
+
+
+class ApiServer:
+    def __init__(self, workdir: str = "outputs/api",
+                 model_server_url: Optional[str] = None,
+                 pipeline_factory=None):
+        self.workdir = os.path.abspath(workdir)
+        os.makedirs(self.workdir, exist_ok=True)
+        self.tasks = TaskRegistry()
+        self.chunks = ChunkStore()
+        self.model_server_url = model_server_url
+        self._pipeline = None
+        self._pipeline_factory = pipeline_factory
+        self._loading_lock = threading.Lock()
+
+    # -- path-traversal guard (get_safe_filepath semantics) -----------------
+    def safe_path(self, name: str) -> str:
+        p = os.path.abspath(os.path.join(self.workdir, name))
+        if not p.startswith(self.workdir + os.sep) and p != self.workdir:
+            raise PermissionError(f"path escapes workdir: {name}")
+        return p
+
+    # -- stage runners (threads) --------------------------------------------
+    def run_preprocess(self, task_id: str, params: dict):
+        try:
+            import cv2
+            import jax
+
+            from versecrafter_tpu.geometry.gaussians import process_single_image
+            from versecrafter_tpu.perception import moge
+            from versecrafter_tpu.perception.segmenter import ImageSegmenter
+
+            self.tasks.update(task_id, status=RUNNING, progress=5,
+                              message="estimating depth")
+            img_path = self.safe_path(params["image"])
+            out_root = os.path.dirname(img_path)
+            img = cv2.cvtColor(cv2.imread(img_path), cv2.COLOR_BGR2RGB)
+            # pad to ViT patch multiple
+            ph, pw = -img.shape[0] % 14, -img.shape[1] % 14
+            pimg = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge") \
+                if ph or pw else img
+
+            mparams = self._moge_params(params.get("moge_checkpoint"))
+            out = moge.infer(mparams, pimg.astype(np.float32) / 255.0)
+            depth = out["depth"][: img.shape[0], : img.shape[1]]
+            out["depth"] = depth
+            depth_dir = os.path.join(out_root, "estimated_depth")
+            moge.save_outputs(out, depth_dir)
+
+            self.tasks.update(task_id, progress=40, message="segmenting")
+            seg = ImageSegmenter(backend=params.get("backend", "saliency"))
+            dets = seg.segment_image(img, params.get("text_prompt", "object."),
+                                     depth=depth)
+            mask_dir = os.path.join(out_root, "object_mask")
+            seg.save_results(img, dets, mask_dir, stem=Path(img_path).stem)
+
+            self.tasks.update(task_id, progress=70, message="fitting gaussians")
+            gdir = os.path.join(out_root, "fitted_3D_gaussian")
+            process_single_image(
+                os.path.join(depth_dir, "depth_intrinsics.npz"),
+                os.path.join(mask_dir, "masks"), gdir,
+                input_image_path=img_path)
+
+            self.tasks.update(task_id, status=COMPLETED, progress=100, result={
+                "depth_npz": os.path.relpath(
+                    os.path.join(depth_dir, "depth_intrinsics.npz"), self.workdir),
+                "gaussian_params": os.path.relpath(
+                    os.path.join(gdir, "gaussian_params.json"), self.workdir),
+                "mask_dir": os.path.relpath(mask_dir, self.workdir),
+                "num_objects": len(dets),
+            })
+        except Exception as e:  # noqa: BLE001 — task boundary
+            self.tasks.update(task_id, status=FAILED, error=str(e),
+                              message=traceback.format_exc()[-2000:])
+
+    def _moge_params(self, ckpt: Optional[str]):
+        from versecrafter_tpu.perception import moge
+        import jax
+
+        if ckpt:
+            return moge.load_checkpoint(self.safe_path(ckpt))
+        if not hasattr(self, "_moge_cache"):
+            self._moge_cache = moge.init_moge(jax.random.key(0))
+        return self._moge_cache
+
+    def run_render(self, task_id: str, params: dict):
+        try:
+            from versecrafter_tpu.geometry.render import render_from_files
+
+            self.tasks.update(task_id, status=RUNNING, progress=5,
+                              message="rendering control maps")
+            out_dir = self.safe_path(params.get("output_dir", "rendering_4D_maps"))
+            paths = render_from_files(
+                png_path=self.safe_path(params["image"]),
+                npz_path=self.safe_path(params["depth_npz"]),
+                mask_dir=self.safe_path(params["mask_dir"]) if params.get("mask_dir") else None,
+                trajectory_npz=self.safe_path(params["trajectory_npz"]),
+                ellipsoid_json=self.safe_path(params["ellipsoid_json"]),
+                output_dir=out_dir,
+                point_size=float(params.get("point_size", 0.005)),
+                fps=int(params.get("fps", 16)))
+            self.tasks.update(task_id, status=COMPLETED, progress=100, result={
+                "output_dir": os.path.relpath(out_dir, self.workdir),
+                "videos": {k: os.path.relpath(v, self.workdir)
+                           for k, v in paths.items()}})
+        except Exception as e:  # noqa: BLE001
+            self.tasks.update(task_id, status=FAILED, error=str(e),
+                              message=traceback.format_exc()[-2000:])
+
+    def run_generate(self, task_id: str, params: dict):
+        try:
+            params = dict(params)
+            params["rendering_maps_path"] = self.safe_path(
+                params["rendering_maps_path"])
+            if params.get("input_image_path"):
+                params["input_image_path"] = self.safe_path(params["input_image_path"])
+            params.setdefault("save_path", os.path.join(self.workdir, "generated"))
+
+            if self.model_server_url:
+                self._generate_via_model_server(task_id, params)
+            else:
+                self._generate_in_process(task_id, params)
+        except Exception as e:  # noqa: BLE001
+            self.tasks.update(task_id, status=FAILED, error=str(e),
+                              message=traceback.format_exc()[-2000:])
+
+    def _generate_via_model_server(self, task_id: str, params: dict):
+        """Reference dispatch tier 1 (api_server.py:1053-1125): POST
+        /generate, then mirror /status/<id> progress every 2 s."""
+        import time
+        import urllib.request
+
+        self.tasks.update(task_id, status=RUNNING, message="dispatching")
+        req = urllib.request.Request(
+            f"{self.model_server_url}/generate",
+            data=json.dumps(params).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            remote_id = json.loads(resp.read())["task_id"]
+
+        while True:
+            with urllib.request.urlopen(
+                    f"{self.model_server_url}/status/{remote_id}", timeout=30) as r:
+                st = json.loads(r.read())
+            self.tasks.update(task_id, progress=st["progress"],
+                              message=st["message"])
+            if st["status"] in (COMPLETED, FAILED):
+                self.tasks.update(task_id, status=st["status"],
+                                  result=st.get("result"), error=st.get("error"))
+                return
+            time.sleep(2)
+
+    def _generate_in_process(self, task_id: str, params: dict):
+        from versecrafter_tpu.serve.model_server import (
+            ModelServer, default_pipeline_factory)
+
+        with self._loading_lock:
+            if self._pipeline is None:
+                self.tasks.update(task_id, status=RUNNING, message="loading model")
+                factory = self._pipeline_factory or default_pipeline_factory()
+                self._pipeline = factory()
+        self.tasks.update(task_id, status=RUNNING, message="generating")
+
+        def progress(i, n):
+            self.tasks.update(task_id, progress=int(100 * i / n),
+                              message=f"step {i}/{n}")
+
+        ms = ModelServer.__new__(ModelServer)  # reuse generation logic only
+        ms.output_dir = params["save_path"]
+        video = ms._generate(self._pipeline, params, progress)
+        out = ms._save(video, params)
+        self.tasks.update(task_id, status=COMPLETED, progress=100,
+                          result={"video_path": os.path.relpath(out, self.workdir)})
+
+    def run_workflow(self, task_id: str, params: dict):
+        """Render then generate (api /api/workflow)."""
+        self.run_render(task_id, params)
+        st = self.tasks.get(task_id)
+        if st["status"] != COMPLETED:
+            return
+        gen = dict(params)
+        gen["rendering_maps_path"] = st["result"]["output_dir"]
+        self.tasks.update(task_id, status=RUNNING, progress=50,
+                          message="rendering done; generating")
+        self.run_generate(task_id, gen)
+
+
+def build_router(server: ApiServer) -> Router:
+    r = Router()
+
+    def spawn(kind, runner, params):
+        t = server.tasks.create(kind)
+        threading.Thread(target=runner, args=(t.task_id, params),
+                         daemon=True).start()
+        return 200, {"task_id": t.task_id, "status": "PENDING"}
+
+    # --- workflow endpoints (POST + GET mirrors) ---------------------------
+    for kind, runner in (("preprocess", server.run_preprocess),
+                         ("render", server.run_render),
+                         ("generate", server.run_generate),
+                         ("workflow", server.run_workflow)):
+        def make(kind=kind, runner=runner):
+            def post(req):
+                return spawn(kind, runner, req.json())
+
+            def get(req):
+                return spawn(kind, runner, dict(req.query))
+            return post, get
+        post, get = make()
+        r.add("POST", f"/api/{kind}", post)
+        r.add("GET", f"/api/{kind}_get", get)
+
+    @r.route("GET", "/api/status/<task_id>")
+    def status(req):
+        t = server.tasks.get(req.params["task_id"])
+        return (200, t) if t else (404, {"error": "unknown task"})
+
+    @r.route("GET", "/api/tasks")
+    def tasks(req):
+        return 200, {"tasks": server.tasks.all()}
+
+    # --- uploads ------------------------------------------------------------
+    @r.route("POST", "/api/upload")
+    def upload(req):
+        name = req.query.get("filename") or req.headers.get("X-Filename")
+        if not name:
+            return 400, {"error": "filename required (query or X-Filename)"}
+        p = server.safe_path(name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(req.body)
+        return 200, {"filename": name, "size": len(req.body)}
+
+    @r.route("GET", "/api/upload_base64_get")
+    def upload_b64(req):
+        name = req.query.get("filename")
+        data = req.query.get("data", "")
+        if not name:
+            return 400, {"error": "filename required"}
+        p = server.safe_path(name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        mode = "ab" if req.query.get("append") == "1" else "wb"
+        with open(p, mode) as f:
+            f.write(base64.b64decode(data))
+        return 200, {"filename": name}
+
+    @r.route("POST", "/api/upload_chunk")
+    def upload_chunk(req):
+        q = req.query
+        server.chunks.put(q["upload_id"], int(q["index"]), req.body,
+                          total=int(q["total"]) if "total" in q else None,
+                          filename=q.get("filename"))
+        return 200, {"received": int(q["index"])}
+
+    @r.route("POST", "/api/upload_complete")
+    def upload_complete(req):
+        q = req.json() or req.query
+        data = server.chunks.complete(q["upload_id"])
+        if data is None:
+            return 400, {"error": "missing chunks"}
+        p = server.safe_path(q["filename"])
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+        return 200, {"filename": q["filename"], "size": len(data)}
+
+    # --- downloads ----------------------------------------------------------
+    @r.route("GET", "/api/download/<path>")
+    def download(req):
+        p = server.safe_path(req.params["path"].replace("%2F", "/"))
+        if not os.path.isfile(p):
+            return 404, {"error": "not found"}
+        with open(p, "rb") as f:
+            return 200, (f.read(), "application/octet-stream")
+
+    @r.route("GET", "/api/download_base64/<path>")
+    def download_b64(req):
+        p = server.safe_path(req.params["path"].replace("%2F", "/"))
+        if not os.path.isfile(p):
+            return 404, {"error": "not found"}
+        with open(p, "rb") as f:
+            return 200, {"data": base64.b64encode(f.read()).decode()}
+
+    @r.route("GET", "/api/download_chunk/<path>")
+    def download_chunk(req):
+        p = server.safe_path(req.params["path"].replace("%2F", "/"))
+        if not os.path.isfile(p):
+            return 404, {"error": "not found"}
+        off = int(req.query.get("offset", 0))
+        size = int(req.query.get("size", 1 << 20))
+        total = os.path.getsize(p)
+        with open(p, "rb") as f:
+            f.seek(off)
+            chunk = f.read(size)
+        return 200, {"data": base64.b64encode(chunk).decode(),
+                     "offset": off, "total": total,
+                     "done": off + len(chunk) >= total}
+
+    # --- status / stats -------------------------------------------------------
+    @r.route("GET", "/api/health")
+    def health(req):
+        return 200, {"status": "ok"}
+
+    @r.route("GET", "/api/model_status")
+    def model_status(req):
+        loaded = server._pipeline is not None
+        return 200, {"model_loaded": loaded,
+                     "model_server_url": server.model_server_url}
+
+    @r.route("GET", "/system_stats")
+    def system_stats(req):
+        import jax
+        devs = jax.devices()
+        stats = []
+        for d in devs:
+            s = {"id": d.id, "platform": d.platform,
+                 "kind": getattr(d, "device_kind", "?")}
+            try:
+                ms = d.memory_stats()
+                if ms:
+                    s["bytes_in_use"] = ms.get("bytes_in_use")
+                    s["bytes_limit"] = ms.get("bytes_limit")
+            except Exception:  # noqa: BLE001 — best-effort stats
+                pass
+            stats.append(s)
+        return 200, {"devices": stats, "backend": jax.default_backend()}
+
+    return r
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="VerseCrafter TPU API server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8190)
+    p.add_argument("--workdir", default="outputs/api")
+    p.add_argument("--model_server_url", default=None)
+    args = p.parse_args(argv)
+
+    from versecrafter_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    server = ApiServer(workdir=args.workdir,
+                       model_server_url=args.model_server_url)
+    httpd = make_server(build_router(server), args.host, args.port)
+    print(f"api server on {args.host}:{args.port} (workdir {server.workdir})")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

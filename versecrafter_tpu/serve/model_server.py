@@ -1,0 +1,206 @@
+"""Resident model host.
+
+Re-implements the behavior of /root/reference/model_server.py (rank-0 Flask +
+broadcast-driven worker ranks under torchrun, heartbeat thread :677-715) the
+TPU way: ONE process per host owning the mesh; requests arrive over HTTP and
+enter a work queue consumed by a single generation thread (the compiled
+sharded denoise step is the data plane — no NCCL control-plane broadcasts,
+hence no heartbeat hack, SURVEY.md §5.8).
+
+Endpoints (reference surface, model_server.py:619-674):
+  GET  /health        -> {status, model_loaded}
+  POST /generate      -> {task_id}
+  GET  /status/<id>   -> task dict
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import queue
+import threading
+import time
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+from versecrafter_tpu.serve.http import Router, make_server, serve_forever_in_thread
+from versecrafter_tpu.serve.tasks import COMPLETED, FAILED, RUNNING, TaskRegistry
+
+
+class ModelServer:
+    def __init__(self, pipeline_factory: Callable[[], Any],
+                 output_dir: str = "outputs/serve"):
+        """pipeline_factory builds the (possibly sharded) VerseCrafterPipeline
+        lazily on first use; generations are serialized through one queue —
+        the TPU mesh runs one request at a time."""
+        self.pipeline_factory = pipeline_factory
+        self.output_dir = output_dir
+        self.tasks = TaskRegistry()
+        self.queue: "queue.Queue" = queue.Queue()
+        self._pipeline = None
+        self._lock = threading.Lock()
+        self._worker = threading.Thread(target=self._work_loop, daemon=True)
+        self._worker.start()
+
+    @property
+    def model_loaded(self) -> bool:
+        return self._pipeline is not None
+
+    def _get_pipeline(self):
+        with self._lock:
+            if self._pipeline is None:
+                self._pipeline = self.pipeline_factory()
+            return self._pipeline
+
+    def _work_loop(self):
+        while True:
+            task_id, params = self.queue.get()
+            try:
+                self.tasks.update(task_id, status=RUNNING, message="loading model")
+                pipe = self._get_pipeline()
+                self.tasks.update(task_id, status=RUNNING, message="generating")
+
+                def progress(i, n):
+                    self.tasks.update(task_id, progress=int(100 * i / n),
+                                      message=f"step {i}/{n}")
+
+                video = self._generate(pipe, params, progress)
+                out_path = self._save(video, params)
+                self.tasks.update(task_id, status=COMPLETED, progress=100,
+                                  result={"video_path": out_path})
+            except Exception as e:  # noqa: BLE001 — task boundary
+                import traceback
+                self.tasks.update(task_id, status=FAILED, error=str(e),
+                                  message=traceback.format_exc()[-2000:])
+
+    def _generate(self, pipe, params: dict, progress):
+        from versecrafter_tpu.utils.video import load_image, load_video
+
+        maps_dir = params["rendering_maps_path"]
+        h = int(params.get("height", 480))
+        w = int(params.get("width", 832))
+        n = int(params.get("num_frames", 81))
+        fps = int(params.get("fps", 16))
+        control_names = ["background_RGB.mp4", "background_depth.mp4",
+                         "3D_gaussian_RGB.mp4", "3D_gaussian_depth.mp4"]
+        controls = []
+        for name in control_names:
+            p = os.path.join(maps_dir, name)
+            if os.path.exists(p):
+                controls.append(load_video(p, num_frames=n, size=(h, w), fps=fps))
+            elif controls:
+                controls.append(np.zeros_like(controls[0]))
+        mask_p = os.path.join(maps_dir, "merged_mask.mp4")
+        if os.path.exists(mask_p):
+            mask = load_video(mask_p, num_frames=n, size=(h, w), fps=fps)[:, :1]
+            mask[:, :, 0] = 0.0  # frame 0 preserved (versecrafter_inference.py:394)
+        else:
+            mask = np.ones((1, 1, n, h, w), np.float32)
+        if params.get("input_image_path"):
+            img = load_image(params["input_image_path"], size=(h, w))
+            controls[0][:, :, 0] = img[:, :, 0]
+
+        return pipe(
+            params.get("prompt", ""),
+            negative_prompt=params.get("negative_prompt", ""),
+            control_videos=controls,
+            mask_video=mask,
+            height=h, width=w, num_frames=n,
+            num_inference_steps=int(params.get("num_inference_steps", 30)),
+            guidance_scale=float(params.get("guidance_scale", 5.0)),
+            shift=float(params.get("shift", 16.0)),
+            seed=int(params.get("seed", 2025)),
+            progress=progress,
+        )
+
+    def _save(self, video: np.ndarray, params: dict) -> str:
+        from versecrafter_tpu.utils.video import save_video
+
+        out_dir = params.get("save_path", self.output_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        idx = len([p for p in os.listdir(out_dir)
+                   if p.startswith("generated_video_")])
+        path = os.path.join(out_dir, f"generated_video_{idx}.mp4")
+        save_video(video[0], path, fps=int(params.get("fps", 16)))
+        return path
+
+    def submit(self, params: dict) -> str:
+        t = self.tasks.create("generate")
+        self.queue.put((t.task_id, params))
+        return t.task_id
+
+
+def build_router(server: ModelServer) -> Router:
+    r = Router()
+
+    @r.route("GET", "/health")
+    def health(req):
+        return 200, {"status": "ok", "model_loaded": server.model_loaded}
+
+    @r.route("POST", "/generate")
+    def generate(req):
+        return 200, {"task_id": server.submit(req.json())}
+
+    @r.route("GET", "/status/<task_id>")
+    def status(req):
+        t = server.tasks.get(req.params["task_id"])
+        return (200, t) if t else (404, {"error": "unknown task"})
+
+    return r
+
+
+def default_pipeline_factory(model_path: Optional[str] = None,
+                             dtype_name: str = "bfloat16"):
+    """Build the flagship pipeline: converted checkpoints when model_path is
+    given, random-init 1.3B otherwise (offline bring-up)."""
+    def factory():
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+
+        from versecrafter_tpu.core.config import (
+            T5Config, VAEConfig, WAN21_1_3B)
+        from versecrafter_tpu.models.t5 import init_t5
+        from versecrafter_tpu.models.vae import init_vae
+        from versecrafter_tpu.models.wan_dit import init_wan_dit
+        from versecrafter_tpu.sampling.pipeline import VerseCrafterPipeline
+
+        dtype = getattr(jnp, dtype_name)
+        if model_path:
+            from versecrafter_tpu.core.convert import load_versecrafter
+            return load_versecrafter(model_path, dtype=dtype)
+        cfg = dataclasses.replace(WAN21_1_3B, geoada_layers=(), geoada_in_dim=128)
+        t5_cfg = T5Config(num_layers=2, dim=512, dim_attn=512, dim_ffn=1024,
+                          num_heads=8, vocab=1024)
+        return VerseCrafterPipeline(
+            dit_params=jax.jit(lambda k: init_wan_dit(k, cfg, dtype))(jax.random.key(0)),
+            dit_cfg=cfg,
+            vae_params=init_vae(jax.random.key(1), VAEConfig(), jnp.float32),
+            vae_cfg=VAEConfig(),
+            t5_params=init_t5(jax.random.key(2), t5_cfg, dtype),
+            t5_cfg=t5_cfg,
+        )
+    return factory
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="VerseCrafter TPU model server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8191)
+    p.add_argument("--model_path", default=None)
+    p.add_argument("--output_dir", default="outputs/serve")
+    args = p.parse_args(argv)
+
+    from versecrafter_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    server = ModelServer(default_pipeline_factory(args.model_path),
+                         output_dir=args.output_dir)
+    httpd = make_server(build_router(server), args.host, args.port)
+    print(f"model server on {args.host}:{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

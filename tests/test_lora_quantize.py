@@ -1,0 +1,91 @@
+"""LoRA merge/unmerge and int8 weight quantization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from versecrafter_tpu.core.config import WanDiTConfig
+from versecrafter_tpu.models.wan_dit import init_wan_dit, wan_dit_forward
+from versecrafter_tpu.utils.lora import merge_lora, unmerge_lora
+from versecrafter_tpu.utils.quantize import (
+    dequantize_tree, quantize_tree, tree_bytes)
+
+CFG = WanDiTConfig(in_dim=4, dim=48, ffn_dim=96, freq_dim=32, text_dim=24,
+                   out_dim=4, num_heads=4, num_layers=2, text_len=8)
+
+
+def test_lora_merge_unmerge_roundtrip():
+    params = init_wan_dit(jax.random.key(0), CFG, jnp.float32)
+    rng = np.random.default_rng(0)
+    r = 4
+    lora = {
+        "blocks.1.self_attn.q.lora_down.weight": rng.standard_normal((r, 48)).astype(np.float32),
+        "blocks.1.self_attn.q.lora_up.weight": rng.standard_normal((48, r)).astype(np.float32),
+        "blocks.0.ffn.0.lora_A.weight": rng.standard_normal((r, 48)).astype(np.float32),
+        "blocks.0.ffn.0.lora_B.weight": rng.standard_normal((96, r)).astype(np.float32),
+    }
+    orig_q = np.asarray(params["blocks"]["self_attn"]["q"]["kernel"])
+    merged = merge_lora(params, lora, weight=0.55)
+
+    # layer 1 q changed by 0.55 * (up@down)^T; layer 0 q unchanged
+    delta = 0.55 * (lora["blocks.1.self_attn.q.lora_up.weight"]
+                    @ lora["blocks.1.self_attn.q.lora_down.weight"]).T
+    got = np.asarray(merged["blocks"]["self_attn"]["q"]["kernel"])
+    np.testing.assert_allclose(got[1], orig_q[1] + delta, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got[0], orig_q[0])
+    # ffn_in layer 0 changed
+    assert np.abs(np.asarray(merged["blocks"]["ffn_in"]["kernel"][0])
+                  - np.asarray(params["blocks"]["ffn_in"]["kernel"][0])).max() > 1e-4
+
+    restored = unmerge_lora(merged, lora, weight=0.55)
+    np.testing.assert_allclose(
+        np.asarray(restored["blocks"]["self_attn"]["q"]["kernel"]),
+        orig_q, rtol=1e-4, atol=1e-5)
+
+
+def test_quantize_roundtrip_and_size():
+    params = init_wan_dit(jax.random.key(1), CFG, jnp.float32)
+    # enlarge one weight so it crosses the quantization size threshold
+    big = jax.random.normal(jax.random.key(2), (512, 512), jnp.float32)
+    params["text_embedding"]["fc1"]["kernel"] = big
+
+    q = quantize_tree(params)
+    assert tree_bytes(jax.tree.leaves(q)) < tree_bytes(jax.tree.leaves(params))
+    dq = dequantize_tree(q)
+    got = np.asarray(dq["text_embedding"]["fc1"]["kernel"])
+    want = np.asarray(big)
+    # int8 per-channel: relative error bounded by ~1/127 of channel absmax
+    err = np.abs(got - want).max(0)
+    bound = np.abs(want).max(0) / 127.0 + 1e-6
+    assert (err <= bound * 0.51).all()
+    # modulation excluded
+    assert not isinstance(q["blocks"]["modulation"], dict)
+
+
+def test_quantized_forward_close():
+    from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
+
+    params = init_wan_dit(jax.random.key(3), CFG, jnp.float32)
+    params["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.key(4), params["head"]["head"]["kernel"].shape) * 0.05)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 4, 2, 8, 8)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 24)), jnp.float32)
+    ang = tuple(jnp.asarray(a) for a in rope_3d_angles(12, max_pos=32))
+    cos, sin = grid_cos_sin(ang, 2, 4, 4)
+    t = jnp.asarray([500.0])
+
+    # lower the size threshold so the tiny model actually quantizes
+    import versecrafter_tpu.utils.quantize as qz
+    old = qz.MIN_SIZE
+    qz.MIN_SIZE = 1024
+    try:
+        q = quantize_tree(params)
+        dq = dequantize_tree(q)
+    finally:
+        qz.MIN_SIZE = old
+    o1 = wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
+    o2 = wan_dit_forward(dq, CFG, x, t, ctx, cos, sin)
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() < 0.1
+    assert np.corrcoef(np.asarray(o1).ravel(), np.asarray(o2).ravel())[0, 1] > 0.99

@@ -1,0 +1,127 @@
+"""CLI: controlled video generation (step 6, the canonical generate path).
+
+Flag-compatible with /root/reference/inference/versecrafter_inference.py
+(parser at :44-69; operating knobs :74-177): consumes the control-map
+directory produced by render_maps and writes generated_video_N.mp4.
+
+TPU-native: no torchrun — parallelism comes from --sp/--tp mesh axes (the
+reference's --ulysses_degree/--ring_degree map to sp; their product picks
+the sp size so existing invocations keep working).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+NEGATIVE_PROMPT = (
+    "Bright tones, overexposed, static, blurred details, subtitles, style, "
+    "works, paintings, images, static, overall gray, worst quality, low "
+    "quality, JPEG compression residue, ugly, incomplete, extra fingers, "
+    "poorly drawn hands, poorly drawn faces, deformed, disfigured, misshapen "
+    "limbs, fused fingers, still picture, messy background, three legs, many "
+    "people in the background, walking backwards"
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Video generation inference (TPU)")
+    p.add_argument("--transformer_path", type=str, default=None)
+    p.add_argument("--model_name", type=str, default=None,
+                   help="Base model dir (Wan2.1-T2V-14B layout)")
+    p.add_argument("--save_path", type=str, default="outputs/inference")
+    p.add_argument("--rendering_maps_path", type=str, required=True)
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--input_image_path", type=str, required=True)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--sample_size", type=str, default="720,1280")
+    p.add_argument("--ulysses_degree", type=int, default=1)
+    p.add_argument("--ring_degree", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--guidance_scale", type=float, default=5.0)
+    p.add_argument("--seed", type=int, default=2025)
+    p.add_argument("--fps", type=int, default=16)
+    p.add_argument("--video_length", type=int, default=81)
+    p.add_argument("--sampler", type=str, default="Flow_Unipc",
+                   choices=["Flow", "Flow_Unipc", "Flow_DPM++"])
+    p.add_argument("--shift", type=float, default=16.0)
+    p.add_argument("--teacache_threshold", type=float, default=0.10)
+    p.add_argument("--teacache_skip_start", type=int, default=5)
+    p.add_argument("--cfg_skip_ratio", type=float, default=0.0)
+    p.add_argument("--enable_riflex", action="store_true")
+    p.add_argument("--riflex_k", type=int, default=6)
+    p.add_argument("--geoada_context_scale", type=float, default=1.0)
+    p.add_argument("--geoada_in_dim", type=int, default=128)
+    p.add_argument("--lora_path", type=str, default=None)
+    p.add_argument("--lora_weight", type=float, default=0.55)
+    p.add_argument("--quantize_int8", action="store_true")
+    p.add_argument("--offline_smoke", action="store_true",
+                   help="random-init tiny model, tiny shapes (no weights env)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from versecrafter_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import numpy as np
+
+    from versecrafter_tpu.sampling.schedulers import make_scheduler
+    from versecrafter_tpu.serve.model_server import ModelServer, default_pipeline_factory
+    from versecrafter_tpu.utils.video import load_image, load_video
+
+    h, w = (int(x) for x in args.sample_size.split(","))
+    if args.offline_smoke:
+        h, w, args.video_length, args.num_inference_steps = 64, 64, 9, 4
+
+    if args.model_name:
+        from versecrafter_tpu.core.convert import load_versecrafter
+
+        pipe = load_versecrafter(
+            args.model_name, transformer_path=args.transformer_path,
+            geoada_in_dim=args.geoada_in_dim,
+            scheduler={"Flow": "euler", "Flow_Unipc": "unipc",
+                       "Flow_DPM++": "dpm++"}[args.sampler])
+    else:
+        pipe = default_pipeline_factory()()
+
+    if args.teacache_threshold > 0:
+        pipe.enable_teacache(args.teacache_threshold, args.teacache_skip_start)
+    if args.cfg_skip_ratio > 0:
+        pipe.enable_cfg_skip(args.cfg_skip_ratio)
+    if args.enable_riflex:
+        lat_frames = (args.video_length - 1) // pipe.vae_cfg.temporal_compression_ratio + 1
+        pipe.enable_riflex(k=args.riflex_k, L_test=lat_frames)
+    if args.lora_path:
+        from versecrafter_tpu.core.convert import load_torch_state_dict
+        pipe.merge_lora(load_torch_state_dict(args.lora_path), args.lora_weight)
+    if args.quantize_int8:
+        pipe.quantize_weights()
+
+    # reuse the model-server request runner (identical file contract)
+    ms = ModelServer.__new__(ModelServer)
+    ms.output_dir = args.save_path
+
+    def progress(i, n):
+        print(f"denoise {i} / {n}", flush=True)
+
+    video = ms._generate(pipe, {
+        "rendering_maps_path": args.rendering_maps_path,
+        "input_image_path": args.input_image_path,
+        "prompt": args.prompt,
+        "negative_prompt": NEGATIVE_PROMPT,
+        "height": h, "width": w, "num_frames": args.video_length,
+        "num_inference_steps": args.num_inference_steps,
+        "guidance_scale": args.guidance_scale, "shift": args.shift,
+        "seed": args.seed, "fps": args.fps,
+        "save_path": args.save_path,
+    }, progress)
+    out = ms._save(video, {"save_path": args.save_path, "fps": args.fps})
+    print(args.prompt)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

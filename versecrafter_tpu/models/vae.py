@@ -138,6 +138,9 @@ def _downsample(p: Params, x: jnp.ndarray, temporal: bool) -> jnp.ndarray:
 
 
 def _upsample(p: Params, x: jnp.ndarray, temporal: bool) -> jnp.ndarray:
+    """Temporal interleave (2t-1 frames) then nearest-2x spatial + conv.
+    The conv HALVES channels (dim -> dim//2), matching the public Wan VAE
+    decoder layout so torch checkpoints convert 1:1."""
     if temporal:
         # time conv emits 2C channels = (frame 2t, frame 2t+1); interleave and
         # drop the duplicated first frame: T -> 2T-1.
@@ -222,7 +225,10 @@ def init_vae(key: jax.Array, cfg: VAEConfig = VAEConfig(), dtype=jnp.float32) ->
     # 1x1 post/pre quant convs (AutoencoderKL layout)
     enc["quant_conv"] = _init_conv3d(nk(), 2 * cfg.z_dim, 2 * cfg.z_dim, (1, 1, 1), dtype)
 
-    rdims = dims[::-1]
+    # decoder dims follow the public Wan layout: [last, *reversed(dim_mult)],
+    # with each upsample conv halving channels (decoder Resample semantics)
+    rdims = [cfg.base_dim * m
+             for m in ([cfg.dim_mult[-1]] + list(cfg.dim_mult[::-1]))]
     dec: Params = {
         "post_quant_conv": _init_conv3d(nk(), cfg.z_dim, cfg.z_dim, (1, 1, 1), dtype),
         "conv_in": _init_conv3d(nk(), cfg.z_dim, rdims[0], (3, 3, 3), dtype),
@@ -232,23 +238,26 @@ def init_vae(key: jax.Array, cfg: VAEConfig = VAEConfig(), dtype=jnp.float32) ->
             "res2": _init_res(nk(), rdims[0], rdims[0], dtype),
         },
     }
-    cin = rdims[0]
     ustages = []
-    n_up = len(rdims) - 1
-    for i, d in enumerate(rdims):
+    t_up = cfg.temporal_downsample[::-1]
+    n_stage = len(rdims) - 1
+    for i in range(n_stage):
+        cin = rdims[i] if i == 0 else rdims[i] // 2
+        out = rdims[i + 1]
         st = {"res": []}
         for _ in range(cfg.num_res_blocks + 1):
-            st["res"].append(_init_res(nk(), cin, d, dtype))
-            cin = d
-        if i != len(rdims) - 1:
-            temporal = cfg.temporal_downsample[::-1][i]
-            st["up"] = {"conv": _init_conv2d(nk(), d, d, 3, dtype)}
+            st["res"].append(_init_res(nk(), cin, out, dtype))
+            cin = out
+        if i != n_stage - 1:
+            temporal = t_up[i] if i < len(t_up) else False
+            st["up"] = {"conv": _init_conv2d(nk(), out, out // 2, 3, dtype)}
             if temporal:
-                st["up"]["time_conv"] = _init_conv3d(nk(), d, 2 * d, (3, 1, 1), dtype)
+                st["up"]["time_conv"] = _init_conv3d(nk(), out, 2 * out, (3, 1, 1), dtype)
         ustages.append(st)
     dec["stages"] = ustages
-    dec["norm_out"] = {"gamma": jnp.ones((cin,), jnp.float32)}
-    dec["conv_out"] = _init_conv3d(nk(), cin, 3, (3, 3, 3), dtype)
+    head_dim = rdims[-1]
+    dec["norm_out"] = {"gamma": jnp.ones((head_dim,), jnp.float32)}
+    dec["conv_out"] = _init_conv3d(nk(), head_dim, 3, (3, 3, 3), dtype)
 
     return {"encoder": enc, "decoder": dec}
 

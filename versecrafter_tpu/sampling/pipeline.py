@@ -104,6 +104,23 @@ class VerseCrafterPipeline:
     def enable_cfg_skip(self, ratio: float):
         self.cfg_skip_ratio = ratio
 
+    def quantize_weights(self):
+        """int8 weight-only storage for the DiT (fp8-mode analogue,
+        versecrafter_inference.py:288-301); dequant happens in-graph."""
+        from versecrafter_tpu.utils.quantize import quantize_tree
+        self.dit_params = quantize_tree(self.dit_params)
+        self._jit_cache.clear()
+
+    def merge_lora(self, lora_sd, weight: float = 1.0):
+        from versecrafter_tpu.utils.lora import merge_lora
+        self.dit_params = merge_lora(self.dit_params, lora_sd, weight)
+        self._jit_cache.clear()
+
+    def unmerge_lora(self, lora_sd, weight: float = 1.0):
+        from versecrafter_tpu.utils.lora import unmerge_lora
+        self.dit_params = unmerge_lora(self.dit_params, lora_sd, weight)
+        self._jit_cache.clear()
+
     def enable_riflex(self, k: int, L_test: int, L_test_scale: Optional[float] = None):
         """RoPE intrinsic-frequency override for temporal extrapolation
         (enable_riflex, wan_transformer3d.py:873-888)."""
@@ -150,6 +167,8 @@ class VerseCrafterPipeline:
 
         def fn(dit_params, latents, t, step_idx, context, geoada, cos, sin,
                tea_state, guidance, geoada_scale):
+            from versecrafter_tpu.utils.quantize import dequantize_tree
+            dit_params = dequantize_tree(dit_params)  # no-op if unquantized
             if cfg_batched:
                 x = jnp.concatenate([latents, latents], axis=0)
                 g = jnp.concatenate([geoada, geoada], axis=0)

@@ -170,9 +170,11 @@ def default_pipeline_factory(model_path: Optional[str] = None,
         if model_path:
             from versecrafter_tpu.core.convert import load_versecrafter
             return load_versecrafter(model_path, dtype=dtype)
-        cfg = dataclasses.replace(WAN21_1_3B, geoada_layers=(), geoada_in_dim=128)
         t5_cfg = T5Config(num_layers=2, dim=512, dim_attn=512, dim_ffn=1024,
                           num_heads=8, vocab=1024)
+        # offline bring-up: text_dim must match the stub T5's output width
+        cfg = dataclasses.replace(WAN21_1_3B, geoada_layers=(),
+                                  geoada_in_dim=128, text_dim=t5_cfg.dim)
         return VerseCrafterPipeline(
             dit_params=jax.jit(lambda k: init_wan_dit(k, cfg, dtype))(jax.random.key(0)),
             dit_cfg=cfg,

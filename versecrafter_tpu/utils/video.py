@@ -93,9 +93,9 @@ def save_video(video: np.ndarray, path: str, fps: int = 16) -> None:
     t, h, w, _ = video.shape
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     frames = (np.clip(video, 0, 1) * 255).astype(np.uint8)
-    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"avc1"), fps, (w, h))
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     if not writer.isOpened():
-        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"avc1"), fps, (w, h))
     for f in frames:
         writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
     writer.release()

@@ -163,8 +163,8 @@ def flash_attention(
     v: jnp.ndarray,
     k_lens: Optional[jnp.ndarray] = None,
     sm_scale: Optional[float] = None,
-    block_q: int = 256,
-    block_kv: int = 512,
+    block_q: int = 1024,
+    block_kv: int = 1024,
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Attention over [B, N, S, D] tensors with optional per-batch KV lengths.

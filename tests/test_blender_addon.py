@@ -1,0 +1,122 @@
+"""Blender addon bpy-free modules: scene math, export formats, HTTP client.
+
+Key contract: files exported by the addon must load through the renderer's
+own loaders (geometry/render.py) — the round trip the reference validates
+only by running the whole system.
+"""
+
+import os
+import sys
+import threading
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from blender_addon.client import ApiClient
+from blender_addon.scene_math import (
+    camera_fov_x, cov_to_ellipsoid, ellipsoid_to_cov, export_camera_npz,
+    export_gaussian_json, pointcloud_quads)
+
+
+def test_cov_ellipsoid_roundtrip():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((3, 3))
+    cov = (A @ A.T + 0.1 * np.eye(3)).astype(np.float32)
+    R, scale = cov_to_ellipsoid(cov, scale_factor=2.0)
+    assert np.isclose(np.linalg.det(R), 1.0, atol=1e-5)  # right-handed
+    back = ellipsoid_to_cov(R, scale, scale_factor=2.0)
+    np.testing.assert_allclose(back, cov, rtol=1e-4, atol=1e-5)
+
+
+def test_camera_fov():
+    assert camera_fov_x(fx_pixels=640, width=1280) == pytest.approx(
+        2 * np.arctan(1.0))
+
+
+def test_exports_load_through_renderer(tmp_path):
+    from versecrafter_tpu.geometry.render import (
+        load_camera_trajectory, load_gaussian_trajectory)
+
+    rng = np.random.default_rng(1)
+    mats = []
+    for _ in range(5):
+        q = rng.standard_normal((3, 3))
+        u, _, vt = np.linalg.svd(q)
+        R = u @ vt
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = R * np.sign(np.linalg.det(R))
+        m[:3, 3] = rng.standard_normal(3)
+        mats.append(m)
+    cam_path = export_camera_npz(mats, str(tmp_path / "cam.npz"))
+    w2cs = load_camera_trajectory(cam_path)
+    assert w2cs.shape == (5, 4, 4)
+    np.testing.assert_allclose(
+        w2cs[0] @ np.linalg.inv(w2cs[0]), np.eye(4), atol=1e-4)
+
+    frames = []
+    for t in range(5):
+        cov = np.diag([0.1, 0.2, 0.3]).astype(np.float64)
+        frames.append({"1": (np.array([0.0, 1.0, t * 0.1]), cov),
+                       "2": (np.array([1.0, 0.0, 0.0]), cov * 2)})
+    gj = export_gaussian_json(frames, {"1": 0, "2": 1}, str(tmp_path / "g.json"))
+    means, covs, present, colors, obj_ids = load_gaussian_trajectory(gj)
+    assert means.shape == (5, 2, 3)
+    assert present.all()
+    np.testing.assert_allclose(means[3, 0], [0.0, 1.0, 0.3], atol=1e-6)
+    np.testing.assert_allclose(covs[0, 1], np.diag([0.2, 0.4, 0.6]), atol=1e-6)
+    assert obj_ids == ["1", "2"]
+
+
+def test_pointcloud_quads():
+    pts = np.zeros((10, 3), np.float32)
+    pts[:, 0] = np.arange(10)
+    cols = np.full((10, 3), 128.0, np.float32)
+    verts, faces, qc = pointcloud_quads(pts, cols, size=0.01)
+    assert verts.shape == (40, 3)
+    assert faces.shape == (10, 4)
+    assert qc.max() <= 1.0  # normalized from 0..255
+
+
+@pytest.fixture(scope="module")
+def live_server(tmp_path_factory):
+    from versecrafter_tpu.serve.api_server import ApiServer, build_router
+    from versecrafter_tpu.serve.http import make_server, serve_forever_in_thread
+
+    wd = tmp_path_factory.mktemp("client_wd")
+    server = ApiServer(workdir=str(wd))
+    httpd = make_server(build_router(server), "127.0.0.1", 0)
+    serve_forever_in_thread(httpd)
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", str(wd)
+    httpd.shutdown()
+
+
+def test_client_upload_download_roundtrip(live_server, tmp_path):
+    base, wd = live_server
+    client = ApiClient(base)
+    assert client.health()["status"] == "ok"
+
+    src = tmp_path / "data.bin"
+    src.write_bytes(os.urandom(5000))
+    client.upload(str(src), "data.bin")
+    out = tmp_path / "back.bin"
+    client.download("data.bin", str(out))
+    assert out.read_bytes() == src.read_bytes()
+    # chunked download path
+    out2 = tmp_path / "back2.bin"
+    client.download("data.bin", str(out2), chunked=True)
+    assert out2.read_bytes() == src.read_bytes()
+
+
+def test_client_poll_task(live_server):
+    base, wd = live_server
+    client = ApiClient(base)
+    # render task with a missing file -> FAILED quickly, poll surfaces it
+    tid = client.start("render", image="missing.png",
+                       depth_npz="missing.npz",
+                       trajectory_npz="missing.npz",
+                       ellipsoid_json="missing.json")
+    st = client.poll(tid, interval=0.2, timeout=60)
+    assert st["status"] == "FAILED"
+    assert st["error"]

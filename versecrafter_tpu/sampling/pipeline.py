@@ -75,6 +75,12 @@ class VerseCrafterPipeline:
     scheduler_name: str = "unipc"
     scheduler_cfg: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
     attn_impl: str = "auto"
+    # Wan2.2 timestep-MoE: a second (high-noise) expert selected when
+    # sigma >= moe_boundary (transformer_combination_type 'moe',
+    # config/wan2.2/wan_civitai_t2v.yaml:3-8). Same architecture/config as
+    # dit_params, so both experts share one compiled step.
+    dit_params_high: Any = None
+    moe_boundary: float = 0.875
     # acceleration state (enable_* mirror the reference's runtime toggles)
     teacache_threshold: float = 0.0
     teacache_skip_start: int = 5
@@ -288,8 +294,13 @@ class VerseCrafterPipeline:
                     prev_residual=tea_state.prev_residual[-batch:],
                     accum=tea_state.accum, valid=tea_state.valid)
             fn = self._get_denoise(use_cfg)
+            # Wan2.2 MoE expert selection by noise level (sigma = t / T)
+            sigma = float(t) / self.scheduler_cfg.num_train_timesteps
+            use_high = (self.dit_params_high is not None
+                        and sigma >= self.moe_boundary)
+            dit_params = self.dit_params_high if use_high else self.dit_params
             noise_pred, tea_state = fn(
-                self.dit_params, latents, jnp.asarray(float(t), jnp.float32),
+                dit_params, latents, jnp.asarray(float(t), jnp.float32),
                 jnp.asarray(i, jnp.int32), context, geoada_context, cos, sin,
                 tea_state, guidance, gscale)
             latents = sched.step(noise_pred, i, latents)

@@ -314,6 +314,21 @@ def wan_block_forward(p: Params, cfg: WanDiTConfig, x: jnp.ndarray,
 # model forward: embed -> blocks -> head
 # ---------------------------------------------------------------------------
 
+def simple_adapter(p: Params, y_camera: jnp.ndarray,
+                   patch_size=(2, 2), downscale: int = 8) -> jnp.ndarray:
+    """Camera-pose PixelShuffle control adapter (the base Wan capability the
+    reference imports as videox_fun SimpleAdapter, wan_transformer3d.py:36,
+    800-804,975-977): per-frame pixel-unshuffle by `downscale` into channels,
+    then a strided conv (as matmul) to token space; output added to patch
+    embeddings. y_camera: [B, C, F, H, W] -> [B, S, D]."""
+    b, c, f, h, w = y_camera.shape
+    d = downscale
+    x = y_camera.reshape(b, c, f, h // d, d, w // d, d)
+    x = x.transpose(0, 1, 4, 6, 2, 3, 5).reshape(b, c * d * d, f, h // d, w // d)
+    tok = patchify(x, (1, *patch_size))
+    return _linear(p, tok)
+
+
 def wan_dit_embed(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
                   t: jnp.ndarray, context: jnp.ndarray,
                   clip_fea: Optional[jnp.ndarray] = None):

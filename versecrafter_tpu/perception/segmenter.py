@@ -44,6 +44,10 @@ class ImageSegmenter:
     max_objects: int = 5
     min_area_ratio: float = 0.002
     max_area_ratio: float = 0.6
+    # neural backend checkpoints (converted; perception/sam2.py, gdino.py)
+    sam2_params: object = None
+    gdino_params: object = None
+    tokenizer: object = None
 
     def segment_image(self, image: np.ndarray, text_prompt: str,
                       depth: Optional[np.ndarray] = None) -> List[Detection]:
@@ -54,10 +58,10 @@ class ImageSegmenter:
                   if t.strip()]
         if self.backend == "saliency":
             dets = self._saliency_segment(image, labels, depth)
+        elif self.backend == "neural":
+            dets = self._neural_segment(image, labels)
         else:
-            raise NotImplementedError(
-                f"backend {self.backend!r}: SAM2/GroundingDINO JAX ports load "
-                "here once weights are present")
+            raise ValueError(f"unknown backend {self.backend!r}")
 
         h, w = image.shape[:2]
         area = h * w
@@ -102,6 +106,48 @@ class ImageSegmenter:
                 mask = comp == i
                 label = labels[len(dets) % len(labels)] if labels else f"object"
                 dets.append(Detection(label, 0.5, (x, y, x + bw, y + bh), mask))
+        return dets
+
+    # -- neural backend: GroundingDINO boxes -> SAM2 masks -------------------
+    def _neural_segment(self, image, labels) -> List[Detection]:
+        """Text-prompted detection + box-prompted masks (the reference's
+        GroundingDINO->SAM2 path, grounded_sam2_infer.py:143-194). Requires
+        converted sam2_params/gdino_params + a text tokenizer."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from versecrafter_tpu.perception.gdino import SWIN_T, gdino_forward
+        from versecrafter_tpu.perception.sam2 import HIERA_LARGE, Sam2Predictor
+
+        if self.sam2_params is None or self.gdino_params is None:
+            raise RuntimeError("neural backend needs sam2_params/gdino_params")
+        h, w = image.shape[:2]
+        size = 32 * 7  # divisible by stride-32 and window-7 tiles
+        import cv2
+        resized = cv2.resize(image, (size * 3, size * 3)).astype(np.float32) / 255.0
+
+        tok = self.tokenizer or (lambda t, max_length=64: {
+            "input_ids": np.asarray([[2 + hash(x) % 1000 for x in t[0].split()]]),
+            "attention_mask": np.ones((1, len(t[0].split())), np.int32)})
+        enc = tok([" ".join(labels)], max_length=64)
+        boxes, logits = gdino_forward(
+            self.gdino_params, SWIN_T, jnp.asarray(resized)[None],
+            jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"]))
+        score = np.asarray(jnp.max(jax.nn.sigmoid(logits), -1)[0])
+        keep = np.where(score > self.box_threshold)[0]
+
+        predictor = Sam2Predictor(self.sam2_params, HIERA_LARGE)
+        predictor.set_image(image)
+        dets: List[Detection] = []
+        for qi in keep[: self.max_objects * 2]:
+            cx, cy, bw, bh = np.asarray(boxes[0, qi])
+            box = np.array([(cx - bw / 2) * w, (cy - bh / 2) * h,
+                            (cx + bw / 2) * w, (cy + bh / 2) * h])
+            mask, iou = predictor.predict(box)
+            label = labels[len(dets) % len(labels)] if labels else "object"
+            dets.append(Detection(label, float(score[qi]),
+                                  tuple(box.astype(int)), mask))
         return dets
 
     # -- file contract -------------------------------------------------------

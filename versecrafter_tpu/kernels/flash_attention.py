@@ -32,7 +32,7 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref,
+def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
                m_ref, l_ref, acc_ref, *, sm_scale: float, block_kv: int,
                num_kv_blocks: int):
     b = pl.program_id(0)
@@ -76,14 +76,17 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref,
         l = l_ref[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        mo_ref[0, 0] = m_ref[...]
+        lo_ref[0, 0] = l_ref[...]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "block_q", "block_kv", "interpret"),
+    static_argnames=("sm_scale", "block_q", "block_kv", "interpret",
+                     "return_stats"),
 )
 def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
-                            interpret):
+                            interpret, return_stats=False):
     B, N, Sq, D = q.shape
     Skv = k.shape[2]
 
@@ -103,9 +106,13 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
         num_kv_blocks=num_kv_blocks,
     )
 
-    out = pl.pallas_call(
+    out, mo, lo = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, N, sq_pad, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, sq_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, N, sq_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, sq_pad, LANES), jnp.float32),
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -114,8 +121,10 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
                 pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv, *_: (b, h, ikv, 0)),
                 pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv, *_: (b, h, ikv, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, block_q, D), lambda b, h, iq, ikv, *_: (b, h, iq, 0)
+            out_specs=(
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv, *_: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, iq, ikv, *_: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, iq, ikv, *_: (b, h, iq, 0)),
             ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -136,6 +145,10 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
 
     if sq_pad != Sq:
         out = out[:, :, :Sq]
+        mo = mo[:, :, :Sq]
+        lo = lo[:, :, :Sq]
+    if return_stats:
+        return out, mo[..., 0], lo[..., 0]
     return out
 
 
@@ -195,3 +208,33 @@ def flash_attention(
         q, k, v, k_lens, sm_scale=float(sm_scale), block_q=block_q,
         block_kv=block_kv, interpret=interpret,
     )
+
+
+def flash_attention_with_stats(q, k, v, sm_scale: Optional[float] = None,
+                               block_q: int = 1024, block_kv: int = 1024,
+                               impl: str = "auto"):
+    """Attention that also returns the online-softmax statistics
+    (out, running_max m [B,N,Sq], sum-of-exp l [B,N,Sq]) — the residuals
+    ring attention needs to merge partial results across KV shards."""
+    B, N, Sq, D = q.shape
+    Skv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        s = jnp.einsum("bnqd,bnkd->bnqk", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) * sm_scale
+        m = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m[..., None])
+        l = jnp.sum(p, axis=-1)
+        out = jnp.einsum("bnqk,bnkd->bnqd", p / l[..., None],
+                         v.astype(jnp.float32)).astype(q.dtype)
+        return out, m, l
+    k_lens = jnp.full((B,), Skv, dtype=jnp.int32)
+    block_q = min(block_q, _ceil_to(Sq, 128))
+    block_kv = min(block_kv, _ceil_to(Skv, 128))
+    return _flash_attention_pallas(
+        q, k, v, k_lens, sm_scale=float(sm_scale),
+        block_q=block_q, block_kv=block_kv,
+        interpret=jax.default_backend() != "tpu", return_stats=True)

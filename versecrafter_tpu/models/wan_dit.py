@@ -234,8 +234,8 @@ def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
     v = v.reshape(b, s, n, hd)
     q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
     if attn_impl == "sp":
-        from versecrafter_tpu.parallel.sharding import ulysses_attention
-        out = ulysses_attention(q, k, v)
+        from versecrafter_tpu.parallel.sharding import sequence_parallel_attention
+        out = sequence_parallel_attention(q, k, v)
     else:
         out = flash_attention(q, k, v, impl=attn_impl)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, d)

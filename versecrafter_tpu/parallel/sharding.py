@@ -151,6 +151,38 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      out_specs=spec, check_rep=False)(q, k, v)
 
 
+def ring_sp_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Self-attention with the sequence sharded over sp using ring KV
+    rotation (kernels/ring_attention.py) — the path when sp exceeds the
+    local head count (Ulysses needs (N/tp) % sp == 0; the ring has no such
+    constraint)."""
+    ctx = current_mesh()
+    if ctx is None:
+        return flash_attention(q, k, v)
+    mesh, dp, sp, tp = ctx["mesh"], ctx["dp"], ctx["sp"], ctx["tp"]
+    if mesh.shape[sp] == 1:
+        return ulysses_attention(q, k, v)
+    from versecrafter_tpu.kernels.ring_attention import ring_attention
+
+    spec = P(dp, tp, sp, None)
+    return shard_map(
+        lambda ql, kl, vl: ring_attention(ql, kl, vl, axis_name=sp),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False)(q, k, v)
+
+
+def sequence_parallel_attention(q, k, v) -> jnp.ndarray:
+    """Pick Ulysses (head-scatter) when heads divide evenly, else ring."""
+    ctx = current_mesh()
+    if ctx is None:
+        return flash_attention(q, k, v)
+    mesh, sp, tp = ctx["mesh"], ctx["sp"], ctx["tp"]
+    heads_local = q.shape[1] // mesh.shape[tp]
+    if heads_local % mesh.shape[sp] == 0:
+        return ulysses_attention(q, k, v)
+    return ring_sp_attention(q, k, v)
+
+
 def sp_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        k_lens=None) -> jnp.ndarray:
     """Cross-attention with the query sequence sharded over sp and the

@@ -137,3 +137,25 @@ def test_riflex_changes_output(pipe):
             "versecrafter_tpu.kernels.rope", fromlist=["rope_3d_angles"]
         ).rope_3d_angles(DIT_CFG.head_dim, DIT_CFG.rope_max_pos))
     assert np.abs(v0 - v1).max() > 1e-7
+
+
+def test_subject_ref_images(pipe):
+    """Reference frames prepend temporally to the geoada context and are
+    stripped from the output latents (pipeline:428-486, 927-930)."""
+    rng = np.random.default_rng(9)
+    refs = [rng.random((1, 3, 1, 8, 8)).astype(np.float32)]
+    v = pipe(
+        "with a reference subject", control_videos=_controls(),
+        mask_video=_mask(), subject_ref_images=refs,
+        height=8, width=8, num_frames=5, num_inference_steps=2,
+        guidance_scale=2.0, shift=3.0, seed=4, dtype=jnp.float32)
+    # output frame count unchanged despite the internal ref slot
+    assert v.shape == (1, 5, 8, 8, 3)
+    assert np.isfinite(v).all()
+    ctx, n_ref = pipe.encode_controls(_controls(), _mask(), jnp.float32,
+                                      subject_ref_images=refs)
+    assert n_ref == 1
+    assert ctx.shape[2] == 3 + 1  # latent frames + 1 ref slot
+    # ref slot: first control's channels carry the ref latent, mask zeros
+    assert float(jnp.abs(ctx[:, :4, 0]).max()) > 0
+    assert float(jnp.abs(ctx[:, 8:, 0]).max()) == 0.0

@@ -370,7 +370,8 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
                    geoada_tokens: Optional[jnp.ndarray] = None,
                    geoada_scale: float = 1.0,
                    attn_impl: str = "auto",
-                   context_img: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                   context_img: Optional[jnp.ndarray] = None,
+                   remat: bool = False) -> jnp.ndarray:
     """Run all transformer blocks (the TeaCache-skippable section).
 
     Without a GeoAdapter: lax.scan over `num_layers` stacked blocks.
@@ -382,10 +383,18 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     """
     L = cfg.num_layers
 
+    # gradient checkpointing: rematerialize each block in the backward pass
+    # (the TPU replacement for the reference's torch.utils.checkpoint +
+    # save_on_cpu at wan_transformer3d.py:270-304)
+    blk = wan_block_forward
+    if remat:
+        # cfg (1) and attn_impl (7) are non-array statics
+        blk = jax.checkpoint(wan_block_forward, static_argnums=(1, 7))
+
     if not cfg.has_geoadapter or geoada_tokens is None:
         def body(carry, bp):
-            return wan_block_forward(bp, cfg, carry, e0, cos, sin, context,
-                                     attn_impl, context_img), None
+            return blk(bp, cfg, carry, e0, cos, sin, context,
+                       attn_impl, context_img), None
         x, _ = jax.lax.scan(body, x, params["blocks"])
         return x
 
@@ -407,12 +416,12 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     def superstep(carry, layer_params):
         xx, cc = carry
         gp, bps = layer_params
-        cc = wan_block_forward(gp, cfg, cc, e0, cos, sin, context, attn_impl)
+        cc = blk(gp, cfg, cc, e0, cos, sin, context, attn_impl)
         hint = _linear(gp["after_proj"], cc)
         for j in range(stride):
             bp = jax.tree.map(lambda a: a[j], bps)
-            xx = wan_block_forward(bp, cfg, xx, e0, cos, sin, context,
-                                   attn_impl, context_img)
+            xx = blk(bp, cfg, xx, e0, cos, sin, context,
+                     attn_impl, context_img)
             if j == 0:
                 xx = xx + (hint * jnp.asarray(geoada_scale, hint.dtype)).astype(xx.dtype)
         return (xx, cc), None

@@ -24,8 +24,10 @@ from versecrafter_tpu.models.wan_dit import wan_dit_forward
 
 
 def flow_matching_loss(params, cfg: WanDiTConfig, rng, x0, context, cos, sin,
-                       geoada_context=None, attn_impl: str = "auto"):
-    """Rectified-flow loss: x_sig = (1-sig) x0 + sig eps; target v = eps - x0."""
+                       geoada_context=None, attn_impl: str = "auto",
+                       remat: bool = True):
+    """Rectified-flow loss: x_sig = (1-sig) x0 + sig eps; target v = eps - x0.
+    remat: rematerialize blocks in backward (activation memory ~O(1 block))."""
     b = x0.shape[0]
     k_sig, k_eps = jax.random.split(rng)
     sig = jax.random.uniform(k_sig, (b,), jnp.float32)
@@ -34,8 +36,18 @@ def flow_matching_loss(params, cfg: WanDiTConfig, rng, x0, context, cos, sin,
     x_sig = (1.0 - sb) * x0 + sb * eps
     target = eps - x0
     t = sig * 1000.0
-    pred = wan_dit_forward(params, cfg, x_sig, t, context, cos, sin,
-                           geoada_context=geoada_context, attn_impl=attn_impl)
+    from versecrafter_tpu.models.wan_dit import (
+        patchify, wan_dit_blocks, wan_dit_embed, wan_dit_head, _linear)
+
+    tokens, e, e0, ctx, ctx_img, grid = wan_dit_embed(params, cfg, x_sig, t, context)
+    gtok = None
+    if geoada_context is not None and cfg.has_geoadapter:
+        gtok = _linear(params["geoada_patch_embedding"],
+                       patchify(geoada_context, cfg.patch_size))
+    tokens = wan_dit_blocks(params, cfg, tokens, e0, cos, sin, ctx,
+                            geoada_tokens=gtok, attn_impl=attn_impl,
+                            context_img=ctx_img, remat=remat)
+    pred = wan_dit_head(params, cfg, tokens, e, grid)
     return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 
 

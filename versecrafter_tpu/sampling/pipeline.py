@@ -150,9 +150,18 @@ class VerseCrafterPipeline:
         return emb
 
     def encode_controls(self, control_videos: Sequence[np.ndarray],
-                        mask_video: np.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+                        mask_video: np.ndarray, dtype=jnp.bfloat16,
+                        subject_ref_images: Optional[Sequence[np.ndarray]] = None
+                        ) -> Tuple[jnp.ndarray, int]:
         """control_videos: list of [B, 3, T, H, W] in [0, 1]; mask_video
-        [B, 1, T, H, W] in [0, 1] -> geoada context [B, 128, T', H/8, W/8]."""
+        [B, 1, T, H, W] in [0, 1] -> (geoada context [B, 128, T'+R, H/8, W/8],
+        num_ref_latents R).
+
+        subject_ref_images (list of [B, 3, 1, H, W]): reference frames are
+        VAE-encoded and PREPENDED on the temporal axis, occupying the first
+        control's channel block with zeros elsewhere, and zero mask channels
+        (geoada_encode_multi_frames ref handling,
+        pipeline_wan_versecrafter.py:428-486)."""
         lat = []
         encode = jax.jit(functools.partial(vae_encode, self.vae_params, self.vae_cfg))
         for cv in control_videos:
@@ -163,8 +172,23 @@ class VerseCrafterPipeline:
                   self.vae_cfg.spatial_compression_ratio,
                   self.vae_cfg.spatial_compression_ratio)
         m = encode_mask_pixelshuffle(jnp.asarray(mask_video, dtype),
-                                     zs.shape[2], vae_stride=stride)
-        return jnp.concatenate([zs, m.astype(dtype)], axis=1)
+                                     zs.shape[2], vae_stride=stride).astype(dtype)
+
+        n_ref = 0
+        if subject_ref_images:
+            refs = []
+            for r in subject_ref_images:
+                rl = encode(jnp.asarray(r, dtype) * 2.0 - 1.0).astype(dtype)
+                pad = jnp.zeros((rl.shape[0],
+                                 zs.shape[1] - rl.shape[1], *rl.shape[2:]), dtype)
+                refs.append(jnp.concatenate([rl, pad], axis=1))
+            ref_lat = jnp.concatenate(refs, axis=2)
+            n_ref = ref_lat.shape[2]
+            zs = jnp.concatenate([ref_lat, zs], axis=2)
+            m = jnp.concatenate(
+                [jnp.zeros((m.shape[0], m.shape[1], n_ref, *m.shape[3:]), dtype), m],
+                axis=2)
+        return jnp.concatenate([zs, m], axis=1), n_ref
 
     def _denoise_fn(self, cfg_batched: bool):
         """Jitted model step: returns (noise_pred, tea_state)."""
@@ -235,6 +259,7 @@ class VerseCrafterPipeline:
         negative_prompt: str = "",
         control_videos: Optional[Sequence[np.ndarray]] = None,
         mask_video: Optional[np.ndarray] = None,
+        subject_ref_images: Optional[Sequence[np.ndarray]] = None,
         geoada_context: Optional[jnp.ndarray] = None,
         height: int = 480,
         width: int = 832,
@@ -253,13 +278,16 @@ class VerseCrafterPipeline:
         batch = 1 if isinstance(prompt, str) else len(prompt)
         context = self.encode_prompt(prompt, negative_prompt).astype(dtype)
 
+        n_ref = 0
         if geoada_context is None:
             if control_videos is None:
                 raise ValueError("need control_videos or geoada_context")
             if mask_video is None:
                 mask_video = np.ones(
                     (batch, 1, num_frames, height, width), np.float32)
-            geoada_context = self.encode_controls(control_videos, mask_video, dtype)
+            geoada_context, n_ref = self.encode_controls(
+                control_videos, mask_video, dtype,
+                subject_ref_images=subject_ref_images)
 
         t_lat = geoada_context.shape[2]
         h_lat = height // self.vae_cfg.spatial_compression_ratio
@@ -307,6 +335,8 @@ class VerseCrafterPipeline:
             if progress is not None:
                 progress(i + 1, num_inference_steps)
 
+        if n_ref:  # strip the prepended reference-frame slots (pipeline:927-930)
+            latents = latents[:, :, n_ref:]
         if output_type == "latent":
             return latents
         video = vae_decode(self.vae_params, self.vae_cfg, latents)

@@ -136,6 +136,17 @@ class VerseCrafterPipeline:
                 self.dit_cfg.rope_theta, riflex_k=k, riflex_L_test=L_test,
                 riflex_L_test_scale=L_test_scale))
 
+    def _vae_encode_fn(self):
+        """Cached jitted VAE encoder (a fresh jit(partial(...)) per call
+        would recompile on every generation)."""
+        key = ("vae_encode",)
+        if key not in self._jit_cache:
+            cfg = self.vae_cfg
+            self._jit_cache[key] = jax.jit(
+                lambda p, x: vae_encode(p, cfg, x))
+        fn = self._jit_cache[key]
+        return lambda x: fn(self.vae_params, x)
+
     # -- stages ----------------------------------------------------------
     def encode_prompt(self, prompt, negative_prompt="") -> jnp.ndarray:
         """-> [2B, text_len, text_dim] (negative first, then positive —
@@ -163,7 +174,7 @@ class VerseCrafterPipeline:
         (geoada_encode_multi_frames ref handling,
         pipeline_wan_versecrafter.py:428-486)."""
         lat = []
-        encode = jax.jit(functools.partial(vae_encode, self.vae_params, self.vae_cfg))
+        encode = self._vae_encode_fn()
         for cv in control_videos:
             x = jnp.asarray(cv, dtype) * 2.0 - 1.0  # image processor normalize
             lat.append(encode(x).astype(dtype))
@@ -339,6 +350,10 @@ class VerseCrafterPipeline:
             latents = latents[:, :, n_ref:]
         if output_type == "latent":
             return latents
-        video = vae_decode(self.vae_params, self.vae_cfg, latents)
-        video = jnp.clip(video.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+        key = ("vae_decode",)
+        if key not in self._jit_cache:
+            vcfg = self.vae_cfg
+            self._jit_cache[key] = jax.jit(lambda p, z: jnp.clip(
+                vae_decode(p, vcfg, z).astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0))
+        video = self._jit_cache[key](self.vae_params, latents)
         return np.asarray(video.transpose(0, 2, 3, 4, 1))

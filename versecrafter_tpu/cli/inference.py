@@ -12,7 +12,6 @@ the sp size so existing invocations keep working).
 from __future__ import annotations
 
 import argparse
-import os
 
 
 NEGATIVE_PROMPT = (
@@ -66,11 +65,7 @@ def main(argv=None):
     from versecrafter_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
-    import numpy as np
-
-    from versecrafter_tpu.sampling.schedulers import make_scheduler
     from versecrafter_tpu.serve.model_server import ModelServer, default_pipeline_factory
-    from versecrafter_tpu.utils.video import load_image, load_video
 
     h, w = (int(x) for x in args.sample_size.split(","))
     if args.offline_smoke:

@@ -9,7 +9,7 @@ restored onto the current mesh.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 

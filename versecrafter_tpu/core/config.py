@@ -11,8 +11,8 @@ into these dataclasses via :func:`load_yaml_config`.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import yaml
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 import glob
 import json
 import os
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -400,8 +400,6 @@ def load_versecrafter(model_dir: str, transformer_path: Optional[str] = None,
     (config.json + safetensors DiT, Wan2.1_VAE.pth,
     models_t5_umt5-xxl-enc-bf16.pth — the layout versecrafter_inference.py
     loads at :188-249)."""
-    import dataclasses
-
     from versecrafter_tpu.core.config import T5Config, VAEConfig
     from versecrafter_tpu.sampling.pipeline import VerseCrafterPipeline
 

@@ -15,8 +15,7 @@ from __future__ import annotations
 
 import json
 import os
-from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ Dense [K, H, W] math — pure VPU work under jit.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,8 +16,6 @@ picks between them.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -12,15 +12,13 @@ Used by __graft_entry__.dryrun_multichip to validate the full multi-chip
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from versecrafter_tpu.core.config import WanDiTConfig
-from versecrafter_tpu.models.wan_dit import wan_dit_forward
 
 
 def flow_matching_loss(params, cfg: WanDiTConfig, rng, x0, context, cos, sin,

@@ -23,11 +23,10 @@ Random-weight shape-tested; numerics validate when weights are converted.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from versecrafter_tpu.kernels.norms import layer_norm
 

@@ -21,7 +21,7 @@ rendering, the Blender addon) cannot tell backends apart.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import cv2

@@ -9,7 +9,7 @@ MHSA + MLP blocks via lax.scan over stacked params.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

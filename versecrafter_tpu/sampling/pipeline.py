@@ -20,18 +20,17 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from versecrafter_tpu.core.config import (
-    PipelineConfig, SchedulerConfig, T5Config, VAEConfig, WanDiTConfig)
+    SchedulerConfig, T5Config, VAEConfig, WanDiTConfig)
 from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
 from versecrafter_tpu.models.t5 import t5_encode
-from versecrafter_tpu.models.vae import latent_frames, vae_decode, vae_encode
+from versecrafter_tpu.models.vae import vae_decode, vae_encode
 from versecrafter_tpu.models.wan_dit import wan_dit_forward
 from versecrafter_tpu.sampling import teacache as tc
 from versecrafter_tpu.sampling.schedulers import make_scheduler

@@ -34,7 +34,7 @@ import os
 import threading
 import traceback
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -12,7 +12,7 @@ import re
 import threading
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Tuple
 from urllib.parse import parse_qs, urlparse
 
 

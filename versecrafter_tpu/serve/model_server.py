@@ -19,12 +19,11 @@ import argparse
 import os
 import queue
 import threading
-import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import numpy as np
 
-from versecrafter_tpu.serve.http import Router, make_server, serve_forever_in_thread
+from versecrafter_tpu.serve.http import Router, make_server
 from versecrafter_tpu.serve.tasks import COMPLETED, FAILED, RUNNING, TaskRegistry
 
 
@@ -54,18 +53,23 @@ class ModelServer:
             return self._pipeline
 
     def _work_loop(self):
+        from versecrafter_tpu.utils.profiling import StepTimer
+
         while True:
             task_id, params = self.queue.get()
             try:
                 self.tasks.update(task_id, status=RUNNING, message="loading model")
                 pipe = self._get_pipeline()
                 self.tasks.update(task_id, status=RUNNING, message="generating")
+                timer = StepTimer()
 
                 def progress(i, n):
+                    timer.tick(i, n)
                     self.tasks.update(task_id, progress=int(100 * i / n),
                                       message=f"step {i}/{n}")
 
                 video = self._generate(pipe, params, progress)
+                self.last_step_stats = timer.summary()
                 out_path = self._save(video, params)
                 self.tasks.update(task_id, status=COMPLETED, progress=100,
                                   result={"video_path": out_path})
@@ -146,6 +150,15 @@ def build_router(server: ModelServer) -> Router:
     def status(req):
         t = server.tasks.get(req.params["task_id"])
         return (200, t) if t else (404, {"error": "unknown task"})
+
+    @r.route("GET", "/metrics")
+    def metrics(req):
+        return 200, {
+            "model_loaded": server.model_loaded,
+            "queue_depth": server.queue.qsize(),
+            "tasks": len(server.tasks.all()),
+            "last_generation_step_ms": getattr(server, "last_step_stats", {}),
+        }
 
     return r
 

@@ -16,7 +16,6 @@ import re
 from typing import Any, Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -11,7 +11,7 @@ and XLA fuses the scale-multiply into the consumer matmul.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

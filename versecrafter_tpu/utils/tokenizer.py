@@ -5,7 +5,7 @@ egress environment."""
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -101,7 +101,10 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
     x: [..., S, N, D] (any leading dims; S must match cos/sin row count or be
     a sharded slice thereof — pass pre-sliced tables under shard_map).
-    cos/sin: [S, D/2] fp32.
+    cos/sin: [S, D/2] fp32 half-width tables, or [S, D] interleaved
+    full-width tables (from interleave_rope_tables — the fast path: the
+    rotation becomes y = x*cosI + pairswap(x)*sinI, two fused multiplies
+    instead of pair de-interleave/re-interleave reshapes).
 
     Matches the reference's complex multiply x * e^{i\theta} on interleaved
     pairs (rope_apply, wan_transformer3d.py:143-172): for pair (a, b):
@@ -109,6 +112,12 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     """
     orig_dtype = x.dtype
     *lead, s, n, d = x.shape
+    if cos.shape[-1] == d:  # interleaved full-width tables
+        xf = x.astype(jnp.float32)
+        xp = xf.reshape(*lead, s, n, d // 2, 2)
+        swapped = jnp.flip(xp, axis=-1).reshape(*lead, s, n, d)
+        out = xf * cos[:, None, :] + swapped * sin[:, None, :]
+        return out.astype(orig_dtype)
     xf = x.astype(jnp.float32).reshape(*lead, s, n, d // 2, 2)
     a, b = xf[..., 0], xf[..., 1]
     c = cos[:, None, :]  # [S, 1, D/2] broadcasts over heads
@@ -117,3 +126,14 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     rb = a * si + b * c
     out = jnp.stack([ra, rb], axis=-1).reshape(*lead, s, n, d)
     return out.astype(orig_dtype)
+
+
+def interleave_rope_tables(cos: jnp.ndarray, sin: jnp.ndarray):
+    """[S, D/2] -> ([S, D], [S, D]) for the fused apply_rope path:
+    cosI[2i] = cosI[2i+1] = cos_i; sinI[2i] = -sin_i, sinI[2i+1] = +sin_i
+    (so y_even = a*cos - b*sin and y_odd = b*cos + a*sin with one pairswap)."""
+    s, h = cos.shape
+    cosI = jnp.repeat(cos, 2, axis=-1)
+    sgn = jnp.tile(jnp.asarray([-1.0, 1.0], cos.dtype), (h,))
+    sinI = jnp.repeat(sin, 2, axis=-1) * sgn[None, :]
+    return cosI, sinI

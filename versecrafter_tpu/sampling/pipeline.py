@@ -135,16 +135,26 @@ class VerseCrafterPipeline:
                 self.dit_cfg.rope_theta, riflex_k=k, riflex_L_test=L_test,
                 riflex_L_test_scale=L_test_scale))
 
+    # full-sequence VAE above this voxel count would exceed single-chip HBM;
+    # the streaming path is numerically identical (models/vae_stream.py)
+    VAE_STREAM_THRESHOLD = 1 << 24
+
     def _vae_encode_fn(self):
         """Cached jitted VAE encoder (a fresh jit(partial(...)) per call
-        would recompile on every generation)."""
-        key = ("vae_encode",)
-        if key not in self._jit_cache:
-            cfg = self.vae_cfg
-            self._jit_cache[key] = jax.jit(
-                lambda p, x: vae_encode(p, cfg, x))
-        fn = self._jit_cache[key]
-        return lambda x: fn(self.vae_params, x)
+        would recompile on every generation). Large inputs stream through
+        the chunked encoder."""
+        cfg = self.vae_cfg
+
+        def encode(x):
+            if x.shape[2] > 1 and np.prod(x.shape[2:]) > self.VAE_STREAM_THRESHOLD:
+                from versecrafter_tpu.models.vae_stream import vae_encode_chunked
+                return vae_encode_chunked(self.vae_params, cfg, x)
+            key = ("vae_encode",)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(lambda p, x: vae_encode(p, cfg, x))
+            return self._jit_cache[key](self.vae_params, x)
+
+        return encode
 
     # -- stages ----------------------------------------------------------
     def encode_prompt(self, prompt, negative_prompt="") -> jnp.ndarray:
@@ -349,10 +359,18 @@ class VerseCrafterPipeline:
             latents = latents[:, :, n_ref:]
         if output_type == "latent":
             return latents
-        key = ("vae_decode",)
-        if key not in self._jit_cache:
-            vcfg = self.vae_cfg
-            self._jit_cache[key] = jax.jit(lambda p, z: jnp.clip(
-                vae_decode(p, vcfg, z).astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0))
-        video = self._jit_cache[key](self.vae_params, latents)
+        out_voxels = (np.prod(latents.shape[2:])
+                      * self.vae_cfg.temporal_compression_ratio
+                      * self.vae_cfg.spatial_compression_ratio ** 2)
+        if latents.shape[2] > 1 and out_voxels > self.VAE_STREAM_THRESHOLD:
+            from versecrafter_tpu.models.vae_stream import vae_decode_chunked
+            video = vae_decode_chunked(self.vae_params, self.vae_cfg, latents)
+            video = jnp.clip(video.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+        else:
+            key = ("vae_decode",)
+            if key not in self._jit_cache:
+                vcfg = self.vae_cfg
+                self._jit_cache[key] = jax.jit(lambda p, z: jnp.clip(
+                    vae_decode(p, vcfg, z).astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0))
+            video = self._jit_cache[key](self.vae_params, latents)
         return np.asarray(video.transpose(0, 2, 3, 4, 1))

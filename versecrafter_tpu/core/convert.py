@@ -395,16 +395,29 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
 
 def load_versecrafter(model_dir: str, transformer_path: Optional[str] = None,
                       geoada_in_dim: int = 128, dtype=None,
-                      scheduler: str = "unipc", tokenizer_path: Optional[str] = None):
+                      scheduler: str = "unipc", tokenizer_path: Optional[str] = None,
+                      high_noise_path: Optional[str] = None,
+                      moe_boundary: float = 0.875):
     """Build a full pipeline from a reference-layout model directory
     (config.json + safetensors DiT, Wan2.1_VAE.pth,
     models_t5_umt5-xxl-enc-bf16.pth — the layout versecrafter_inference.py
-    loads at :188-249)."""
+    loads at :188-249).
+
+    Wan2.2 two-expert layout (low_noise_model/ + high_noise_model/ subdirs,
+    config/wan2.2/wan_civitai_t2v.yaml:3-8) is auto-detected (or pass
+    high_noise_path); the high-noise expert activates for
+    sigma >= moe_boundary."""
     from versecrafter_tpu.core.config import T5Config, VAEConfig
     from versecrafter_tpu.sampling.pipeline import VerseCrafterPipeline
 
     dtype = dtype or jnp.bfloat16
     tdir = transformer_path or model_dir
+    low_dir = os.path.join(tdir, "low_noise_model")
+    high_dir = high_noise_path or os.path.join(tdir, "high_noise_model")
+    if os.path.isdir(low_dir) and os.path.isdir(high_dir):
+        tdir = low_dir
+    elif not (high_noise_path and os.path.isdir(high_dir)):
+        high_dir = None
     with open(os.path.join(tdir, "config.json")) as f:
         tc = json.load(f)
     cfg = WanDiTConfig(
@@ -425,6 +438,12 @@ def load_versecrafter(model_dir: str, transformer_path: Optional[str] = None,
     dit_params, report = convert_wan_dit(load_torch_state_dict(tdir), cfg, dtype)
     if report["skipped"]:
         print(f"convert_wan_dit skipped: {report['skipped'][:8]}")
+    dit_params_high = None
+    if high_dir:
+        dit_params_high, rep_h = convert_wan_dit(
+            load_torch_state_dict(high_dir), cfg, dtype)
+        if rep_h["skipped"]:
+            print(f"convert_wan_dit (high-noise) skipped: {rep_h['skipped'][:8]}")
 
     vae_cfg = VAEConfig()
     vae_params, _ = convert_wan_vae(
@@ -446,4 +465,6 @@ def load_versecrafter(model_dir: str, transformer_path: Optional[str] = None,
         tokenizer=load_tokenizer(tokenizer_path or
                                  os.path.join(model_dir, "google/umt5-xxl")),
         scheduler_name=scheduler,
+        dit_params_high=dit_params_high,
+        moe_boundary=moe_boundary,
     )

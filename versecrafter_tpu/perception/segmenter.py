@@ -108,46 +108,63 @@ class ImageSegmenter:
                 dets.append(Detection(label, 0.5, (x, y, x + bw, y + bh), mask))
         return dets
 
-    # -- neural backend: GroundingDINO boxes -> SAM2 masks -------------------
+    # -- neural backend: GroundingDino boxes -> SAM masks --------------------
     def _neural_segment(self, image, labels) -> List[Detection]:
         """Text-prompted detection + box-prompted masks (the reference's
-        GroundingDINO->SAM2 path, grounded_sam2_infer.py:143-194). Requires
-        converted sam2_params/gdino_params + a text tokenizer."""
+        GroundingDINO->SAM2 path, grounded_sam2_infer.py:143-194), using the
+        parity-validated ports (perception/gdino_hf.py, perception/sam.py).
+        Requires converted weights + a BERT tokenizer."""
+        import cv2
         import jax
         import jax.numpy as jnp
         import numpy as np
 
-        from versecrafter_tpu.perception.gdino import SWIN_T, gdino_forward
-        from versecrafter_tpu.perception.sam2 import HIERA_LARGE, Sam2Predictor
+        from versecrafter_tpu.perception import gdino_hf
+        from versecrafter_tpu.perception import sam as sam_mod
 
         if self.sam2_params is None or self.gdino_params is None:
-            raise RuntimeError("neural backend needs sam2_params/gdino_params")
-        h, w = image.shape[:2]
-        size = 32 * 7  # divisible by stride-32 and window-7 tiles
-        import cv2
-        resized = cv2.resize(image, (size * 3, size * 3)).astype(np.float32) / 255.0
+            raise RuntimeError("neural backend needs converted sam/gdino params")
+        gparams, gcfg = self.gdino_params
+        sparams, scfg = self.sam2_params
 
-        tok = self.tokenizer or (lambda t, max_length=64: {
-            "input_ids": np.asarray([[2 + hash(x) % 1000 for x in t[0].split()]]),
-            "attention_mask": np.ones((1, len(t[0].split())), np.int32)})
-        enc = tok([" ".join(labels)], max_length=64)
-        boxes, logits = gdino_forward(
-            self.gdino_params, SWIN_T, jnp.asarray(resized)[None],
-            jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"]))
-        score = np.asarray(jnp.max(jax.nn.sigmoid(logits), -1)[0])
+        h, w = image.shape[:2]
+        size = 896  # divisible by 32 and by the Swin window tiling
+        resized = cv2.resize(image, (size, size)).astype(np.float32) / 255.0
+        resized = (resized - np.array([0.485, 0.456, 0.406])) \
+            / np.array([0.229, 0.224, 0.225])
+
+        if self.tokenizer is None:
+            raise RuntimeError("neural backend needs a BERT tokenizer")
+        enc = self.tokenizer(" ".join(f"{l}." for l in labels))
+        ids = np.asarray(enc["input_ids"])[None] if np.ndim(enc["input_ids"]) == 1 \
+            else np.asarray(enc["input_ids"])
+        logits, boxes = gdino_hf.gdino_forward(
+            gparams, gcfg,
+            jnp.asarray(resized.transpose(2, 0, 1))[None].astype(jnp.float32), ids)
+        score = np.asarray(jax.nn.sigmoid(logits).max(-1)[0])
         keep = np.where(score > self.box_threshold)[0]
 
-        predictor = Sam2Predictor(self.sam2_params, HIERA_LARGE)
-        predictor.set_image(image)
+        # SAM mask per kept box
+        oh, ow = image.shape[:2]
+        img_size = scfg["img_size"]
+        sx = cv2.resize(image, (img_size, img_size)).astype(np.float32) / 255.0
+        sx = (sx - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+        emb = sam_mod.vision_forward(sparams, scfg,
+                                     jnp.asarray(sx, jnp.float32)[None])
         dets: List[Detection] = []
         for qi in keep[: self.max_objects * 2]:
             cx, cy, bw, bh = np.asarray(boxes[0, qi])
-            box = np.array([(cx - bw / 2) * w, (cy - bh / 2) * h,
-                            (cx + bw / 2) * w, (cy + bh / 2) * h])
-            mask, iou = predictor.predict(box)
+            box = np.array([(cx - bw / 2) * ow, (cy - bh / 2) * oh,
+                            (cx + bw / 2) * ow, (cy + bh / 2) * oh])
+            sbox = box * np.array([img_size / ow, img_size / oh] * 2)
+            sparse = sam_mod.encode_prompts(sparams, scfg,
+                                            boxes=jnp.asarray(sbox)[None, None])
+            masks, iou = sam_mod.decode_masks(sparams, scfg, emb, sparse)
+            best = 1 + int(jnp.argmax(iou[0, 0, 1:]))
+            m = cv2.resize(np.asarray(masks[0, 0, best], np.float32), (ow, oh))
             label = labels[len(dets) % len(labels)] if labels else "object"
             dets.append(Detection(label, float(score[qi]),
-                                  tuple(box.astype(int)), mask))
+                                  tuple(box.astype(int)), m > 0))
         return dets
 
     # -- file contract -------------------------------------------------------

@@ -128,3 +128,50 @@ def test_gaussian_depth_parity(rendered):
     ref = _read_frames(DEMO / "camera_object_0/rendering_4D_maps/3D_gaussian_depth.mp4", idxs)
     psnrs = [_psnr(vids["3D_gaussian_depth"][i], r) for i, r in enumerate(ref)]
     assert np.mean(psnrs) > 20.0, psnrs
+
+
+DEMO2 = Path("/root/reference/demo_data/LXKcD2zSPMc_0351466_0353266_0001469_0001550")
+
+
+@pytest.mark.skipif(not DEMO2.exists(), reason="second demo clip not mounted")
+def test_gaussian_fit_second_clip(tmp_path):
+    from versecrafter_tpu.geometry.gaussians import process_single_image
+
+    out = process_single_image(
+        str(DEMO2 / "estimated_depth/depth_intrinsics.npz"),
+        str(DEMO2 / "object_mask/masks"),
+        str(tmp_path))
+    with open(DEMO2 / "fitted_3D_gaussian/gaussian_params.json") as f:
+        ref = json.load(f)
+    assert out["num_objects"] == ref["num_objects"]
+    for oid, rp in ref["gaussian_params"].items():
+        got = out["gaussian_params"][int(oid)]
+        np.testing.assert_allclose(got["mean"], rp["mean"], rtol=0.05, atol=0.02)
+        np.testing.assert_allclose(got["cov"], rp["cov"], rtol=0.15, atol=0.01)
+
+
+@pytest.mark.skipif(not DEMO2.exists(), reason="second demo clip not mounted")
+def test_merged_mask_parity_second_clip():
+    from versecrafter_tpu.geometry.pointcloud import load_background_from_files
+    from versecrafter_tpu.geometry.render import (
+        load_camera_trajectory, load_gaussian_trajectory, render_control_maps)
+
+    pts, cols, K, h, w = load_background_from_files(
+        str(DEMO2 / "0001.png"),
+        str(DEMO2 / "estimated_depth/depth_intrinsics.npz"),
+        str(DEMO2 / "object_mask/masks"))
+    w2cs = load_camera_trajectory(
+        str(DEMO2 / "camera_object_0/custom_camera_trajectory.npz"))
+    means, covs, present, ocolors, _ = load_gaussian_trajectory(
+        str(DEMO2 / "camera_object_0/custom_3D_gaussian_trajectory.json"))
+    idxs = [0, 40, 80]
+    vids = render_control_maps(pts, cols, K, w2cs[idxs], means[idxs],
+                               covs[idxs], present[idxs], ocolors, (h, w))
+    ref = _read_frames(
+        DEMO2 / "camera_object_0/rendering_4D_maps/merged_mask.mp4", idxs)
+    ious = []
+    for i, r in enumerate(ref):
+        got = vids["merged_mask"][i][..., 0] > 127
+        want = r[..., 0] > 127
+        ious.append((got & want).sum() / max((got | want).sum(), 1))
+    assert np.mean(ious) > 0.7, ious

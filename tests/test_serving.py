@@ -211,3 +211,30 @@ def test_task_registry_and_chunkstore_thread_safety():
     [t.start() for t in th]
     [t.join() for t in th]
     assert cs.complete("u") == bytes(range(50))
+
+
+def test_get_mirror_endpoints(api):
+    base, server = api
+    # GET mirror spawns a task from query params (proxy-traversal path)
+    _, resp = _get(f"{base}/api/render_get?image=missing.png&depth_npz=m.npz"
+                   f"&trajectory_npz=m.npz&ellipsoid_json=m.json")
+    st = _wait_task(base, resp["task_id"])
+    assert st["status"] == "FAILED"  # missing files surface as task failure
+    assert "missing" in (st["error"] or "") or st["error"]
+
+
+def test_workflow_endpoint_failure_propagates(api):
+    base, server = api
+    _, resp = _post(f"{base}/api/workflow", payload={
+        "image": "missing.png", "depth_npz": "m.npz",
+        "trajectory_npz": "m.npz", "ellipsoid_json": "m.json",
+        "rendering_maps_path": "m"})
+    st = _wait_task(base, resp["task_id"])
+    assert st["status"] == "FAILED"
+
+
+def test_tasks_listing(api):
+    base, _ = api
+    _, st = _get(f"{base}/api/tasks")
+    assert isinstance(st["tasks"], list) and len(st["tasks"]) >= 1
+    assert {"task_id", "status", "progress"} <= set(st["tasks"][0])

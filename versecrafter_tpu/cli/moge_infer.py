@@ -42,7 +42,8 @@ def main(argv=None):
         nh = min(args.resize_to, int(args.resize_to * h / w))
         nw = min(args.resize_to, int(args.resize_to * w / h))
         img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
-    # pad to patch multiple
+    oh, ow = img.shape[:2]
+    # pad to patch multiple for the ViT; outputs crop back to (oh, ow)
     ph = -img.shape[0] % 14
     pw = -img.shape[1] % 14
     if ph or pw:
@@ -51,6 +52,9 @@ def main(argv=None):
     params = moge.load_checkpoint(args.pretrained) if args.pretrained else \
         moge.init_moge(jax.random.key(0))
     out = moge.infer(params, img.astype(np.float32) / 255.0, fov_x=args.fov_x)
+    out["depth"] = out["depth"][:oh, :ow]
+    out["points"] = out["points"][:oh, :ow]
+    out["mask"] = out["mask"][:oh, :ow]
     npz = moge.save_outputs(out, args.output_path)
     print(f"saved {npz}")
 

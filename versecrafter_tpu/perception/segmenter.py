@@ -82,6 +82,8 @@ class ImageSegmenter:
         ], 1)
         if depth is not None:
             d = depth.astype(np.float32)
+            if d.shape != (h, w):  # tolerate padded/differently-sized depth
+                d = cv2.resize(d, (w, h), interpolation=cv2.INTER_LINEAR)
             d = (d - d.min()) / max(d.max() - d.min(), 1e-6)
             feats = np.concatenate([feats, d.reshape(-1, 1)], 1)
         k = min(8, max(3, len(labels) + 2))

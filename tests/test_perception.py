@@ -101,3 +101,13 @@ def test_segmenter_fallback_contract(tmp_path):
     assert os.path.exists(paths["combined"])
     assert os.path.exists(paths["annotations"])
     assert any(k.startswith("mask_01") for k in paths)
+
+
+def test_moge_dinov2_backbone():
+    params = moge.init_moge(jax.random.key(7),
+                            vit_kwargs=dict(patch=14, dim=32, depth=2, heads=2),
+                            backbone="dinov2")
+    img = np.random.default_rng(8).random((42, 56, 3)).astype(np.float32)
+    out = moge.infer(params, img)
+    assert out["depth"].shape == (42, 56)
+    assert np.isfinite(out["depth"]).all()

@@ -129,3 +129,37 @@ def convert_hf_dinov2(state_dict, cfg: dict, dtype=jnp.float32) -> Params:
         })
         i += 1
     return params
+
+
+def init_dinov2(key, cfg: dict, dtype=jnp.float32) -> Params:
+    """Random init with the converted-checkpoint tree structure."""
+    ks = iter(jax.random.split(key, 8 + 8 * cfg["depth"]))
+    nk = lambda: next(ks)
+    d = cfg["hidden"]
+    ps = cfg["patch"]
+    mlp = int(d * cfg.get("mlp_ratio", 4))
+
+    def dense(cin, cout):
+        return {"weight": (jax.random.normal(nk(), (cin, cout))
+                           * (2.0 / (cin + cout)) ** 0.5).astype(dtype),
+                "bias": jnp.zeros((cout,), dtype)}
+
+    def lnp():
+        return {"weight": jnp.ones((d,), jnp.float32),
+                "bias": jnp.zeros((d,), jnp.float32)}
+
+    return {
+        "patch_embed": dense(3 * ps * ps, d),
+        "cls_token": (jax.random.normal(nk(), (1, d)) * 0.02).astype(dtype),
+        "pos_embed": (jax.random.normal(nk(), (1, 1 + 16 * 16, d)) * 0.02).astype(dtype),
+        "norm": lnp(),
+        "layers": [{
+            "norm1": lnp(),
+            "q": dense(d, d), "k": dense(d, d), "v": dense(d, d),
+            "proj": dense(d, d),
+            "ls1": jnp.full((d,), 1e-5, dtype),
+            "norm2": lnp(),
+            "fc1": dense(d, mlp), "fc2": dense(mlp, d),
+            "ls2": jnp.full((d,), 1e-5, dtype),
+        } for _ in range(cfg["depth"])],
+    }

@@ -124,7 +124,10 @@ VIT_L = dict(patch=14, dim=1024, depth=24, heads=16)
 HEAD_TAPS = (5, 11, 17, 23)
 
 
-def init_moge(key, dtype=jnp.float32, vit_kwargs: Optional[dict] = None) -> Params:
+def init_moge(key, dtype=jnp.float32, vit_kwargs: Optional[dict] = None,
+              backbone: str = "vit") -> Params:
+    """backbone: 'vit' (generic) or 'dinov2' (the parity-validated MoGe
+    backbone, perception/dinov2.py — use with convert_hf_dinov2 weights)."""
     vk = dict(VIT_L)
     vk.update(vit_kwargs or {})
     ks = jax.random.split(key, 12)
@@ -137,9 +140,16 @@ def init_moge(key, dtype=jnp.float32, vit_kwargs: Optional[dict] = None) -> Para
                            / math.sqrt(fan)).astype(dtype),
                 "bias": jnp.zeros((cout,), dtype)}
 
+    if backbone == "dinov2":
+        from versecrafter_tpu.perception.dinov2 import init_dinov2
+        bb = init_dinov2(ks[0], dict(hidden=vk["dim"], depth=vk["depth"],
+                                     heads=vk["heads"], patch=vk["patch"],
+                                     mlp_ratio=4), dtype=dtype)
+    else:
+        bb = init_vit(ks[0], dtype=dtype, **vk)
     return {
-        "vit": init_vit(ks[0], dtype=dtype, **vk),
-        "vit_cfg": None,  # static info lives in MOGE_STATIC
+        "vit": bb,
+        "vit_cfg": None,  # static info lives in _static
         "neck": [
             {"proj": conv(jax.random.fold_in(ks[1], i), dim, fdim, 1)}
             for i in range(len(HEAD_TAPS))
@@ -148,6 +158,7 @@ def init_moge(key, dtype=jnp.float32, vit_kwargs: Optional[dict] = None) -> Para
         "out1": conv(ks[3], fdim, fdim // 2),
         "out2": conv(ks[4], fdim // 2, 4),  # xyz + mask logit
         "_static": {"patch": vk["patch"], "heads": vk["heads"],
+                    "backbone": backbone,
                     # 4 evenly spaced taps (ViT-L/24 -> 5,11,17,23)
                     "taps": tuple(
                         max(0, min(vk["depth"] - 1,
@@ -177,8 +188,15 @@ def moge_forward(params: Params, image: jnp.ndarray):
     b, h, w, _ = image.shape
     gh, gw = h // patch, w // patch
     x = image * 2.0 - 1.0
-    _, feats = vit_forward(params["vit"], x, patch=patch, heads=heads,
-                           out_layers=taps)
+    if st.get("backbone") == "dinov2":
+        from versecrafter_tpu.perception.dinov2 import dinov2_forward
+        cfg = dict(hidden=params["vit"]["patch_embed"]["weight"].shape[1],
+                   depth=len(params["vit"]["layers"]), heads=heads, patch=patch)
+        _, feats = dinov2_forward(params["vit"], cfg,
+                                  x.transpose(0, 3, 1, 2), out_layers=taps)
+    else:
+        _, feats = vit_forward(params["vit"], x, patch=patch, heads=heads,
+                               out_layers=taps)
 
     fused = None
     for feat, neck, fuse in zip(feats, params["neck"], params["fuse"]):
@@ -266,8 +284,11 @@ def load_checkpoint(path: str, template: Optional[Params] = None) -> Params:
 def save_checkpoint(params: Params, path: str) -> None:
     flat = {}
     for path_, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        arr = np.asarray(leaf)
+        if not np.issubdtype(arr.dtype, np.number):
+            continue  # static config strings live in code, not checkpoints
         name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path_)
-        flat[name] = np.asarray(leaf)
+        flat[name] = arr
     np.savez_compressed(path, **flat)
 
 

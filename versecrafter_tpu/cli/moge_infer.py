@@ -36,7 +36,11 @@ def main(argv=None):
 
     from versecrafter_tpu.perception import moge
 
-    img = cv2.cvtColor(cv2.imread(args.input_path), cv2.COLOR_BGR2RGB)
+    raw = cv2.imread(args.input_path)
+    if raw is None:  # clear error like moge-v2_infer.py:117-119
+        raise FileNotFoundError(f"File {args.input_path} does not exist "
+                                "or is not a readable image.")
+    img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
     if args.resize_to:
         h, w = img.shape[:2]
         nh = min(args.resize_to, int(args.resize_to * h / w))
@@ -55,8 +59,20 @@ def main(argv=None):
     out["depth"] = out["depth"][:oh, :ow]
     out["points"] = out["points"][:oh, :ow]
     out["mask"] = out["mask"][:oh, :ow]
-    npz = moge.save_outputs(out, args.output_path)
-    print(f"saved {npz}")
+
+    # no format flag -> save everything (moge-v2_infer.py:70-72)
+    save_maps, save_glb, save_ply = args.save_maps, args.save_glb, args.save_ply
+    if not (save_maps or save_glb or save_ply):
+        save_maps = save_glb = save_ply = True
+    if save_maps:
+        npz = moge.save_outputs(out, args.output_path)
+        print(f"saved {npz}")
+    if save_glb or save_ply:
+        paths = moge.export_mesh(out, img[:oh, :ow], args.output_path,
+                                 threshold=args.threshold,
+                                 save_glb=save_glb, save_ply=save_ply)
+        for k, p in paths.items():
+            print(f"saved {k}: {p}")
 
 
 if __name__ == "__main__":

@@ -267,6 +267,58 @@ def grayscale_depth(depth: np.ndarray) -> np.ndarray:
     return np.stack([g, g, g], -1)
 
 
+def colorize_depth(depth: np.ndarray) -> np.ndarray:
+    """Color depth viz on normalized disparity (the `depth_vis.png` output,
+    moge-v2_infer.py:150-152; the reference maps through matplotlib Spectral
+    via moge.utils.vis — here cv2 TURBO, same near=warm/far=cool reading)."""
+    import cv2
+
+    g = grayscale_depth(depth)[..., 0]
+    return cv2.cvtColor(cv2.applyColorMap(g, cv2.COLORMAP_TURBO),
+                        cv2.COLOR_BGR2RGB)
+
+
+def export_mesh(output: dict, image: np.ndarray, out_dir: str,
+                threshold: float = 0.04, save_glb: bool = True,
+                save_ply: bool = True) -> Dict[str, str]:
+    """Grid-triangulated mesh export (the `--glb`/`--ply` path of
+    moge-v2_infer.py:178-211): depth-edge-cleaned mask, OpenGL-convention
+    flip `vertices*[1,-1,-1]`, `uv*[1,-1]+[0,1]`; GLB carries the image as
+    texture, PLY carries per-vertex colors."""
+    from versecrafter_tpu.utils import mesh_export as me
+
+    h, w = output["depth"].shape
+    mask = output.get("mask")
+    mask = np.ones((h, w), bool) if mask is None else mask.astype(bool)
+    edge = me.depth_edge_mask(replace_infs_with_max(output["depth"]),
+                              rtol=threshold)
+    mask = mask & ~edge
+    if mask.sum() < 4:  # degenerate predicted mask: keep the geometry anyway
+        mask = ~edge
+    if mask.sum() < 4:  # noisy depth (e.g. untrained weights): full grid
+        mask = np.ones((h, w), bool)
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    faces, vertices, colors, uvs = me.build_mesh_from_map(
+        output["points"], img.astype(np.float32) / 255.0, me.image_uv(h, w),
+        mask)
+    vertices = vertices * np.array([1, -1, -1], np.float32)
+    uvs = uvs * np.array([1, -1], np.float32) + np.array([0, 1], np.float32)
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths: Dict[str, str] = {}
+    if save_glb:
+        p = os.path.join(out_dir, "mesh.glb")
+        me.save_glb(p, vertices, faces, vertex_uvs=uvs, texture_rgb=img)
+        paths["glb"] = p
+    if save_ply:
+        p = os.path.join(out_dir, "pointcloud.ply")
+        me.save_ply(p, vertices, np.zeros((0, 3), np.int32), colors)
+        paths["ply"] = p
+    return paths
+
+
 def load_checkpoint(path: str, template: Optional[Params] = None) -> Params:
     """Load a converted MoGe checkpoint (npz of flattened param paths as
     written by save_checkpoint). `template` provides the tree structure
@@ -304,4 +356,6 @@ def save_outputs(output: dict, out_dir: str) -> str:
         intrinsic=output["intrinsics"].astype(np.float16))
     cv2.imwrite(os.path.join(out_dir, "depth_gray.png"),
                 cv2.cvtColor(grayscale_depth(depth), cv2.COLOR_RGB2BGR))
+    cv2.imwrite(os.path.join(out_dir, "depth_vis.png"),
+                cv2.cvtColor(colorize_depth(depth), cv2.COLOR_RGB2BGR))
     return os.path.join(out_dir, "depth_intrinsics.npz")

@@ -54,6 +54,52 @@ def test_pallas_k_lens_masking():
     np.testing.assert_allclose(got[:1], want_trunc, rtol=2e-4, atol=2e-4)
 
 
+def _dense_window_attention(q, k, v, wl, wr):
+    """Brute-force masked softmax for the sliding-window semantics."""
+    q, k, v = (np.asarray(t, np.float64) for t in (q, k, v))
+    s = np.einsum("bnqd,bnkd->bnqk", q, k) / np.sqrt(q.shape[-1])
+    sq, skv = s.shape[2], s.shape[3]
+    rel = np.arange(skv)[None, :] - np.arange(sq)[:, None]
+    ok = np.ones((sq, skv), bool)
+    if wl >= 0:
+        ok &= rel >= -wl
+    if wr >= 0:
+        ok &= rel <= wr
+    s = np.where(ok, s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bnqk,bnkd->bnqd", p, v)
+
+
+@pytest.mark.parametrize("window", [(64, 64), (-1, 0), (200, 32), (0, 0)])
+def test_window_masking(window):
+    """Sliding-window / causal masking: pallas kernel (with its tile-skip
+    fast path) and the XLA reference both match a dense masked softmax."""
+    sq = skv = 384
+    q = jnp.asarray(_rand((1, 2, sq, 128), 20))
+    k = jnp.asarray(_rand((1, 2, skv, 128), 21))
+    v = jnp.asarray(_rand((1, 2, skv, 128), 22))
+    want = _dense_window_attention(q, k, v, *window)
+    got_xla = np.asarray(attention_reference(q, k, v, window_size=window))
+    np.testing.assert_allclose(got_xla, want, rtol=2e-4, atol=2e-4)
+    got_pl = np.asarray(flash_attention(q, k, v, impl="pallas", block_q=128,
+                                        block_kv=128, window_size=window))
+    np.testing.assert_allclose(got_pl, want, rtol=2e-4, atol=2e-4)
+
+
+def test_window_with_k_lens_and_ragged_shapes():
+    q = jnp.asarray(_rand((2, 1, 130, 128), 23))
+    k = jnp.asarray(_rand((2, 1, 200, 128), 24))
+    v = jnp.asarray(_rand((2, 1, 200, 128), 25))
+    k_lens = jnp.asarray([150, 200], jnp.int32)
+    got = np.asarray(flash_attention(q, k, v, k_lens=k_lens, impl="pallas",
+                                     block_q=128, block_kv=128,
+                                     window_size=(96, 96)))
+    want = np.asarray(attention_reference(q, k, v, k_lens=k_lens,
+                                          window_size=(96, 96)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_bf16_inputs():
     q = jnp.asarray(_rand((1, 1, 128, 128), 9), jnp.bfloat16)
     k = jnp.asarray(_rand((1, 1, 128, 128), 10), jnp.bfloat16)

@@ -41,6 +41,9 @@ class WanDiTConfig:
     num_layers: int = 32
     qk_norm: bool = True
     cross_attn_norm: bool = True
+    # self-attention sliding window (left, right), -1 = unbounded
+    # (wan_transformer3d.py:688, always (-1,-1) in shipped checkpoints)
+    window_size: Tuple[int, int] = (-1, -1)
     eps: float = 1e-6
     rope_max_pos: int = 1024
     rope_theta: float = 10000.0

@@ -33,11 +33,13 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
-               m_ref, l_ref, acc_ref, *, sm_scale: float, block_kv: int,
-               num_kv_blocks: int):
+               m_ref, l_ref, acc_ref, *, sm_scale: float, block_q: int,
+               block_kv: int, num_kv_blocks: int, window: tuple):
     b = pl.program_id(0)
+    iq = pl.program_id(2)
     ikv = pl.program_id(3)
     k_len = klens_ref[b]
+    wl, wr = window  # static; -1 = unbounded on that side
 
     @pl.when(ikv == 0)
     def _init():
@@ -45,8 +47,17 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Skip KV tiles entirely past this batch element's true KV length.
-    @pl.when(ikv * block_kv < k_len)
+    # Skip KV tiles entirely past this batch element's true KV length, and
+    # (for sliding-window attention) tiles fully outside the window of every
+    # row in this q block.
+    run = ikv * block_kv < k_len
+    if wl >= 0:  # tile's last key >= first row's leftmost allowed key
+        run = jnp.logical_and(run, ikv * block_kv + block_kv > iq * block_q - wl)
+    if wr >= 0:  # tile's first key <= last row's rightmost allowed key
+        run = jnp.logical_and(
+            run, ikv * block_kv <= iq * block_q + block_q - 1 + wr)
+
+    @pl.when(run)
     def _run():
         q = q_ref[0, 0]  # [bq, D]
         k = k_ref[0, 0]  # [bkv, D]
@@ -56,7 +67,14 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
         s *= sm_scale
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_kv
-        s = jnp.where(col < k_len, s, NEG_INF)
+        mask = col < k_len
+        if wl >= 0 or wr >= 0:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+            if wl >= 0:
+                mask = jnp.logical_and(mask, col >= row - wl)
+            if wr >= 0:
+                mask = jnp.logical_and(mask, col <= row + wr)
+        s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[...]                                  # [bq, LANES]
         m_curr = jnp.max(s, axis=1, keepdims=True)           # [bq, 1]
@@ -83,10 +101,10 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "block_q", "block_kv", "interpret",
-                     "return_stats"),
+                     "return_stats", "window"),
 )
 def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
-                            interpret, return_stats=False):
+                            interpret, return_stats=False, window=(-1, -1)):
     B, N, Sq, D = q.shape
     Skv = k.shape[2]
 
@@ -102,8 +120,8 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
     grid = (B, N, sq_pad // block_q, num_kv_blocks)
 
     kernel = functools.partial(
-        _fa_kernel, sm_scale=sm_scale, block_kv=block_kv,
-        num_kv_blocks=num_kv_blocks,
+        _fa_kernel, sm_scale=sm_scale, block_q=block_q, block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks, window=window,
     )
 
     out, mo, lo = pl.pallas_call(
@@ -152,7 +170,8 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
     return out
 
 
-def attention_reference(q, k, v, k_lens=None, sm_scale=None):
+def attention_reference(q, k, v, k_lens=None, sm_scale=None,
+                        window_size=(-1, -1)):
     """XLA reference attention (fp32 softmax). Same [B, N, S, D] layout and
     masking semantics as the Pallas kernel; used for tests, CPU runs, and
     small KV (text cross-attention is 512 tokens — not worth a kernel)."""
@@ -165,6 +184,15 @@ def attention_reference(q, k, v, k_lens=None, sm_scale=None):
     if k_lens is not None:
         col = jnp.arange(Skv)[None, None, None, :]
         s = jnp.where(col < k_lens[:, None, None, None], s, NEG_INF)
+    wl, wr = window_size
+    if wl >= 0 or wr >= 0:
+        rel = jnp.arange(Skv)[None, :] - jnp.arange(Sq)[:, None]  # k - q
+        ok = jnp.ones((Sq, Skv), bool)
+        if wl >= 0:
+            ok &= rel >= -wl
+        if wr >= 0:
+            ok &= rel <= wr
+        s = jnp.where(ok[None, None], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bnqk,bnkd->bnqd", p, v.astype(jnp.float32))
     return out.astype(q.dtype)
@@ -179,8 +207,16 @@ def flash_attention(
     block_q: int = 1024,
     block_kv: int = 1024,
     impl: str = "auto",
+    window_size: tuple = (-1, -1),
 ) -> jnp.ndarray:
-    """Attention over [B, N, S, D] tensors with optional per-batch KV lengths.
+    """Attention over [B, N, S, D] tensors with optional per-batch KV lengths
+    and an optional sliding window.
+
+    window_size: (left, right) token window per query, -1 = unbounded on that
+    side — the `window_size` contract of the reference attention dispatch
+    (wan_transformer3d.py:353,399; always (-1,-1) in shipped configs). The
+    kernel skips KV tiles fully outside the window, so a local window also
+    cuts compute, not just masks it. Causal attention is window_size=(-1, 0).
 
     impl: 'pallas' (TPU kernel), 'xla' (reference math), or 'auto'
     (pallas on TPU, xla elsewhere — keeps tests runnable on the virtual CPU
@@ -195,7 +231,8 @@ def flash_attention(
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
-        return attention_reference(q, k, v, k_lens=k_lens, sm_scale=sm_scale)
+        return attention_reference(q, k, v, k_lens=k_lens, sm_scale=sm_scale,
+                                   window_size=window_size)
 
     block_q = min(block_q, _ceil_to(Sq, 128))
     block_kv = min(block_kv, _ceil_to(Skv, 128))
@@ -207,6 +244,7 @@ def flash_attention(
     return _flash_attention_pallas(
         q, k, v, k_lens, sm_scale=float(sm_scale), block_q=block_q,
         block_kv=block_kv, interpret=interpret,
+        window=(int(window_size[0]), int(window_size[1])),
     )
 
 

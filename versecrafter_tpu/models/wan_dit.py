@@ -219,7 +219,8 @@ def init_wan_dit(key: jax.Array, cfg: WanDiTConfig,
 # ---------------------------------------------------------------------------
 
 def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
-                    qk_norm: bool, eps: float, attn_impl: str) -> jnp.ndarray:
+                    qk_norm: bool, eps: float, attn_impl: str,
+                    window_size: tuple = (-1, -1)) -> jnp.ndarray:
     b, s, d = x.shape
     n = num_heads
     hd = d // n
@@ -235,9 +236,12 @@ def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
     q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
     if attn_impl == "sp":
         from versecrafter_tpu.parallel.sharding import sequence_parallel_attention
+        assert tuple(window_size) == (-1, -1), \
+            "sliding-window + sequence parallelism is not implemented"
         out = sequence_parallel_attention(q, k, v)
     else:
-        out = flash_attention(q, k, v, impl=attn_impl)
+        out = flash_attention(q, k, v, impl=attn_impl,
+                              window_size=window_size)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
     return _linear(p["o"], out)
 
@@ -292,7 +296,8 @@ def wan_block_forward(p: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     tmp = layer_norm(x, eps=cfg.eps).astype(jnp.float32)
     tmp = (tmp * (1.0 + e[:, 1][:, None]) + e[:, 0][:, None]).astype(dtype)
     y = _self_attention(p["self_attn"], tmp, cos, sin, cfg.num_heads,
-                        cfg.qk_norm, cfg.eps, attn_impl)
+                        cfg.qk_norm, cfg.eps, attn_impl,
+                        window_size=cfg.window_size)
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e[:, 2][:, None]).astype(dtype)
 
     if cfg.cross_attn_norm:

@@ -33,8 +33,14 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
-               m_ref, l_ref, acc_ref, *, sm_scale: float, block_q: int,
-               block_kv: int, num_kv_blocks: int, window: tuple):
+               m_ref, l_ref, acc_ref, *, block_q: int,
+               block_kv: int, num_kv_blocks: int, window: tuple,
+               masked: bool):
+    """sm_scale is pre-folded into q by the caller (one [B,N,S,D] multiply
+    instead of a per-tile [bq,bkv] one — the kernel is VPU-bound, so every
+    elementwise op on the score tile costs real time). `masked=False`
+    statically drops the k_len compare/where for the common full-length,
+    tile-aligned case."""
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ikv = pl.program_id(3)
@@ -64,17 +70,22 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s *= sm_scale
 
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_kv
-        mask = col < k_len
-        if wl >= 0 or wr >= 0:
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
-            if wl >= 0:
-                mask = jnp.logical_and(mask, col >= row - wl)
-            if wr >= 0:
-                mask = jnp.logical_and(mask, col <= row + wr)
-        s = jnp.where(mask, s, NEG_INF)
+        need_window = wl >= 0 or wr >= 0
+        if masked or need_window:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+                + ikv * block_kv
+            mask = col < k_len if masked else None
+            if need_window:
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+                    + iq * block_q
+                if wl >= 0:
+                    wmask = col >= row - wl
+                    mask = wmask if mask is None else jnp.logical_and(mask, wmask)
+                if wr >= 0:
+                    wmask = col <= row + wr
+                    mask = wmask if mask is None else jnp.logical_and(mask, wmask)
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[...]                                  # [bq, LANES]
         m_curr = jnp.max(s, axis=1, keepdims=True)           # [bq, 1]
@@ -101,12 +112,15 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "block_q", "block_kv", "interpret",
-                     "return_stats", "window"),
+                     "return_stats", "window", "masked"),
 )
 def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
-                            interpret, return_stats=False, window=(-1, -1)):
+                            interpret, return_stats=False, window=(-1, -1),
+                            masked=True):
     B, N, Sq, D = q.shape
     Skv = k.shape[2]
+
+    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)  # fold scale into q
 
     sq_pad = _ceil_to(Sq, block_q)
     skv_pad = _ceil_to(Skv, block_kv)
@@ -115,13 +129,14 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
     if skv_pad != Skv:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_pad - Skv), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_pad - Skv), (0, 0)))
+        masked = True  # padded keys must not contribute
 
     num_kv_blocks = skv_pad // block_kv
     grid = (B, N, sq_pad // block_q, num_kv_blocks)
 
     kernel = functools.partial(
-        _fa_kernel, sm_scale=sm_scale, block_q=block_q, block_kv=block_kv,
-        num_kv_blocks=num_kv_blocks, window=window,
+        _fa_kernel, block_q=block_q, block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks, window=window, masked=masked,
     )
 
     out, mo, lo = pl.pallas_call(
@@ -236,6 +251,7 @@ def flash_attention(
 
     block_q = min(block_q, _ceil_to(Sq, 128))
     block_kv = min(block_kv, _ceil_to(Skv, 128))
+    masked = k_lens is not None  # (padding re-enables it internally)
     if k_lens is None:
         k_lens = jnp.full((B,), Skv, dtype=jnp.int32)
     else:
@@ -244,7 +260,7 @@ def flash_attention(
     return _flash_attention_pallas(
         q, k, v, k_lens, sm_scale=float(sm_scale), block_q=block_q,
         block_kv=block_kv, interpret=interpret,
-        window=(int(window_size[0]), int(window_size[1])),
+        window=(int(window_size[0]), int(window_size[1])), masked=masked,
     )
 
 
@@ -275,4 +291,5 @@ def flash_attention_with_stats(q, k, v, sm_scale: Optional[float] = None,
     return _flash_attention_pallas(
         q, k, v, k_lens, sm_scale=float(sm_scale),
         block_q=block_q, block_kv=block_kv,
-        interpret=jax.default_backend() != "tpu", return_stats=True)
+        interpret=jax.default_backend() != "tpu", return_stats=True,
+        masked=False)

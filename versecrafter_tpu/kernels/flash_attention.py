@@ -185,6 +185,46 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
     return out
 
 
+# --------------------------------------------------------------------------
+# differentiable wrapper: FA2-style backward kernels
+# (kernels/flash_attention_bwd.py) — pallas_call has no autodiff rule, and
+# XLA reference attention would materialize the [B,N,S,S] score matrix, so
+# this is what makes long-sequence training work on TPU.
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _fa_diff(q, k, v, k_lens, sm_scale, block_q, block_kv, window, masked):
+    return _flash_attention_pallas(
+        q, k, v, k_lens, sm_scale=sm_scale, block_q=block_q,
+        block_kv=block_kv, interpret=jax.default_backend() != "tpu",
+        window=window, masked=masked)
+
+
+def _fa_diff_fwd(q, k, v, k_lens, sm_scale, block_q, block_kv, window,
+                 masked):
+    out, m, l = _flash_attention_pallas(
+        q, k, v, k_lens, sm_scale=sm_scale, block_q=block_q,
+        block_kv=block_kv, interpret=jax.default_backend() != "tpu",
+        window=window, masked=masked, return_stats=True)
+    return out, (q, k, v, out, m, l, k_lens)
+
+
+def _fa_diff_bwd(sm_scale, block_q, block_kv, window, masked, res, do):
+    from versecrafter_tpu.kernels.flash_attention_bwd import fa_backward
+
+    q, k, v, out, m, l, k_lens = res
+    dq, dk, dv = fa_backward(
+        q, k, v, out, m, l, do, k_lens, sm_scale=sm_scale, block_q=block_q,
+        block_kv=block_kv, interpret=jax.default_backend() != "tpu",
+        window=window, masked=masked)
+    import numpy as np
+    dk_lens = np.zeros(k_lens.shape, jax.dtypes.float0)  # int arg: no grad
+    return dq, dk, dv, dk_lens
+
+
+_fa_diff.defvjp(_fa_diff_fwd, _fa_diff_bwd)
+
+
 def attention_reference(q, k, v, k_lens=None, sm_scale=None,
                         window_size=(-1, -1)):
     """XLA reference attention (fp32 softmax). Same [B, N, S, D] layout and
@@ -256,11 +296,9 @@ def flash_attention(
         k_lens = jnp.full((B,), Skv, dtype=jnp.int32)
     else:
         k_lens = jnp.minimum(k_lens.astype(jnp.int32), Skv)
-    interpret = jax.default_backend() != "tpu"
-    return _flash_attention_pallas(
-        q, k, v, k_lens, sm_scale=float(sm_scale), block_q=block_q,
-        block_kv=block_kv, interpret=interpret,
-        window=(int(window_size[0]), int(window_size[1])), masked=masked,
+    return _fa_diff(
+        q, k, v, k_lens, float(sm_scale), block_q, block_kv,
+        (int(window_size[0]), int(window_size[1])), masked,
     )
 
 

@@ -111,3 +111,49 @@ def test_train_step_differentiates_pallas_path():
         for a, b in zip(jax.tree_util.tree_leaves(new_train),
                         jax.tree_util.tree_leaves(train)))
     assert moved
+
+
+def test_sp_training_ring_path():
+    """Training on a mesh whose sp does not divide the head count forces the
+    ring-attention path; its custom backward must produce a finite loss and
+    moving params (8-device CPU mesh, sp=8, heads=4)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from versecrafter_tpu.core.config import WanDiTConfig
+    from versecrafter_tpu.core.mesh import MeshSpec, make_mesh
+    from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
+    from versecrafter_tpu.models.wan_dit import init_wan_dit
+    from versecrafter_tpu.parallel.sharding import (mesh_context,
+                                                    shard_dit_params)
+    from versecrafter_tpu.parallel.train_step import (make_train_step,
+                                                      split_trainable)
+
+    mesh = make_mesh(MeshSpec(sp=8), devices=jax.devices()[:8])
+    cfg = WanDiTConfig(in_dim=4, dim=64, ffn_dim=128, freq_dim=32,
+                       text_dim=48, out_dim=4, num_heads=4, num_layers=2,
+                       text_len=16, geoada_layers=(), geoada_in_dim=8)
+    params = init_wan_dit(jax.random.key(0), cfg, jnp.float32)
+    params["head"]["head"]["kernel"] = jax.random.normal(
+        jax.random.key(42), params["head"]["head"]["kernel"].shape) * 0.02
+    params = shard_dit_params(params, mesh)
+    train, frozen = split_trainable(params)
+    opt = optax.adamw(1e-3)
+    step = make_train_step(cfg, opt, attn_impl="sp")
+
+    f, h, w = 2, 8, 8  # 2*4*4 = 32 tokens -> 4 per sp shard
+    x0 = _rand((1, 4, f, h * 2, w * 2), 20)
+    geo = _rand((1, 8, f, h * 2, w * 2), 21)
+    ctx = _rand((1, 16, 48), 22)
+    ang = tuple(jnp.asarray(a) for a in rope_3d_angles(cfg.head_dim, max_pos=64))
+    cos, sin = grid_cos_sin(ang, f, h, w)
+    with mesh_context(mesh):
+        new_train, _, loss = jax.jit(step)(
+            train, frozen, opt.init(train), jax.random.key(1),
+            x0, ctx, cos, sin, geo)
+    assert np.isfinite(float(loss))
+    moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(new_train),
+                        jax.tree_util.tree_leaves(train)))
+    assert moved

@@ -63,3 +63,33 @@ def test_ring_sp_attention_wrapper():
         got = jax.jit(sequence_parallel_attention)(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("sp", [2, 4])
+def test_ring_attention_gradients(sp):
+    """Ring backward (rotating fa_backward against global logsumexp) must
+    match jax.grad of full single-device attention."""
+    q, k, v = _qkv(n=2, s=256, d=128, seed=7)
+    w = jnp.asarray(np.random.default_rng(8).standard_normal(q.shape),
+                    jnp.float32)
+
+    def loss_full(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) * w)
+
+    want = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+
+    mesh = make_mesh(MeshSpec(sp=sp), devices=jax.devices()[:sp])
+    spec = P(None, None, "sp", None)
+    ring = shard_map(lambda a, b, c: ring_attention(a, b, c, axis_name="sp"),
+                     mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+                     check_rep=False)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring(q, k, v) * w)
+
+    shard = NamedSharding(mesh, spec)
+    got = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(
+        *(jax.device_put(t, shard) for t in (q, k, v)))
+    for g, ref, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"d{name}")

@@ -57,13 +57,15 @@ def main():
         p, cfg, x, t, c, cos, sin, geoada_context=g))
 
     out = fwd(params, x, t, ctx, geo)
-    out.block_until_ready()  # compile + warmup
+    # axon tunnel: block_until_ready can return early — a host read is the
+    # only reliable sync (CLAUDE.md gotchas)
+    _ = float(jnp.abs(out).astype(jnp.float32).sum())  # compile + warmup
 
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
         out = fwd(params, x, t, ctx, geo)
-    out.block_until_ready()
+    _ = float(jnp.abs(out).astype(jnp.float32).sum())
     ms = (time.perf_counter() - t0) / n * 1e3
 
     print(json.dumps({

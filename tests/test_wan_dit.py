@@ -172,3 +172,22 @@ def test_timestep_modulates_output():
     o1 = wan_dit_forward(params, TINY, x, jnp.asarray([100.0]), ctx, cos, sin)
     o2 = wan_dit_forward(params, TINY, x, jnp.asarray([900.0]), ctx, cos, sin)
     assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-5
+
+
+def test_window_size_config_threads_to_attention():
+    """cfg.window_size reaches self-attention: a windowed config changes the
+    output, and the pallas and xla paths agree under the same window."""
+    params = _unzero_head(
+        init_wan_dit(jax.random.key(0), TINY, dtype=jnp.float32),
+        jax.random.key(5))
+    cfg_win = dataclasses.replace(TINY, window_size=(8, 8))
+    x, t, ctx, cos, sin = _inputs(TINY, f=3, h=4, w=4)  # 48 tokens
+
+    full = wan_dit_forward(params, TINY, x, t, ctx, cos, sin)
+    win_xla = wan_dit_forward(params, cfg_win, x, t, ctx, cos, sin,
+                              attn_impl="xla")
+    win_pl = wan_dit_forward(params, cfg_win, x, t, ctx, cos, sin,
+                             attn_impl="pallas")
+    assert float(jnp.abs(win_xla - full).max()) > 1e-5  # window changes output
+    np.testing.assert_allclose(np.asarray(win_pl), np.asarray(win_xla),
+                               rtol=2e-4, atol=2e-4)

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from versecrafter_tpu.core.mesh import MeshSpec, make_mesh
@@ -47,7 +47,7 @@ def test_ring_attention_matches_full(sp):
     spec = P(None, None, "sp", None)
     fn = shard_map(lambda a, b, c: ring_attention(a, b, c, axis_name="sp"),
                    mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
-                   check_rep=False)
+                   check_vma=False)
     got = fn(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
@@ -82,7 +82,7 @@ def test_ring_attention_gradients(sp):
     spec = P(None, None, "sp", None)
     ring = shard_map(lambda a, b, c: ring_attention(a, b, c, axis_name="sp"),
                      mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
-                     check_rep=False)
+                     check_vma=False)
 
     def loss_ring(q, k, v):
         return jnp.sum(ring(q, k, v) * w)

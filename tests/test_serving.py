@@ -238,3 +238,84 @@ def test_tasks_listing(api):
     _, st = _get(f"{base}/api/tasks")
     assert isinstance(st["tasks"], list) and len(st["tasks"]) >= 1
     assert {"task_id", "status", "progress"} <= set(st["tasks"][0])
+
+
+def test_top_level_health(api):
+    """Reference serves /health at top level too (api_server.py:1660)."""
+    base, _ = api
+    st = _get(f"{base}/health")[1]
+    assert st["status"] == "ok" and "server" in st
+
+
+def test_upload_base64_post(api):
+    base, _ = api
+    payload = os.urandom(256)
+    _post(f"{base}/api/upload_base64", payload={
+        "filename": "b64post.bin", "data": base64.b64encode(payload).decode()})
+    with urllib.request.urlopen(f"{base}/api/download/b64post.bin") as r:
+        assert r.read() == payload
+
+
+def test_list_files(api):
+    base, server = api
+    os.makedirs(os.path.join(server.workdir, "lf"), exist_ok=True)
+    with open(os.path.join(server.workdir, "lf", "a.txt"), "wb") as f:
+        f.write(b"abc")
+    st = _get(f"{base}/api/list_files?path=lf")[1]
+    names = {e["name"]: e for e in st["files"]}
+    assert names["a.txt"]["size"] == 3 and not names["a.txt"]["is_dir"]
+    # traversal blocked
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(f"{base}/api/list_files?path=..%2F..")
+    # unknown dir is a 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{base}/api/list_files?path=nope")
+    assert ei.value.code == 404
+
+
+def test_preprocess_sync(api):
+    base, server = api
+    import cv2
+    img = np.full((64, 96, 3), 40, np.uint8)
+    img[10:40, 20:70] = [60, 200, 60]
+    cv2.imwrite(os.path.join(server.workdir, "sync_in.png"),
+                cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    import jax
+    from versecrafter_tpu.perception import moge
+    server._moge_cache = moge.init_moge(
+        jax.random.key(0), vit_kwargs=dict(patch=14, dim=32, depth=2, heads=2))
+    code, st = _post(f"{base}/api/preprocess_sync",
+                     payload={"image": "sync_in.png", "text_prompt": "box."})
+    assert code == 200 and st["status"] == "completed"
+    assert os.path.exists(os.path.join(server.workdir, st["result"]["depth_npz"]))
+    # missing field is a 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base}/api/preprocess_sync", payload={})
+    assert ei.value.code == 400
+
+
+def test_background_model_preload(tmp_path):
+    """--preload_model path: load runs in a background thread; model_status
+    reports loading -> loaded (reference api_server.py:793-866)."""
+    import threading
+
+    release = threading.Event()
+    inner = _tiny_pipeline_factory()
+
+    def slow_factory():
+        release.wait(timeout=30)
+        return inner()
+
+    server = ApiServer(workdir=str(tmp_path), pipeline_factory=slow_factory)
+    server.start_model_loading_async()
+    st = server.model_loading_status()
+    assert st["loading"] is True and st["model_loaded"] is False
+    release.set()
+    t0 = time.time()
+    while server.model_loading_status()["loading"] and time.time() - t0 < 60:
+        time.sleep(0.05)
+    st = server.model_loading_status()
+    assert st["model_loaded"] is True and st["error"] is None
+    # idempotent once loaded
+    server.start_model_loading_async()
+    assert server.model_loading_status()["model_loaded"] is True

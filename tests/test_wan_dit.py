@@ -191,3 +191,27 @@ def test_window_size_config_threads_to_attention():
     assert float(jnp.abs(win_xla - full).max()) > 1e-5  # window changes output
     np.testing.assert_allclose(np.asarray(win_pl), np.asarray(win_xla),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_window_size_under_sequence_parallelism():
+    """window_size composes with SP (reference composes it with USP,
+    wan_transformer3d.py:399): after Ulysses' all_to_all the full sequence is
+    local, so the windowed kernel applies unchanged."""
+    from versecrafter_tpu.core.mesh import MeshSpec, make_mesh
+    from versecrafter_tpu.parallel.sharding import (
+        mesh_context, shard_dit_params)
+
+    params = _unzero_head(
+        init_wan_dit(jax.random.key(0), TINY, dtype=jnp.float32),
+        jax.random.key(5))
+    cfg_win = dataclasses.replace(TINY, window_size=(8, 8))
+    x, t, ctx, cos, sin = _inputs(TINY, f=3, h=4, w=4)  # 48 tokens
+
+    want = wan_dit_forward(params, cfg_win, x, t, ctx, cos, sin)
+    mesh = make_mesh(MeshSpec(sp=2), devices=jax.devices()[:2])
+    with mesh_context(mesh):
+        got = jax.jit(lambda p, *a: wan_dit_forward(
+            p, cfg_win, *a, attn_impl="sp"))(
+            shard_dit_params(params, mesh), x, t, ctx, cos, sin)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

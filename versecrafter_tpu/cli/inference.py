@@ -55,8 +55,15 @@ def parse_args(argv=None):
     p.add_argument("--lora_path", type=str, default=None)
     p.add_argument("--lora_weight", type=float, default=0.55)
     p.add_argument("--quantize_int8", action="store_true")
+    p.add_argument("--auto_parallel", action="store_true",
+                   help="shard over ALL visible devices (auto (sp,tp) "
+                        "factorization, reference model_server.py:149-191)")
     p.add_argument("--offline_smoke", action="store_true",
-                   help="random-init tiny model, tiny shapes (no weights env)")
+                   help="random-init model, tiny shapes (no weights env)")
+    p.add_argument("--smoke_scale", type=str, default="1.3b",
+                   choices=["1.3b", "tiny"],
+                   help="offline_smoke model size (tiny: wiring checks on "
+                        "slow backends, e.g. the virtual CPU mesh)")
     return p.parse_args(argv)
 
 
@@ -65,11 +72,18 @@ def main(argv=None):
     from versecrafter_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
-    from versecrafter_tpu.serve.model_server import ModelServer, default_pipeline_factory
+    from versecrafter_tpu.core.mesh import spec_from_degrees
+    from versecrafter_tpu.serve.model_server import (
+        default_pipeline_factory, resolve_mesh, run_generate_request,
+        save_generated_video)
 
     h, w = (int(x) for x in args.sample_size.split(","))
     if args.offline_smoke:
         h, w, args.video_length, args.num_inference_steps = 64, 64, 9, 4
+
+    # the reference's torchrun --ulysses_degree x --ring_degree becomes one
+    # sp mesh axis; --tp composes (versecrafter_inference.py:271-281)
+    spec = spec_from_degrees(args.ulysses_degree, args.ring_degree, args.tp)
 
     if args.model_name:
         from versecrafter_tpu.core.convert import load_versecrafter
@@ -79,8 +93,13 @@ def main(argv=None):
             geoada_in_dim=args.geoada_in_dim,
             scheduler={"Flow": "euler", "Flow_Unipc": "unipc",
                        "Flow_DPM++": "dpm++"}[args.sampler])
+        pipe.set_mesh(resolve_mesh(spec if spec.size > 1 else None,
+                                   args.auto_parallel,
+                                   pipe.dit_cfg.num_heads))
     else:
-        pipe = default_pipeline_factory()()
+        pipe = default_pipeline_factory(
+            mesh_spec=spec if spec.size > 1 else None,
+            auto_mesh=args.auto_parallel, scale=args.smoke_scale)()
 
     if args.teacache_threshold > 0:
         pipe.enable_teacache(args.teacache_threshold, args.teacache_skip_start)
@@ -95,14 +114,10 @@ def main(argv=None):
     if args.quantize_int8:
         pipe.quantize_weights()
 
-    # reuse the model-server request runner (identical file contract)
-    ms = ModelServer.__new__(ModelServer)
-    ms.output_dir = args.save_path
-
     def progress(i, n):
         print(f"denoise {i} / {n}", flush=True)
 
-    video = ms._generate(pipe, {
+    video = run_generate_request(pipe, {
         "rendering_maps_path": args.rendering_maps_path,
         "input_image_path": args.input_image_path,
         "prompt": args.prompt,
@@ -113,7 +128,8 @@ def main(argv=None):
         "seed": args.seed, "fps": args.fps,
         "save_path": args.save_path,
     }, progress)
-    out = ms._save(video, {"save_path": args.save_path, "fps": args.fps})
+    out = save_generated_video(
+        video, {"save_path": args.save_path, "fps": args.fps})
     print(args.prompt)
     print(out)
 

@@ -59,6 +59,32 @@ def sharding(mesh: Mesh, *axes) -> NamedSharding:
     return NamedSharding(mesh, P(*axes))
 
 
+def spec_from_degrees(ulysses_degree: int = 1, ring_degree: int = 1,
+                      tp: int = 1, fsdp: int = 1, dp: int = 1) -> MeshSpec:
+    """Map the reference's --ulysses_degree/--ring_degree flags
+    (versecrafter_inference.py:59-62) onto the mesh: both are sequence
+    parallelism, so their product becomes the `sp` axis size (Ulysses vs
+    ring is then an attention-impl dispatch, parallel/sharding.py)."""
+    return MeshSpec(dp=dp, fsdp=fsdp, sp=ulysses_degree * ring_degree, tp=tp)
+
+
+def auto_mesh_spec(n_devices: int, num_heads: int = 40) -> MeshSpec:
+    """Factorize a device count into (sp, tp) automatically — the TPU
+    equivalent of the reference's world-size -> ulysses x ring tables
+    (model_server.py:149-191). All devices go to `sp` when the per-device
+    head count stays integral for Ulysses; otherwise spill the remainder
+    into `tp`."""
+    if n_devices <= 1:
+        return MeshSpec()
+    # prefer the largest sp whose (tp, sp) split keeps Ulysses exact:
+    # heads % tp == 0 and (heads/tp) % sp == 0
+    for tp in sorted(d for d in range(1, n_devices + 1) if n_devices % d == 0):
+        sp = n_devices // tp
+        if num_heads % tp == 0 and (num_heads // tp) % sp == 0:
+            return MeshSpec(sp=sp, tp=tp)
+    return MeshSpec(sp=n_devices)  # ring attention backstop
+
+
 # ---------------------------------------------------------------------------
 # Canonical partition specs
 # ---------------------------------------------------------------------------

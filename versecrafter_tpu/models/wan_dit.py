@@ -236,9 +236,7 @@ def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
     q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
     if attn_impl == "sp":
         from versecrafter_tpu.parallel.sharding import sequence_parallel_attention
-        assert tuple(window_size) == (-1, -1), \
-            "sliding-window + sequence parallelism is not implemented"
-        out = sequence_parallel_attention(q, k, v)
+        out = sequence_parallel_attention(q, k, v, window_size=window_size)
     else:
         out = flash_attention(q, k, v, impl=attn_impl,
                               window_size=window_size)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from versecrafter_tpu.kernels.flash_attention import flash_attention
 
@@ -123,16 +123,19 @@ def constrain_tokens(x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                      k_lens=None) -> jnp.ndarray:
+                      k_lens=None, window_size=(-1, -1)) -> jnp.ndarray:
     """Self-attention for [B, N, S, D] with the sequence sharded over `sp`
     and heads over `tp`.
 
     all_to_all over sp: [B, N/tp, S/sp, D] -> [B, N/(tp*sp), S, D]; exact
     local flash attention over the full sequence; all_to_all back. Requires
-    (N/tp) % sp == 0 (40 heads / sp<=8: fine)."""
+    (N/tp) % sp == 0 (40 heads / sp<=8: fine). A sliding window composes
+    trivially: after the all_to_all each shard holds the FULL sequence, so
+    the windowed kernel applies unchanged (the reference composes
+    window_size with USP the hard way, wan_transformer3d.py:399)."""
     ctx = current_mesh()
     if ctx is None:
-        return flash_attention(q, k, v, k_lens=k_lens)
+        return flash_attention(q, k, v, k_lens=k_lens, window_size=window_size)
     mesh, dp, sp, tp = ctx["mesh"], ctx["dp"], ctx["sp"], ctx["tp"]
     sp_size = mesh.shape[sp]
     spec = P(dp, tp, sp, None)
@@ -142,13 +145,13 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             ql = jax.lax.all_to_all(ql, sp, split_axis=1, concat_axis=2, tiled=True)
             kl = jax.lax.all_to_all(kl, sp, split_axis=1, concat_axis=2, tiled=True)
             vl = jax.lax.all_to_all(vl, sp, split_axis=1, concat_axis=2, tiled=True)
-        o = flash_attention(ql, kl, vl)
+        o = flash_attention(ql, kl, vl, window_size=window_size)
         if sp_size > 1:
             o = jax.lax.all_to_all(o, sp, split_axis=2, concat_axis=1, tiled=True)
         return o
 
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v)
+                     out_specs=spec, check_vma=False)(q, k, v)
 
 
 def ring_sp_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -168,18 +171,28 @@ def ring_sp_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
     return shard_map(
         lambda ql, kl, vl: ring_attention(ql, kl, vl, axis_name=sp),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False)(q, k, v)
+        check_vma=False)(q, k, v)
 
 
-def sequence_parallel_attention(q, k, v) -> jnp.ndarray:
-    """Pick Ulysses (head-scatter) when heads divide evenly, else ring."""
+def sequence_parallel_attention(q, k, v, window_size=(-1, -1)) -> jnp.ndarray:
+    """Pick Ulysses (head-scatter) when heads divide evenly, else ring.
+
+    A sliding window forces the Ulysses path (full sequence is local after
+    the all_to_all); the ring would need per-shard window offsets in the
+    merge — not implemented."""
     ctx = current_mesh()
     if ctx is None:
-        return flash_attention(q, k, v)
+        return flash_attention(q, k, v, window_size=window_size)
     mesh, sp, tp = ctx["mesh"], ctx["sp"], ctx["tp"]
     heads_local = q.shape[1] // mesh.shape[tp]
+    windowed = tuple(window_size) != (-1, -1)
     if heads_local % mesh.shape[sp] == 0:
-        return ulysses_attention(q, k, v)
+        return ulysses_attention(q, k, v, window_size=window_size)
+    if windowed:
+        raise NotImplementedError(
+            f"window_size={tuple(window_size)} with sp={mesh.shape[sp]} needs "
+            f"the Ulysses path, but heads/tp={heads_local} is not divisible "
+            f"by sp (ring attention does not support windows)")
     return ring_sp_attention(q, k, v)
 
 
@@ -198,4 +211,4 @@ def sp_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return flash_attention(ql, kl, vl)
 
     return shard_map(local, mesh=mesh, in_specs=(qspec, kvspec, kvspec),
-                     out_specs=qspec, check_rep=False)(q, k, v)
+                     out_specs=qspec, check_vma=False)(q, k, v)

@@ -74,6 +74,12 @@ class VerseCrafterPipeline:
     scheduler_name: str = "unipc"
     scheduler_cfg: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
     attn_impl: str = "auto"
+    # Multi-chip inference: a jax.sharding.Mesh (core.mesh.make_mesh). When
+    # set, DiT params are sharded (fsdp/tp), activations ride the sp axis via
+    # attn_impl="sp", and the denoise step compiles as one GSPMD program —
+    # the TPU equivalent of the reference's torchrun --ulysses_degree
+    # --ring_degree path (versecrafter_inference.py:271-281).
+    mesh: Any = None
     # Wan2.2 timestep-MoE: a second (high-noise) expert selected when
     # sigma >= moe_boundary (transformer_combination_type 'moe',
     # config/wan2.2/wan_civitai_t2v.yaml:3-8). Same architecture/config as
@@ -94,6 +100,33 @@ class VerseCrafterPipeline:
                 self.dit_cfg.head_dim, self.dit_cfg.rope_max_pos,
                 self.dit_cfg.rope_theta))
         self._jit_cache: Dict[Any, Callable] = {}
+        if self.mesh is not None:
+            self.set_mesh(self.mesh)
+
+    def set_mesh(self, mesh):
+        """Shard the pipeline onto a device mesh: DiT params over (fsdp, tp),
+        text/VAE weights replicated, attention switched to the
+        sequence-parallel collectives. Idempotent (device_put of an already
+        correctly-sharded tree is a no-op)."""
+        from versecrafter_tpu.parallel.sharding import (
+            replicate, shard_dit_params)
+        self.mesh = mesh
+        if mesh is None or mesh.size == 1:
+            return
+        self.dit_params = shard_dit_params(self.dit_params, mesh)
+        if self.dit_params_high is not None:
+            self.dit_params_high = shard_dit_params(self.dit_params_high, mesh)
+        if self.t5_params is not None:
+            self.t5_params = replicate(self.t5_params, mesh)
+        if self.vae_params is not None:
+            self.vae_params = replicate(self.vae_params, mesh)
+        self.attn_impl = "sp"
+        self._jit_cache.clear()
+
+    def _mesh_ctx(self):
+        from versecrafter_tpu.parallel.sharding import mesh_context
+        return mesh_context(
+            self.mesh if self.mesh is not None and self.mesh.size > 1 else None)
 
     # -- acceleration toggles (reference API parity:
     #    enable_teacache / enable_cfg_skip / enable_riflex) ----------------
@@ -245,6 +278,12 @@ class VerseCrafterPipeline:
                 gtok = _linear(dit_params["geoada_patch_embedding"],
                                patchify(g, dit_cfg.patch_size)) \
                     if dit_cfg.has_geoadapter else None
+                if self.attn_impl == "sp":
+                    from versecrafter_tpu.parallel.sharding import (
+                        constrain_tokens)
+                    tokens = constrain_tokens(tokens)
+                    if gtok is not None:
+                        gtok = constrain_tokens(gtok)
 
                 def run(tk):
                     return wan_dit_blocks(
@@ -261,9 +300,39 @@ class VerseCrafterPipeline:
             if cfg_batched:
                 uncond, cond = jnp.split(pred, 2, axis=0)
                 pred = uncond + guidance * (cond - uncond)
+            from versecrafter_tpu.parallel.sharding import current_mesh
+            ctx_mesh = current_mesh()
+            if ctx_mesh is not None:
+                # replicate the velocity prediction so the (tiny) host-side
+                # scheduler math sees a whole array — the reference's final
+                # all_gather(x, dim=1) (wan_transformer3d.py:1099-1100)
+                from jax.sharding import NamedSharding, PartitionSpec
+                pred = jax.lax.with_sharding_constraint(
+                    pred, NamedSharding(ctx_mesh["mesh"], PartitionSpec()))
             return pred, new_state
 
         return jax.jit(fn, donate_argnums=(8,))
+
+    def _shard_tea_state(self, state: tc.TeaCacheState) -> tc.TeaCacheState:
+        """Place TeaCache state on the mesh: residuals sharded like the token
+        activations (dp, sp), the small per-row stats replicated — the
+        sharded analogue of the reference's per-rank residual caches
+        (wan_transformer3d.py:1068)."""
+        if self.mesh is None or self.mesh.size == 1:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        res_spec = P("dp", "sp", None)
+        b, s, _ = state.prev_residual.shape
+        if b % self.mesh.shape["dp"] or s % self.mesh.shape["sp"]:
+            res_spec = P()
+        return tc.TeaCacheState(
+            prev_mod=jax.device_put(
+                state.prev_mod, NamedSharding(self.mesh, P())),
+            prev_residual=jax.device_put(
+                state.prev_residual, NamedSharding(self.mesh, res_spec)),
+            accum=jax.device_put(state.accum, NamedSharding(self.mesh, P())),
+            valid=jax.device_put(state.valid, NamedSharding(self.mesh, P())),
+        )
 
     def _get_denoise(self, cfg_batched: bool, key_extra=()):
         key = (cfg_batched, self.teacache_threshold, self.teacache_skip_start,
@@ -327,33 +396,37 @@ class VerseCrafterPipeline:
         do_cfg = guidance_scale > 1.0
         tea_batch = 2 * batch if do_cfg else batch
         tea_state = tc.init_state(tea_batch, seq_len, self.dit_cfg.dim, dtype)
+        tea_state = self._shard_tea_state(tea_state)
         skip_from = num_inference_steps * (1.0 - self.cfg_skip_ratio)
 
         guidance = jnp.asarray(guidance_scale, jnp.float32)
         gscale = jnp.asarray(geoada_context_scale, jnp.float32)
 
-        for i, t in enumerate(timesteps):
-            use_cfg = do_cfg and not (
-                self.cfg_skip_ratio > 0.0 and i >= skip_from)
-            if use_cfg != (tea_state.prev_residual.shape[0] == 2 * batch):
-                # entering the cfg-skip window: keep the cond half of the cache
-                tea_state = tc.TeaCacheState(
-                    prev_mod=tea_state.prev_mod[-batch:],
-                    prev_residual=tea_state.prev_residual[-batch:],
-                    accum=tea_state.accum, valid=tea_state.valid)
-            fn = self._get_denoise(use_cfg)
-            # Wan2.2 MoE expert selection by noise level (sigma = t / T)
-            sigma = float(t) / self.scheduler_cfg.num_train_timesteps
-            use_high = (self.dit_params_high is not None
-                        and sigma >= self.moe_boundary)
-            dit_params = self.dit_params_high if use_high else self.dit_params
-            noise_pred, tea_state = fn(
-                dit_params, latents, jnp.asarray(float(t), jnp.float32),
-                jnp.asarray(i, jnp.int32), context, geoada_context, cos, sin,
-                tea_state, guidance, gscale)
-            latents = sched.step(noise_pred, i, latents)
-            if progress is not None:
-                progress(i + 1, num_inference_steps)
+        with self._mesh_ctx():
+            for i, t in enumerate(timesteps):
+                use_cfg = do_cfg and not (
+                    self.cfg_skip_ratio > 0.0 and i >= skip_from)
+                if use_cfg != (tea_state.prev_residual.shape[0] == 2 * batch):
+                    # entering the cfg-skip window: keep the cond half of the
+                    # cache (per-row accum/valid slice with it)
+                    tea_state = self._shard_tea_state(tc.TeaCacheState(
+                        prev_mod=tea_state.prev_mod[-batch:],
+                        prev_residual=tea_state.prev_residual[-batch:],
+                        accum=tea_state.accum[-batch:],
+                        valid=tea_state.valid[-batch:]))
+                fn = self._get_denoise(use_cfg)
+                # Wan2.2 MoE expert selection by noise level (sigma = t / T)
+                sigma = float(t) / self.scheduler_cfg.num_train_timesteps
+                use_high = (self.dit_params_high is not None
+                            and sigma >= self.moe_boundary)
+                dit_params = self.dit_params_high if use_high else self.dit_params
+                noise_pred, tea_state = fn(
+                    dit_params, latents, jnp.asarray(float(t), jnp.float32),
+                    jnp.asarray(i, jnp.int32), context, geoada_context, cos, sin,
+                    tea_state, guidance, gscale)
+                latents = sched.step(noise_pred, i, latents)
+                if progress is not None:
+                    progress(i + 1, num_inference_steps)
 
         if n_ref:  # strip the prepended reference-frame slots (pipeline:927-930)
             latents = latents[:, :, n_ref:]

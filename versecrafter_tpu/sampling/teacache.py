@@ -7,13 +7,18 @@ inference/versecrafter_inference.py:306): accumulate a polynomial-rescaled
 relative-L1 distance of the time-modulation tensor e0 across steps; when the
 accumulator stays below threshold, skip the transformer blocks and reuse the
 previous residual; never skip the first `skip_start` steps; reset the
-accumulator whenever a full forward runs.
+accumulator whenever a full forward runs. The reference tracks the cond and
+uncond CFG branches SEPARATELY (wan_transformer3d.py:205-245 keyed by
+`cond_flag`): each branch has its own accumulator and skips independently.
 
-TPU-native design: the decision is a traced scalar and the skip is a
+TPU-native design: the decision is a traced per-row vector and the skip is a
 `lax.cond` over the blocks section — the whole denoise step stays one
 compiled program, no host round-trip and no CPU offload of residuals (the
 reference clones residuals to CPU; here they stay device-resident, sharded
-like the activations)."""
+like the activations). With the CFG pair batched into one forward, rows skip
+independently via a per-row select; the expensive blocks run only when ANY
+row needs a fresh pass (identical numerics to the reference's per-branch
+caches — a row below threshold always uses its own cached residual)."""
 
 from __future__ import annotations
 
@@ -31,16 +36,16 @@ VERSECRAFTER_COEFFS = (
 class TeaCacheState(NamedTuple):
     prev_mod: jnp.ndarray       # [B, 6, D] fp32 — previous e0
     prev_residual: jnp.ndarray  # [B, S, D] — previous blocks residual
-    accum: jnp.ndarray          # scalar fp32 accumulated rescaled distance
-    valid: jnp.ndarray          # scalar bool — prev_mod/res populated
+    accum: jnp.ndarray          # [B] fp32 accumulated rescaled distance
+    valid: jnp.ndarray          # [B] bool — prev_mod/res populated
 
 
 def init_state(batch: int, seq: int, dim: int, dtype=jnp.bfloat16) -> TeaCacheState:
     return TeaCacheState(
         prev_mod=jnp.zeros((batch, 6, dim), jnp.float32),
         prev_residual=jnp.zeros((batch, seq, dim), dtype),
-        accum=jnp.zeros((), jnp.float32),
-        valid=jnp.zeros((), jnp.bool_),
+        accum=jnp.zeros((batch,), jnp.float32),
+        valid=jnp.zeros((batch,), jnp.bool_),
     )
 
 
@@ -64,28 +69,31 @@ def gated_blocks(
     """Wrap the transformer-blocks section with the TeaCache gate.
 
     run_blocks: tokens -> tokens (the expensive part).
-    Returns (tokens_out, new_state)."""
-    rel = jnp.mean(jnp.abs(e0 - state.prev_mod)) / jnp.maximum(
-        jnp.mean(jnp.abs(state.prev_mod)), 1e-8)
+    Returns (tokens_out, new_state). Rows (CFG branches) decide
+    independently; the blocks run once for the whole batch iff any row
+    needs a fresh pass."""
+    # per-row relative L1 of the modulation drift (reference rel_l1 per branch)
+    rel = (jnp.mean(jnp.abs(e0 - state.prev_mod), axis=(1, 2))
+           / jnp.maximum(jnp.mean(jnp.abs(state.prev_mod), axis=(1, 2)), 1e-8))
     accum = state.accum + _poly(coefficients, rel)
 
     must_calc = jnp.logical_or(
         step_index < skip_start, jnp.logical_not(state.valid))
-    should_calc = jnp.logical_or(must_calc, accum >= threshold)
+    should_calc = jnp.logical_or(must_calc, accum >= threshold)  # [B]
 
-    def do_calc(_):
-        out = run_blocks(tokens)
-        return out, (out - tokens).astype(state.prev_residual.dtype), jnp.zeros((), jnp.float32)
-
-    def do_skip(_):
-        out = tokens + state.prev_residual.astype(tokens.dtype)
-        return out, state.prev_residual, accum
-
-    out, residual, new_accum = jax.lax.cond(should_calc, do_calc, do_skip, None)
+    fresh = jax.lax.cond(jnp.any(should_calc), run_blocks,
+                         lambda tk: tk, tokens)
+    sel = should_calc[:, None, None]
+    cached = tokens + state.prev_residual.astype(tokens.dtype)
+    out = jnp.where(sel, fresh, cached)
+    residual = jnp.where(
+        sel, (fresh - tokens).astype(state.prev_residual.dtype),
+        state.prev_residual)
+    new_accum = jnp.where(should_calc, 0.0, accum)
     new_state = TeaCacheState(
         prev_mod=e0.astype(jnp.float32),
         prev_residual=residual,
         accum=new_accum,
-        valid=jnp.ones((), jnp.bool_),
+        valid=jnp.ones_like(state.valid),
     )
     return out, new_state

@@ -55,6 +55,45 @@ class ApiServer:
         self._pipeline = None
         self._pipeline_factory = pipeline_factory
         self._loading_lock = threading.Lock()
+        self._model_loading = False
+        self._model_load_error: Optional[str] = None
+
+    # -- model lifecycle (reference api_server.py:492-751, 793-866:
+    #    background load so the first /api/generate doesn't eat the full
+    #    load+compile latency) -----------------------------------------------
+    def _load_pipeline_locked(self):
+        from versecrafter_tpu.serve.model_server import default_pipeline_factory
+        factory = self._pipeline_factory or default_pipeline_factory()
+        self._pipeline = factory()
+
+    def start_model_loading_async(self):
+        """Kick off model loading in a background thread (non-blocking);
+        progress is surfaced via /api/model_status. No-op when already
+        loaded/loading or when generation is remote."""
+        with self._loading_lock:
+            if (self._pipeline is not None or self._model_loading
+                    or self.model_server_url):
+                return
+            self._model_loading = True
+
+        def worker():
+            try:
+                with self._loading_lock:
+                    if self._pipeline is None:
+                        self._load_pipeline_locked()
+                self._model_load_error = None
+            except Exception as e:  # noqa: BLE001 — surfaced via model_status
+                self._model_load_error = str(e)
+            finally:
+                self._model_loading = False
+
+        threading.Thread(target=worker, daemon=True).start()
+
+    def model_loading_status(self) -> dict:
+        return {"model_loaded": self._pipeline is not None,
+                "loading": self._model_loading,
+                "error": self._model_load_error,
+                "model_server_url": self.model_server_url}
 
     # -- path-traversal guard (get_safe_filepath semantics) -----------------
     def safe_path(self, name: str) -> str:
@@ -195,23 +234,20 @@ class ApiServer:
 
     def _generate_in_process(self, task_id: str, params: dict):
         from versecrafter_tpu.serve.model_server import (
-            ModelServer, default_pipeline_factory)
+            run_generate_request, save_generated_video)
 
-        with self._loading_lock:
+        with self._loading_lock:  # waits out any in-flight background load
             if self._pipeline is None:
                 self.tasks.update(task_id, status=RUNNING, message="loading model")
-                factory = self._pipeline_factory or default_pipeline_factory()
-                self._pipeline = factory()
+                self._load_pipeline_locked()
         self.tasks.update(task_id, status=RUNNING, message="generating")
 
         def progress(i, n):
             self.tasks.update(task_id, progress=int(100 * i / n),
                               message=f"step {i}/{n}")
 
-        ms = ModelServer.__new__(ModelServer)  # reuse generation logic only
-        ms.output_dir = params["save_path"]
-        video = ms._generate(self._pipeline, params, progress)
-        out = ms._save(video, params)
+        video = run_generate_request(self._pipeline, params, progress)
+        out = save_generated_video(video, params, params["save_path"])
         self.tasks.update(task_id, status=COMPLETED, progress=100,
                           result={"video_path": os.path.relpath(out, self.workdir)})
 
@@ -274,18 +310,29 @@ def build_router(server: ApiServer) -> Router:
             f.write(req.body)
         return 200, {"filename": name, "size": len(req.body)}
 
-    @r.route("GET", "/api/upload_base64_get")
-    def upload_b64(req):
-        name = req.query.get("filename")
-        data = req.query.get("data", "")
+    def _write_b64(name, data, append=False):
         if not name:
             return 400, {"error": "filename required"}
         p = server.safe_path(name)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        mode = "ab" if req.query.get("append") == "1" else "wb"
-        with open(p, mode) as f:
+        with open(p, "ab" if append else "wb") as f:
             f.write(base64.b64decode(data))
-        return 200, {"filename": name}
+        return 200, {"success": True, "filename": name}
+
+    @r.route("GET", "/api/upload_base64_get")
+    def upload_b64(req):
+        return _write_b64(req.query.get("filename"), req.query.get("data", ""),
+                          append=req.query.get("append") == "1")
+
+    @r.route("POST", "/api/upload_base64")
+    def upload_b64_post(req):
+        """POST variant (reference api_server.py:1767-1804 accepts both)."""
+        body = req.json() or {}
+        return _write_b64(body.get("filename"), body.get("data", ""))
+
+    @r.route("GET", "/api/upload_base64")
+    def upload_b64_get_alias(req):
+        return _write_b64(req.query.get("filename"), req.query.get("data", ""))
 
     @r.route("POST", "/api/upload_chunk")
     def upload_chunk(req):
@@ -339,16 +386,53 @@ def build_router(server: ApiServer) -> Router:
                      "offset": off, "total": total,
                      "done": off + len(chunk) >= total}
 
+    # --- file listing (reference api_server.py:1922-1943, scoped to the
+    #     workdir by the traversal guard) -----------------------------------
+    @r.route("GET", "/api/list_files")
+    def list_files(req):
+        rel = req.query.get("path", "")
+        try:
+            dirpath = server.safe_path(rel) if rel else server.workdir
+        except PermissionError as e:
+            return 400, {"error": str(e)}
+        if not os.path.isdir(dirpath):
+            return 404, {"error": f"Directory not found: {rel}"}
+        files = []
+        for item in sorted(os.listdir(dirpath)):
+            ip = os.path.join(dirpath, item)
+            files.append({"name": item,
+                          "path": os.path.relpath(ip, server.workdir),
+                          "is_dir": os.path.isdir(ip),
+                          "size": os.path.getsize(ip) if os.path.isfile(ip) else 0})
+        return 200, {"files": files, "path": rel}
+
+    # --- synchronous preprocess (reference api_server.py:2186-2236) --------
+    @r.route("POST", "/api/preprocess_sync")
+    def preprocess_sync(req):
+        params = req.json() or {}
+        if "image" not in params:
+            return 400, {"error": "Missing required field: image"}
+        t = server.tasks.create("preprocess_sync")
+        server.run_preprocess(t.task_id, params)  # blocking, in-request
+        st = server.tasks.get(t.task_id)
+        if st["status"] == COMPLETED:
+            return 200, {"status": "completed", "result": st["result"]}
+        return 500, {"status": "failed", "error": st.get("error")}
+
     # --- status / stats -------------------------------------------------------
     @r.route("GET", "/api/health")
     def health(req):
         return 200, {"status": "ok"}
 
+    @r.route("GET", "/health")
+    def health_top(req):
+        """Top-level health probe (reference api_server.py:1660-1665)."""
+        return 200, {"status": "ok", "server": "VerseCrafter API",
+                     "version": "1.0"}
+
     @r.route("GET", "/api/model_status")
     def model_status(req):
-        loaded = server._pipeline is not None
-        return 200, {"model_loaded": loaded,
-                     "model_server_url": server.model_server_url}
+        return 200, server.model_loading_status()
 
     @r.route("GET", "/system_stats")
     def system_stats(req):
@@ -377,13 +461,28 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8190)
     p.add_argument("--workdir", default="outputs/api")
     p.add_argument("--model_server_url", default=None)
+    p.add_argument("--model_path", default=None)
+    p.add_argument("--preload_model", action="store_true",
+                   help="load + compile the model in the background at "
+                        "startup (reference api_server.py:793-830); progress "
+                        "via /api/model_status")
+    p.add_argument("--auto_mesh", action="store_true",
+                   help="shard the in-process model over all visible devices")
     args = p.parse_args(argv)
 
     from versecrafter_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
+    factory = None
+    if args.model_path or args.auto_mesh:
+        from versecrafter_tpu.serve.model_server import default_pipeline_factory
+        factory = default_pipeline_factory(args.model_path,
+                                           auto_mesh=args.auto_mesh)
     server = ApiServer(workdir=args.workdir,
-                       model_server_url=args.model_server_url)
+                       model_server_url=args.model_server_url,
+                       pipeline_factory=factory)
+    if args.preload_model:
+        server.start_model_loading_async()
     httpd = make_server(build_router(server), args.host, args.port)
     print(f"api server on {args.host}:{args.port} (workdir {server.workdir})")
     httpd.serve_forever()

@@ -27,6 +27,72 @@ from versecrafter_tpu.serve.http import Router, make_server
 from versecrafter_tpu.serve.tasks import COMPLETED, FAILED, RUNNING, TaskRegistry
 
 
+def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
+    """Execute one generation request against a pipeline: load the control
+    maps by the reference's exact filename contract
+    (versecrafter_inference.py:351-417 — 4 control mp4s + merged_mask, mask
+    frame 0 zeroed, first control frame overwritten with the input image)
+    and run the pipeline. Shared by the model server, the API server's
+    in-process tier, and the inference CLI."""
+    from versecrafter_tpu.utils.video import load_image, load_video
+
+    maps_dir = params["rendering_maps_path"]
+    h = int(params.get("height", 480))
+    w = int(params.get("width", 832))
+    n = int(params.get("num_frames", 81))
+    fps = int(params.get("fps", 16))
+    control_names = ["background_RGB.mp4", "background_depth.mp4",
+                     "3D_gaussian_RGB.mp4", "3D_gaussian_depth.mp4"]
+    controls = []
+    for name in control_names:
+        p = os.path.join(maps_dir, name)
+        if os.path.exists(p):
+            controls.append(load_video(p, num_frames=n, size=(h, w), fps=fps))
+        elif controls:
+            controls.append(np.zeros_like(controls[0]))
+    if not controls:
+        raise FileNotFoundError(
+            f"no control maps in {maps_dir!r} (need at least "
+            f"{control_names[0]}; run the render step first)")
+    mask_p = os.path.join(maps_dir, "merged_mask.mp4")
+    if os.path.exists(mask_p):
+        mask = load_video(mask_p, num_frames=n, size=(h, w), fps=fps)[:, :1]
+        mask[:, :, 0] = 0.0  # frame 0 preserved (versecrafter_inference.py:394)
+    else:
+        mask = np.ones((1, 1, n, h, w), np.float32)
+    if params.get("input_image_path"):
+        img = load_image(params["input_image_path"], size=(h, w))
+        controls[0][:, :, 0] = img[:, :, 0]
+
+    return pipe(
+        params.get("prompt", ""),
+        negative_prompt=params.get("negative_prompt", ""),
+        control_videos=controls,
+        mask_video=mask,
+        height=h, width=w, num_frames=n,
+        num_inference_steps=int(params.get("num_inference_steps", 30)),
+        guidance_scale=float(params.get("guidance_scale", 5.0)),
+        shift=float(params.get("shift", 16.0)),
+        seed=int(params.get("seed", 2025)),
+        progress=progress,
+    )
+
+
+def save_generated_video(video: np.ndarray, params: dict,
+                         default_dir: str = "outputs/serve") -> str:
+    """Write generated_video_N.mp4 (reference rank-0 save,
+    versecrafter_inference.py:440-465)."""
+    from versecrafter_tpu.utils.video import save_video
+
+    out_dir = params.get("save_path", default_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    idx = len([p for p in os.listdir(out_dir)
+               if p.startswith("generated_video_")])
+    path = os.path.join(out_dir, f"generated_video_{idx}.mp4")
+    save_video(video[0], path, fps=int(params.get("fps", 16)))
+    return path
+
+
 class ModelServer:
     def __init__(self, pipeline_factory: Callable[[], Any],
                  output_dir: str = "outputs/serve"):
@@ -79,55 +145,10 @@ class ModelServer:
                                   message=traceback.format_exc()[-2000:])
 
     def _generate(self, pipe, params: dict, progress):
-        from versecrafter_tpu.utils.video import load_image, load_video
-
-        maps_dir = params["rendering_maps_path"]
-        h = int(params.get("height", 480))
-        w = int(params.get("width", 832))
-        n = int(params.get("num_frames", 81))
-        fps = int(params.get("fps", 16))
-        control_names = ["background_RGB.mp4", "background_depth.mp4",
-                         "3D_gaussian_RGB.mp4", "3D_gaussian_depth.mp4"]
-        controls = []
-        for name in control_names:
-            p = os.path.join(maps_dir, name)
-            if os.path.exists(p):
-                controls.append(load_video(p, num_frames=n, size=(h, w), fps=fps))
-            elif controls:
-                controls.append(np.zeros_like(controls[0]))
-        mask_p = os.path.join(maps_dir, "merged_mask.mp4")
-        if os.path.exists(mask_p):
-            mask = load_video(mask_p, num_frames=n, size=(h, w), fps=fps)[:, :1]
-            mask[:, :, 0] = 0.0  # frame 0 preserved (versecrafter_inference.py:394)
-        else:
-            mask = np.ones((1, 1, n, h, w), np.float32)
-        if params.get("input_image_path"):
-            img = load_image(params["input_image_path"], size=(h, w))
-            controls[0][:, :, 0] = img[:, :, 0]
-
-        return pipe(
-            params.get("prompt", ""),
-            negative_prompt=params.get("negative_prompt", ""),
-            control_videos=controls,
-            mask_video=mask,
-            height=h, width=w, num_frames=n,
-            num_inference_steps=int(params.get("num_inference_steps", 30)),
-            guidance_scale=float(params.get("guidance_scale", 5.0)),
-            shift=float(params.get("shift", 16.0)),
-            seed=int(params.get("seed", 2025)),
-            progress=progress,
-        )
+        return run_generate_request(pipe, params, progress)
 
     def _save(self, video: np.ndarray, params: dict) -> str:
-        from versecrafter_tpu.utils.video import save_video
-
-        out_dir = params.get("save_path", self.output_dir)
-        os.makedirs(out_dir, exist_ok=True)
-        idx = len([p for p in os.listdir(out_dir)
-                   if p.startswith("generated_video_")])
-        path = os.path.join(out_dir, f"generated_video_{idx}.mp4")
-        save_video(video[0], path, fps=int(params.get("fps", 16)))
-        return path
+        return save_generated_video(video, params, self.output_dir)
 
     def submit(self, params: dict) -> str:
         t = self.tasks.create("generate")
@@ -163,17 +184,42 @@ def build_router(server: ModelServer) -> Router:
     return r
 
 
+def resolve_mesh(mesh_spec=None, auto: bool = False,
+                 num_heads: int = 40):
+    """Build the inference mesh from a MeshSpec / ulysses-style flags.
+    Returns None on a single device (plain single-chip path)."""
+    import jax
+
+    from versecrafter_tpu.core.mesh import auto_mesh_spec, make_mesh
+
+    n = len(jax.devices())
+    if auto and mesh_spec is None:
+        mesh_spec = auto_mesh_spec(n, num_heads=num_heads)
+    if mesh_spec is None or mesh_spec.size == 1:
+        return None
+    if mesh_spec.size > n:
+        raise ValueError(
+            f"mesh {mesh_spec.shape} needs {mesh_spec.size} devices, "
+            f"have {n}")
+    return make_mesh(mesh_spec, devices=jax.devices()[:mesh_spec.size])
+
+
 def default_pipeline_factory(model_path: Optional[str] = None,
-                             dtype_name: str = "bfloat16"):
+                             dtype_name: str = "bfloat16",
+                             mesh_spec=None, auto_mesh: bool = False,
+                             scale: str = "1.3b"):
     """Build the flagship pipeline: converted checkpoints when model_path is
-    given, random-init 1.3B otherwise (offline bring-up)."""
+    given, random-init otherwise (offline bring-up; scale '1.3b' for the
+    single-chip flagship, 'tiny' for wiring smokes on slow backends).
+    mesh_spec / auto_mesh shard it for multi-chip inference (the reference's
+    --ulysses_degree/--ring_degree serving path, model_server.py:149-191)."""
     def factory():
         import dataclasses
         import jax
         import jax.numpy as jnp
 
         from versecrafter_tpu.core.config import (
-            T5Config, VAEConfig, WAN21_1_3B)
+            T5Config, VAEConfig, WAN21_1_3B, WanDiTConfig)
         from versecrafter_tpu.models.t5 import init_t5
         from versecrafter_tpu.models.vae import init_vae
         from versecrafter_tpu.models.wan_dit import init_wan_dit
@@ -182,12 +228,20 @@ def default_pipeline_factory(model_path: Optional[str] = None,
         dtype = getattr(jnp, dtype_name)
         if model_path:
             from versecrafter_tpu.core.convert import load_versecrafter
-            return load_versecrafter(model_path, dtype=dtype)
+            pipe = load_versecrafter(model_path, dtype=dtype)
+            pipe.set_mesh(resolve_mesh(mesh_spec, auto_mesh,
+                                       pipe.dit_cfg.num_heads))
+            return pipe
         t5_cfg = T5Config(num_layers=2, dim=512, dim_attn=512, dim_ffn=1024,
                           num_heads=8, vocab=1024)
         # offline bring-up: text_dim must match the stub T5's output width
-        cfg = dataclasses.replace(WAN21_1_3B, geoada_layers=(),
-                                  geoada_in_dim=128, text_dim=t5_cfg.dim)
+        if scale == "tiny":
+            cfg = WanDiTConfig(dim=128, ffn_dim=256, num_heads=8,
+                               num_layers=4, geoada_layers=(),
+                               geoada_in_dim=128, text_dim=t5_cfg.dim)
+        else:
+            cfg = dataclasses.replace(WAN21_1_3B, geoada_layers=(),
+                                      geoada_in_dim=128, text_dim=t5_cfg.dim)
         return VerseCrafterPipeline(
             dit_params=jax.jit(lambda k: init_wan_dit(k, cfg, dtype))(jax.random.key(0)),
             dit_cfg=cfg,
@@ -195,6 +249,7 @@ def default_pipeline_factory(model_path: Optional[str] = None,
             vae_cfg=VAEConfig(),
             t5_params=init_t5(jax.random.key(2), t5_cfg, dtype),
             t5_cfg=t5_cfg,
+            mesh=resolve_mesh(mesh_spec, auto_mesh, cfg.num_heads),
         )
     return factory
 
@@ -205,13 +260,24 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8191)
     p.add_argument("--model_path", default=None)
     p.add_argument("--output_dir", default="outputs/serve")
+    p.add_argument("--ulysses_degree", type=int, default=1)
+    p.add_argument("--ring_degree", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--auto_mesh", action="store_true",
+                   help="factorize all visible devices into (sp, tp) "
+                        "automatically (reference model_server.py:149-191)")
     args = p.parse_args(argv)
 
     from versecrafter_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
-    server = ModelServer(default_pipeline_factory(args.model_path),
-                         output_dir=args.output_dir)
+    from versecrafter_tpu.core.mesh import spec_from_degrees
+    spec = spec_from_degrees(args.ulysses_degree, args.ring_degree, args.tp)
+    server = ModelServer(
+        default_pipeline_factory(args.model_path,
+                                 mesh_spec=spec if spec.size > 1 else None,
+                                 auto_mesh=args.auto_mesh),
+        output_dir=args.output_dir)
     httpd = make_server(build_router(server), args.host, args.port)
     print(f"model server on {args.host}:{args.port}")
     httpd.serve_forever()

@@ -36,20 +36,47 @@ def _lin(p, x):
     return jnp.dot(x, p["weight"].astype(x.dtype)) + p["bias"].astype(x.dtype)
 
 
+def _bicubic_weights(n_out: int, n_in: int, a: float = -0.75) -> np.ndarray:
+    """Torch F.interpolate(mode='bicubic', align_corners=False,
+    antialias=False) as an [n_out, n_in] matrix: half-pixel coordinate map,
+    cubic-convolution kernel A=-0.75, index clamping at borders."""
+    w = np.zeros((n_out, n_in), np.float64)
+    scale = n_in / n_out
+    for o in range(n_out):
+        x = (o + 0.5) * scale - 0.5
+        i0 = math.floor(x)
+        for k in range(-1, 3):
+            t = abs(x - (i0 + k))
+            if t <= 1.0:
+                c = (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+            elif t < 2.0:
+                c = a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+            else:
+                c = 0.0
+            w[o, min(max(i0 + k, 0), n_in - 1)] += c
+    return w.astype(np.float32)
+
+
 def _interp_pos(pos: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
     cls, grid = pos[:, :1], pos[:, 1:]
     side = int(math.sqrt(grid.shape[1]))
     if (gh, gw) == (side, side):
         return pos
-    grid = grid.reshape(1, side, side, -1)
-    grid = jax.image.resize(grid, (1, gh, gw, grid.shape[-1]), "bicubic")
-    return jnp.concatenate([cls, grid.reshape(1, gh * gw, -1)], 1)
+    grid = grid.reshape(1, side, side, -1).astype(jnp.float32)
+    wh = jnp.asarray(_bicubic_weights(gh, side))
+    ww = jnp.asarray(_bicubic_weights(gw, side))
+    grid = jnp.einsum("oh,bhwc->bowc", wh, grid)
+    grid = jnp.einsum("ow,bhwc->bhoc", ww, grid)
+    return jnp.concatenate([cls, grid.reshape(1, gh * gw, -1)], 1).astype(pos.dtype)
 
 
 def dinov2_forward(params: Params, cfg: dict, pixels: jnp.ndarray,
-                   out_layers: Optional[Sequence[int]] = None):
+                   out_layers: Optional[Sequence[int]] = None,
+                   norm_taps: bool = False):
     """pixels [B, 3, H, W] (normalized) -> final tokens [B, 1+N, D]
-    (+ tapped per-layer tokens when out_layers given)."""
+    (+ tapped per-layer tokens when out_layers given; norm_taps applies the
+    final LayerNorm to each tap, matching dinov2
+    get_intermediate_layers(norm=True) as MoGe consumes it)."""
     b, _, H, W = pixels.shape
     ps = cfg["patch"]
     x = pixels.transpose(0, 2, 3, 1)
@@ -83,7 +110,10 @@ def dinov2_forward(params: Params, cfg: dict, pixels: jnp.ndarray,
             tapped[i] = x
     x = _ln(x, params["norm"])
     if out_layers is not None:
-        return x, [tapped[i] for i in out_layers]
+        taps = [tapped[i] for i in out_layers]
+        if norm_taps:
+            taps = [_ln(t, params["norm"]) for t in taps]
+        return x, taps
     return x
 
 
@@ -126,6 +156,55 @@ def convert_hf_dinov2(state_dict, cfg: dict, dtype=jnp.float32) -> Params:
             "fc1": lin(f"{pre}.mlp.fc1"),
             "fc2": lin(f"{pre}.mlp.fc2"),
             "ls2": jnp.asarray(g(f"{pre}.layer_scale2.lambda1"), dtype),
+        })
+        i += 1
+    return params
+
+
+def convert_fb_dinov2(state_dict, prefix: str = "", dtype=jnp.float32) -> Params:
+    """Convert an ORIGINAL facebookresearch/dinov2 state_dict (the layout
+    embedded in MoGe checkpoints under `backbone.*`: fused `attn.qkv`,
+    `ls1.gamma` LayerScale, `patch_embed.proj` conv)."""
+    def g(name):
+        t = state_dict[prefix + name]
+        return np.asarray(t.detach().cpu().float().numpy()
+                          if hasattr(t, "detach") else t)
+
+    def lnp(name):
+        return {"weight": jnp.asarray(g(f"{name}.weight"), jnp.float32),
+                "bias": jnp.asarray(g(f"{name}.bias"), jnp.float32)}
+
+    pw = g("patch_embed.proj.weight")  # [D, 3, ps, ps]
+    d = pw.shape[0]
+    params: Params = {
+        "patch_embed": {"weight": jnp.asarray(pw.reshape(d, -1).T, dtype),
+                        "bias": jnp.asarray(g("patch_embed.proj.bias"), dtype)},
+        "cls_token": jnp.asarray(g("cls_token"), dtype)[0],
+        "pos_embed": jnp.asarray(g("pos_embed"), dtype),
+        "norm": lnp("norm"),
+        "layers": [],
+    }
+    i = 0
+    while prefix + f"blocks.{i}.norm1.weight" in state_dict:
+        pre = f"blocks.{i}"
+        qkv_w = g(f"{pre}.attn.qkv.weight")  # [3D, D]
+        qkv_b = g(f"{pre}.attn.qkv.bias")
+        qw, kw, vw = np.split(qkv_w, 3, axis=0)
+        qb, kb, vb = np.split(qkv_b, 3, axis=0)
+        params["layers"].append({
+            "norm1": lnp(f"{pre}.norm1"),
+            "q": {"weight": jnp.asarray(qw.T, dtype), "bias": jnp.asarray(qb, dtype)},
+            "k": {"weight": jnp.asarray(kw.T, dtype), "bias": jnp.asarray(kb, dtype)},
+            "v": {"weight": jnp.asarray(vw.T, dtype), "bias": jnp.asarray(vb, dtype)},
+            "proj": {"weight": jnp.asarray(g(f"{pre}.attn.proj.weight").T, dtype),
+                     "bias": jnp.asarray(g(f"{pre}.attn.proj.bias"), dtype)},
+            "ls1": jnp.asarray(g(f"{pre}.ls1.gamma"), dtype),
+            "norm2": lnp(f"{pre}.norm2"),
+            "fc1": {"weight": jnp.asarray(g(f"{pre}.mlp.fc1.weight").T, dtype),
+                    "bias": jnp.asarray(g(f"{pre}.mlp.fc1.bias"), dtype)},
+            "fc2": {"weight": jnp.asarray(g(f"{pre}.mlp.fc2.weight").T, dtype),
+                    "bias": jnp.asarray(g(f"{pre}.mlp.fc2.bias"), dtype)},
+            "ls2": jnp.asarray(g(f"{pre}.ls2.gamma"), dtype),
         })
         i += 1
     return params

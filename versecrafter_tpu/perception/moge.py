@@ -7,16 +7,22 @@ Re-implements the capability the reference consumes through
 with inf-replacement (:75-85) and disparity-grayscale viz (:87-112).
 
 Architecture (MoGe public design): DINOv2 ViT-L/14 backbone, multi-level
-token taps fused by a DPT-style convolutional head predicting an
-affine-invariant point map [H, W, 3] + validity mask; camera intrinsics
-(focal, principal point at center) and the depth z-shift are recovered from
-the point map by minimizing reprojection error — implemented here as a
-closed-form focal solve under a shift grid search (`recover_focal_shift`),
-which is exact for noiseless pinhole point maps (tested).
+token taps fused by the MoGe convolutional head (perception/moge_head.py —
+UV-concat upsample pyramid of ResidualConvBlocks, torch-parity-tested)
+predicting an affine-invariant point map [H, W, 3] + validity mask; camera
+intrinsics (focal, principal point at center) and the depth z-shift are
+recovered from the point map by minimizing reprojection error — implemented
+here as a closed-form focal solve under a shift grid search
+(`recover_focal_shift`), which is exact for noiseless pinhole point maps
+(tested).
 
-Weights: convert_moge_checkpoint maps the public MoGe torch checkpoint; in
-this offline environment the network runs with random weights (shape-tested),
-but the recovery math and the IO contract are fully functional.
+Weights: `convert_moge_checkpoint` maps the public MoGe torch checkpoint
+(backbone.* in the original facebookresearch dinov2 layout, head.* in the
+MoGe Head layout); no real weights are mountable in this offline
+environment, so the converter is validated by round-trip against synthetic
+torch-layout state dicts plus torch-module parity of every head component
+(tests/test_moge_head.py), and a golden depth test activates via
+MOGE_CHECKPOINT (tests/test_perception.py).
 """
 
 from __future__ import annotations
@@ -122,24 +128,26 @@ def normalized_intrinsics(focal: float, h: int, w: int) -> np.ndarray:
 
 VIT_L = dict(patch=14, dim=1024, depth=24, heads=16)
 HEAD_TAPS = (5, 11, 17, 23)
+# ViT-L head defaults (MoGe released configs)
+HEAD_L = dict(dim_proj=512, dim_upsample=(256, 128, 64), num_res_blocks=2,
+              last_res_blocks=0, last_conv_channels=32, last_conv_size=1)
+# scaled-down head for tiny-backbone tests
+HEAD_TINY = dict(dim_proj=16, dim_upsample=(16, 8, 8), num_res_blocks=1,
+                 last_res_blocks=0, last_conv_channels=8, last_conv_size=1)
 
 
 def init_moge(key, dtype=jnp.float32, vit_kwargs: Optional[dict] = None,
-              backbone: str = "vit") -> Params:
+              backbone: str = "vit",
+              head_kwargs: Optional[dict] = None) -> Params:
     """backbone: 'vit' (generic) or 'dinov2' (the parity-validated MoGe
-    backbone, perception/dinov2.py — use with convert_hf_dinov2 weights)."""
+    backbone, perception/dinov2.py — use with converted weights)."""
+    from versecrafter_tpu.perception.moge_head import init_head
+
     vk = dict(VIT_L)
     vk.update(vit_kwargs or {})
-    ks = jax.random.split(key, 12)
-    dim = vk["dim"]
-    fdim = 256
-
-    def conv(key_, cin, cout, k=3):
-        fan = cin * k * k
-        return {"kernel": (jax.random.normal(key_, (cout, cin, k, k))
-                           / math.sqrt(fan)).astype(dtype),
-                "bias": jnp.zeros((cout,), dtype)}
-
+    hk = dict(HEAD_L if vk == VIT_L else HEAD_TINY)
+    hk.update(head_kwargs or {})
+    ks = jax.random.split(key, 2)
     if backbone == "dinov2":
         from versecrafter_tpu.perception.dinov2 import init_dinov2
         bb = init_dinov2(ks[0], dict(hidden=vk["dim"], depth=vk["depth"],
@@ -147,42 +155,27 @@ def init_moge(key, dtype=jnp.float32, vit_kwargs: Optional[dict] = None,
                                      mlp_ratio=4), dtype=dtype)
     else:
         bb = init_vit(ks[0], dtype=dtype, **vk)
+    taps = tuple(
+        max(0, min(vk["depth"] - 1,
+                   int(round((i + 1) * vk["depth"] / 4)) - 1))
+        for i in range(4))
     return {
         "vit": bb,
-        "vit_cfg": None,  # static info lives in _static
-        "neck": [
-            {"proj": conv(jax.random.fold_in(ks[1], i), dim, fdim, 1)}
-            for i in range(len(HEAD_TAPS))
-        ],
-        "fuse": [conv(jax.random.fold_in(ks[2], i), fdim, fdim) for i in range(len(HEAD_TAPS))],
-        "out1": conv(ks[3], fdim, fdim // 2),
-        "out2": conv(ks[4], fdim // 2, 4),  # xyz + mask logit
+        "head": init_head(ks[1], dim_in=vk["dim"], num_features=len(taps),
+                          dim_out=4, dtype=dtype, **hk),
         "_static": {"patch": vk["patch"], "heads": vk["heads"],
-                    "backbone": backbone,
-                    # 4 evenly spaced taps (ViT-L/24 -> 5,11,17,23)
-                    "taps": tuple(
-                        max(0, min(vk["depth"] - 1,
-                                   int(round((i + 1) * vk["depth"] / 4)) - 1))
-                        for i in range(4))},
+                    "backbone": backbone, "taps": taps},
     }
-
-
-def _conv2d(p, x, stride=1):
-    kh = p["kernel"].shape[2]
-    pad = kh // 2
-    dn = jax.lax.conv_dimension_numbers(x.shape, p["kernel"].shape,
-                                        ("NHWC", "OIHW", "NHWC"))
-    y = jax.lax.conv_general_dilated(
-        x, p["kernel"].astype(x.dtype), (stride, stride),
-        [(pad, pad), (pad, pad)], dimension_numbers=dn)
-    return y + p["bias"].astype(y.dtype)
 
 
 def moge_forward(params: Params, image: jnp.ndarray):
     """image [B, H, W, 3] in [0,1] -> (points [B,H,W,3], mask_logit [B,H,W]).
 
     Point map z is positive via exp; the affine ambiguity is resolved by
-    recover_focal_shift at infer time."""
+    recover_focal_shift at infer time. The head runs at patch_res x 8 and is
+    bilinearly resized to the image size (MoGe model forward semantics)."""
+    from versecrafter_tpu.perception.moge_head import head_forward
+
     st = params["_static"]
     patch, heads, taps = st["patch"], st["heads"], st["taps"]
     b, h, w, _ = image.shape
@@ -193,26 +186,63 @@ def moge_forward(params: Params, image: jnp.ndarray):
         cfg = dict(hidden=params["vit"]["patch_embed"]["weight"].shape[1],
                    depth=len(params["vit"]["layers"]), heads=heads, patch=patch)
         _, feats = dinov2_forward(params["vit"], cfg,
-                                  x.transpose(0, 3, 1, 2), out_layers=taps)
+                                  x.transpose(0, 3, 1, 2), out_layers=taps,
+                                  norm_taps=True)
     else:
         _, feats = vit_forward(params["vit"], x, patch=patch, heads=heads,
                                out_layers=taps)
 
-    fused = None
-    for feat, neck, fuse in zip(feats, params["neck"], params["fuse"]):
-        grid = feat[:, -gh * gw:].reshape(b, gh, gw, -1)
-        f = _conv2d(neck["proj"], grid)
-        fused = f if fused is None else fused + f
-        fused = jax.nn.gelu(_conv2d(fuse, fused)) + fused
-
-    up = jax.image.resize(fused, (b, gh * 4, gw * 4, fused.shape[-1]), "bilinear")
-    up = jax.nn.gelu(_conv2d(params["out1"], up))
-    up = jax.image.resize(up, (b, h, w, up.shape[-1]), "bilinear")
-    out = _conv2d(params["out2"], up)
+    feats = [f[:, -gh * gw:] for f in feats]  # strip cls/prefix tokens
+    out = head_forward(params["head"], feats, gh, gw, aspect=w / h)
+    out = jax.image.resize(out, (b, h, w, out.shape[-1]), "bilinear")
     xy = out[..., :2]
     z = jnp.exp(jnp.clip(out[..., 2:3], -10.0, 10.0))
     mask_logit = out[..., 3]
     return jnp.concatenate([xy, z], -1), mask_logit
+
+
+def convert_moge_checkpoint(state_dict, dtype=jnp.float32,
+                            heads: Optional[int] = None
+                            ) -> Tuple[Params, Dict[str, Any]]:
+    """Convert a public MoGe torch checkpoint ({'model': sd} or flat sd):
+    `backbone.*` (original facebookresearch dinov2 layout, fused qkv) +
+    `head.*` (MoGe Head layout). Returns (params, report) where report lists
+    any keys the converter did not consume — the real-weight validation aid
+    for when checkpoints become mountable."""
+    from versecrafter_tpu.perception.dinov2 import convert_fb_dinov2
+    from versecrafter_tpu.perception.moge_head import convert_head
+
+    if "model" in state_dict and not hasattr(state_dict["model"], "shape"):
+        state_dict = state_dict["model"]
+
+    bb = convert_fb_dinov2(state_dict, prefix="backbone.", dtype=dtype)
+    head = convert_head(state_dict, prefix="head.", dtype=dtype)
+
+    depth = len(bb["layers"])
+    dim = bb["patch_embed"]["weight"].shape[1]
+    # ViT-S/B/L/g head counts (head count is not recoverable from weights)
+    heads_by_dim = {384: 6, 768: 12, 1024: 16, 1536: 24}
+    if heads is None:
+        heads = heads_by_dim.get(dim, max(1, dim // 64))
+    patch = int(state_dict["backbone.patch_embed.proj.weight"].shape[-1])
+    taps = tuple(
+        max(0, min(depth - 1, int(round((i + 1) * depth / 4)) - 1))
+        for i in range(4))
+
+    consumed_prefixes = ("backbone.", "head.")
+    leftover = sorted(
+        k for k in state_dict
+        if not k.startswith(consumed_prefixes)
+        and not k.endswith("mask_token"))  # inference never uses mask_token
+    params = {
+        "vit": bb,
+        "head": head,
+        "_static": {"patch": patch, "heads": heads,
+                    "backbone": "dinov2", "taps": taps},
+    }
+    return params, {"unconsumed_keys": leftover,
+                    "num_projects": len(head["projects"]),
+                    "backbone_depth": depth}
 
 
 def infer(params: Params, image: np.ndarray, fov_x: Optional[float] = None) -> dict:

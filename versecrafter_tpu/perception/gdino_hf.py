@@ -5,8 +5,8 @@ converted weights; see tests/test_gdino_parity.py).
 
 This validates the text-prompted detection capability the reference consumes
 from the Grounded-SAM-2 submodule (/root/reference/inference/
-grounded_sam2_infer.py:143-150). A compact TPU-shaped re-design also lives
-in perception/gdino.py; this module is the weight-compatible one.
+grounded_sam2_infer.py:143-150). It is the detection half of the
+segmenter's neural backend (masks come from perception/sam2.py).
 
 Pieces (exact module math of the public design):
 - Swin backbone (relative-position-bias windowed attention, shifted windows
@@ -726,3 +726,95 @@ def convert_hf_gdino(state_dict, cfg: dict, dtype=jnp.float32) -> Params:
         "query_position_embeddings": jnp.asarray(
             g("model.query_position_embeddings.weight"), dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# grounded post-processing (HF GroundingDinoProcessor semantics)
+# ---------------------------------------------------------------------------
+
+def postprocess_grounded_detections(logits, pred_boxes, input_ids,
+                                    box_threshold: float = 0.25,
+                                    text_threshold: float = 0.25):
+    """HF `post_process_grounded_object_detection` semantics
+    (processing_grounding_dino.py): score = max sigmoid over text tokens,
+    keep > box_threshold; per kept box, the posmap is the set of token
+    positions with prob > text_threshold (first and last positions always
+    excluded). Boxes are converted cxcywh -> xyxy, still normalized.
+
+    Returns a list of dicts per kept box: {score, box (xyxy normalized),
+    token_positions (np int array), probs (over text tokens)}."""
+    logits = np.asarray(logits[0], np.float32)
+    boxes = np.asarray(pred_boxes[0], np.float32)
+    L = np.asarray(input_ids).shape[-1]
+    probs = 1.0 / (1.0 + np.exp(-logits[:, :L]))
+    scores = probs.max(-1)
+    keep = np.where(scores > box_threshold)[0]
+    out = []
+    for q in keep:
+        posmap = probs[q] > text_threshold
+        posmap[0] = False
+        posmap[L - 1:] = False
+        cx, cy, w, h = boxes[q]
+        out.append({
+            "score": float(scores[q]),
+            "box": np.array([cx - w / 2, cy - h / 2,
+                             cx + w / 2, cy + h / 2], np.float32),
+            "token_positions": np.where(posmap)[0],
+            "probs": probs[q],
+        })
+    out.sort(key=lambda d: -d["score"])
+    return out
+
+
+def phrase_token_spans(tokenizer, phrases):
+    """Token-position span [start, end) of each prompt phrase inside the
+    '[CLS] p0 . p1 . ... [SEP]' encoding the segmenter builds. Returns
+    (input_ids [1, L], spans)."""
+    dot = tokenizer.convert_tokens_to_ids(".")
+    ids = [tokenizer.cls_token_id]
+    spans = []
+    for p in phrases:
+        toks = tokenizer(p, add_special_tokens=False)["input_ids"]
+        spans.append((len(ids), len(ids) + len(toks)))
+        ids.extend(toks)
+        ids.append(dot)
+    ids.append(tokenizer.sep_token_id)
+    return np.asarray([ids], np.int64), spans
+
+
+def assign_phrase(det: dict, spans) -> int:
+    """Map a detection's thresholded token posmap to the prompt phrase whose
+    span overlaps it most (the grounded-label step the reference gets from
+    GroundingDINO's get_phrases_from_posmap + decode,
+    grounded_sam2_infer.py:143-150); falls back to the span containing the
+    highest-probability token."""
+    pos = det["token_positions"]
+    overlaps = [np.sum((pos >= s) & (pos < e)) for s, e in spans]
+    if pos.size and max(overlaps) > 0:
+        return int(np.argmax(overlaps))
+    probs = det["probs"]
+    span_max = [probs[s:e].max() if e > s else 0.0 for s, e in spans]
+    return int(np.argmax(span_max))
+
+
+def nms_xyxy(boxes: np.ndarray, scores: np.ndarray,
+             iou_threshold: float = 0.5) -> list:
+    """Class-agnostic NMS, returns kept indices sorted by score."""
+    order = np.argsort(-scores)
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(int(i))
+        if order.size == 1:
+            break
+        rest = order[1:]
+        x0 = np.maximum(boxes[i, 0], boxes[rest, 0])
+        y0 = np.maximum(boxes[i, 1], boxes[rest, 1])
+        x1 = np.minimum(boxes[i, 2], boxes[rest, 2])
+        y1 = np.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area_r = (boxes[rest, 2] - boxes[rest, 0]) * (boxes[rest, 3] - boxes[rest, 1])
+        iou = inter / np.maximum(area_i + area_r - inter, 1e-9)
+        order = rest[iou <= iou_threshold]
+    return keep

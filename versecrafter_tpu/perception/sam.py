@@ -4,9 +4,10 @@ HuggingFace SamModel at fp32 tolerance with converted weights).
 
 This is the validated backbone for the segmentation capability the reference
 consumes through the Grounded-SAM-2 submodule (box-prompted masks,
-/root/reference/inference/grounded_sam2_infer.py:188-194) — SAM-image and
-SAM2-image prediction are interchangeable for single images; a Hiera-based
-SAM2 variant also lives in perception/sam2.py.
+/root/reference/inference/grounded_sam2_infer.py:188-194). The reference's
+actual mask model family is SAM2 (Hiera) — see perception/sam2.py, the
+HF-parity-validated port the segmenter uses by default; this SAM1 port stays
+for SAM-vit checkpoints (interchangeable for single-image box prompts).
 
 Components (exact module math of the public design):
 - ViT image encoder: 16x16 patch conv, absolute pos embed, windowed

@@ -7,8 +7,12 @@ area-ratio filter :201-225, per-object mask files mask_{id:02d}_{label}.png
 :352, combined mask + annotation txt) with pluggable detection/mask
 backends:
 
-- `backend="auto"`: JAX SAM2 + GroundingDINO ports when their weights are
-  available (scheduled build-out; see perception/sam2.py once landed);
+- `backend="neural"`: the HF-parity-validated GroundingDino port
+  (perception/gdino_hf.py) for text-prompted boxes -> the HF-parity-validated
+  SAM2 Hiera port (perception/sam2.py) for box-prompted masks — the same
+  model families the reference uses. Labels are phrase-grounded from the
+  per-token logits (text_threshold honored), resizing preserves aspect
+  ratio with padding, and class-agnostic NMS removes duplicates;
 - `backend="saliency"`: a dependency-free classical fallback (color k-means
   + depth-assisted component analysis) that produces usable object masks for
   driving the downstream pipeline in offline environments. Quality is NOT
@@ -44,10 +48,13 @@ class ImageSegmenter:
     max_objects: int = 5
     min_area_ratio: float = 0.002
     max_area_ratio: float = 0.6
-    # neural backend checkpoints (converted; perception/sam2.py, gdino.py)
+    # neural backend checkpoints (converted; perception/sam2.py, gdino_hf.py)
     sam2_params: object = None
     gdino_params: object = None
     tokenizer: object = None
+    # detector letterbox size (multiple of 32 x the Swin window tiling)
+    det_size: int = 896
+    nms_iou: float = 0.5
 
     def segment_image(self, image: np.ndarray, text_prompt: str,
                       depth: Optional[np.ndarray] = None) -> List[Detection]:
@@ -110,63 +117,87 @@ class ImageSegmenter:
                 dets.append(Detection(label, 0.5, (x, y, x + bw, y + bh), mask))
         return dets
 
-    # -- neural backend: GroundingDino boxes -> SAM masks --------------------
+    # -- neural backend: GroundingDino boxes -> SAM2 masks -------------------
+    @staticmethod
+    def _letterbox(image, size):
+        """Aspect-preserving resize (longest side -> size) with bottom/right
+        zero padding. Returns (padded float image 0..1, content_h, content_w)."""
+        import cv2
+        h, w = image.shape[:2]
+        scale = size / max(h, w)
+        ch, cw = max(1, round(h * scale)), max(1, round(w * scale))
+        resized = cv2.resize(image, (cw, ch)).astype(np.float32) / 255.0
+        out = np.zeros((size, size, 3), np.float32)
+        out[:ch, :cw] = resized
+        return out, ch, cw
+
     def _neural_segment(self, image, labels) -> List[Detection]:
         """Text-prompted detection + box-prompted masks (the reference's
         GroundingDINO->SAM2 path, grounded_sam2_infer.py:143-194), using the
-        parity-validated ports (perception/gdino_hf.py, perception/sam.py).
-        Requires converted weights + a BERT tokenizer."""
-        import cv2
-        import jax
+        parity-validated ports (perception/gdino_hf.py, perception/sam2.py).
+        Labels are grounded per phrase from the token posmap — the reference
+        semantics of get_phrases_from_posmap — not round-robin. Requires
+        converted weights + a BERT tokenizer."""
         import jax.numpy as jnp
-        import numpy as np
 
         from versecrafter_tpu.perception import gdino_hf
-        from versecrafter_tpu.perception import sam as sam_mod
+        from versecrafter_tpu.perception import sam2 as sam2_mod
 
         if self.sam2_params is None or self.gdino_params is None:
-            raise RuntimeError("neural backend needs converted sam/gdino params")
+            raise RuntimeError("neural backend needs converted sam2/gdino params")
+        if self.tokenizer is None:
+            raise RuntimeError("neural backend needs a BERT tokenizer")
         gparams, gcfg = self.gdino_params
         sparams, scfg = self.sam2_params
 
-        h, w = image.shape[:2]
-        size = 896  # divisible by 32 and by the Swin window tiling
-        resized = cv2.resize(image, (size, size)).astype(np.float32) / 255.0
-        resized = (resized - np.array([0.485, 0.456, 0.406])) \
-            / np.array([0.229, 0.224, 0.225])
+        oh, ow = image.shape[:2]
+        mean = np.array([0.485, 0.456, 0.406])
+        std = np.array([0.229, 0.224, 0.225])
 
-        if self.tokenizer is None:
-            raise RuntimeError("neural backend needs a BERT tokenizer")
-        enc = self.tokenizer(" ".join(f"{l}." for l in labels))
-        ids = np.asarray(enc["input_ids"])[None] if np.ndim(enc["input_ids"]) == 1 \
-            else np.asarray(enc["input_ids"])
+        size = self.det_size
+        gimg, ch, cw = self._letterbox(image, size)
+        gimg = (gimg - mean) / std
+
+        ids, spans = gdino_hf.phrase_token_spans(self.tokenizer, labels)
         logits, boxes = gdino_hf.gdino_forward(
             gparams, gcfg,
-            jnp.asarray(resized.transpose(2, 0, 1))[None].astype(jnp.float32), ids)
-        score = np.asarray(jax.nn.sigmoid(logits).max(-1)[0])
-        keep = np.where(score > self.box_threshold)[0]
+            jnp.asarray(gimg.transpose(2, 0, 1))[None].astype(jnp.float32), ids)
+        found = gdino_hf.postprocess_grounded_detections(
+            logits, boxes, ids, self.box_threshold, self.text_threshold)
+        if not found:
+            return []
+        # normalized (padded frame) -> original pixel coords, then NMS
+        sx, sy = size / (cw / ow), size / (ch / oh)
+        pix_boxes = np.stack([d["box"] * [sx, sy, sx, sy] for d in found])
+        pix_boxes = np.clip(pix_boxes, 0, [ow, oh, ow, oh])
+        keep = gdino_hf.nms_xyxy(pix_boxes,
+                                 np.array([d["score"] for d in found]),
+                                 iou_threshold=self.nms_iou)
+        keep = keep[: self.max_objects * 2]
+        found = [found[i] for i in keep]
+        pix_boxes = pix_boxes[keep]
 
-        # SAM mask per kept box
-        oh, ow = image.shape[:2]
-        img_size = scfg["img_size"]
-        sx = cv2.resize(image, (img_size, img_size)).astype(np.float32) / 255.0
-        sx = (sx - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
-        emb = sam_mod.vision_forward(sparams, scfg,
-                                     jnp.asarray(sx, jnp.float32)[None])
+        # SAM2 masks, all kept boxes in one prompt batch
+        s_size = scfg["image_size"]
+        simg, sch, scw = self._letterbox(image, s_size)
+        simg = (simg - mean) / std
+        sboxes = pix_boxes * np.array([scw / ow, sch / oh] * 2)
+        masks, iou, _ = sam2_mod.predict_boxes(
+            sparams, scfg, jnp.asarray(simg, jnp.float32)[None],
+            jnp.asarray(sboxes, jnp.float32)[None], multimask_output=True)
+        best = np.asarray(jnp.argmax(iou[0], axis=-1))  # [Q]
+
+        import cv2
         dets: List[Detection] = []
-        for qi in keep[: self.max_objects * 2]:
-            cx, cy, bw, bh = np.asarray(boxes[0, qi])
-            box = np.array([(cx - bw / 2) * ow, (cy - bh / 2) * oh,
-                            (cx + bw / 2) * ow, (cy + bh / 2) * oh])
-            sbox = box * np.array([img_size / ow, img_size / oh] * 2)
-            sparse = sam_mod.encode_prompts(sparams, scfg,
-                                            boxes=jnp.asarray(sbox)[None, None])
-            masks, iou = sam_mod.decode_masks(sparams, scfg, emb, sparse)
-            best = 1 + int(jnp.argmax(iou[0, 0, 1:]))
-            m = cv2.resize(np.asarray(masks[0, 0, best], np.float32), (ow, oh))
-            label = labels[len(dets) % len(labels)] if labels else "object"
-            dets.append(Detection(label, float(score[qi]),
-                                  tuple(box.astype(int)), m > 0))
+        mh, mw = masks.shape[-2:]
+        vh, vw = round(sch / s_size * mh), round(scw / s_size * mw)
+        for qi, det in enumerate(found):
+            m = np.asarray(masks[0, qi, best[qi]], np.float32)
+            m = cv2.resize(m[:vh, :vw], (ow, oh))  # content region only
+            label = labels[gdino_hf.assign_phrase(det, spans)] \
+                if labels else "object"
+            dets.append(Detection(label, det["score"],
+                                  tuple(pix_boxes[qi].astype(int)), m > 0))
         return dets
 
     # -- file contract -------------------------------------------------------

@@ -26,26 +26,55 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+LOG2E = math.log2(math.e)
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
-               m_ref, l_ref, acc_ref, *, block_q: int,
+def _pick_block_q(sq: int) -> int:
+    """Large q blocks amortize the m/l/acc bookkeeping across more MXU work
+    (measured on v5e: bq~4-5k at bkv=1024 runs ~152-167 TF/s vs ~128 at the
+    round-1 1024/1024 default — scripts/bench_kernel_variants.py). Prefer a
+    divisor of the sequence so no padded q rows are computed at all
+    (32,760 -> 4,680; 75,600 -> 5,040); cap so the fp32 score tile + vreg
+    spills stay inside scoped VMEM."""
+    if sq <= 4096:
+        return _ceil_to(sq, 128)
+    for d in range(min(sq, 5456), 3583, -8):
+        if sq % d == 0:
+            return d
+    return 4096
+
+
+def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, *rest, block_q: int,
                block_kv: int, num_kv_blocks: int, window: tuple,
-               masked: bool):
+               masked: bool, stats: bool):
     """sm_scale is pre-folded into q by the caller (one [B,N,S,D] multiply
-    instead of a per-tile [bq,bkv] one — the kernel is VPU-bound, so every
-    elementwise op on the score tile costs real time). `masked=False`
-    statically drops the k_len compare/where for the common full-length,
-    tile-aligned case."""
+    instead of a per-tile [bq,bkv] one — every elementwise op on the score
+    tile costs real VPU time).
+
+    Two statically-selected flavors:
+    - stats=False (inference): exp2 scoring (sm_scale*log2e folded into q —
+      one fewer VPU op inside the transcendental) and NO m/l outputs: the
+      round-1 kernel wrote 2x[B,N,S,128] fp32 stats to HBM that inference
+      never read.
+    - stats=True (training fwd / ring): natural-log domain, m/l written —
+      bit-identical to round 1, because fa_backward and the ring merge
+      recompute exp(s - m) with their own sm_scale folding and a different
+      bf16 rounding of q*(scale*log2e) would bias the recomputed p.
+    """
+    if stats:
+        mo_ref, lo_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ikv = pl.program_id(3)
     k_len = klens_ref[b]
     wl, wr = window  # static; -1 = unbounded on that side
+    exp = jnp.exp if stats else jnp.exp2
 
     @pl.when(ikv == 0)
     def _init():
@@ -63,16 +92,16 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
         run = jnp.logical_and(
             run, ikv * block_kv <= iq * block_q + block_q - 1 + wr)
 
-    @pl.when(run)
-    def _run():
+    need_window = wl >= 0 or wr >= 0
+
+    def _body(apply_mask: bool):
         q = q_ref[0, 0]  # [bq, D]
         k = k_ref[0, 0]  # [bkv, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-        need_window = wl >= 0 or wr >= 0
-        if masked or need_window:
+        if apply_mask:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
                 + ikv * block_kv
             mask = col < k_len if masked else None
@@ -90,8 +119,8 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
         m_prev = m_ref[...]                                  # [bq, LANES]
         m_curr = jnp.max(s, axis=1, keepdims=True)           # [bq, 1]
         m_next = jnp.maximum(m_prev, m_curr)                 # broadcast
-        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])       # [bq, 1]
-        p = jnp.exp(s - m_next[:, :1])                       # [bq, bkv]
+        alpha = exp(m_prev[:, :1] - m_next[:, :1])           # [bq, 1]
+        p = exp(s - m_next[:, :1])                           # [bq, bkv]
 
         l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=1, keepdims=True)
         m_ref[...] = m_next
@@ -100,13 +129,40 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
         pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
+    if masked or need_window:
+        # Tiles fully inside k_len AND the window need no mask at all — for
+        # padded-but-otherwise-full sequences (480p's 32,760 pads to 32,768)
+        # that's every tile but the last, and the compare/where on the score
+        # tile is real VPU time.
+        full = (ikv + 1) * block_kv <= k_len if masked \
+            else jnp.bool_(True)
+        if wl >= 0:  # tile's first key >= last row's leftmost allowed key
+            full = jnp.logical_and(
+                full, ikv * block_kv >= iq * block_q + block_q - 1 - wl)
+        if wr >= 0:  # tile's last key <= first row's rightmost allowed key
+            full = jnp.logical_and(
+                full, ikv * block_kv + block_kv - 1 <= iq * block_q + wr)
+
+        @pl.when(jnp.logical_and(run, full))
+        def _run_full():
+            _body(False)
+
+        @pl.when(jnp.logical_and(run, jnp.logical_not(full)))
+        def _run_masked():
+            _body(True)
+    else:
+        @pl.when(run)
+        def _run():
+            _body(False)
+
     @pl.when(ikv == num_kv_blocks - 1)
     def _store():
         l = l_ref[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
-        mo_ref[0, 0] = m_ref[...]
-        lo_ref[0, 0] = l_ref[...]
+        if stats:
+            mo_ref[0, 0] = m_ref[...]
+            lo_ref[0, 0] = l_ref[...]
 
 
 @functools.partial(
@@ -120,7 +176,10 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
     B, N, Sq, D = q.shape
     Skv = k.shape[2]
 
-    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)  # fold scale into q
+    # fold the softmax scale into q once (and log2e with it on the exp2
+    # inference path — see _fa_kernel)
+    scale = sm_scale if return_stats else sm_scale * LOG2E
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
     sq_pad = _ceil_to(Sq, block_q)
     skv_pad = _ceil_to(Skv, block_kv)
@@ -137,15 +196,21 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
     kernel = functools.partial(
         _fa_kernel, block_q=block_q, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, window=window, masked=masked,
+        stats=return_stats,
     )
 
-    out, mo, lo = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((B, N, sq_pad, D), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, D),
+                              lambda b, h, iq, ikv, *_: (b, h, iq, 0))]
+    if return_stats:
+        out_shape += [
+            jax.ShapeDtypeStruct((B, N, sq_pad, LANES), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((1, 1, block_q, LANES),
+                                   lambda b, h, iq, ikv, *_: (b, h, iq, 0))] * 2
+
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, N, sq_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B, N, sq_pad, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((B, N, sq_pad, LANES), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -154,11 +219,7 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
                 pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv, *_: (b, h, ikv, 0)),
                 pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv, *_: (b, h, ikv, 0)),
             ],
-            out_specs=(
-                pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv, *_: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, iq, ikv, *_: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, iq, ikv, *_: (b, h, iq, 0)),
-            ),
+            out_specs=tuple(out_specs),
             scratch_shapes=[
                 pltpu.VMEM((block_q, LANES), jnp.float32),
                 pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -167,6 +228,9 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # big q blocks (fp32 [bq, bkv] score tile) need headroom past the
+            # default scoped-vmem cap; v5e has 128 MiB
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * N * sq_pad * skv_pad * D,
@@ -176,11 +240,14 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
         interpret=interpret,
     )(k_lens, q, k, v)
 
+    out = outs[0]
     if sq_pad != Sq:
         out = out[:, :, :Sq]
-        mo = mo[:, :, :Sq]
-        lo = lo[:, :, :Sq]
     if return_stats:
+        mo, lo = outs[1], outs[2]
+        if sq_pad != Sq:
+            mo = mo[:, :, :Sq]
+            lo = lo[:, :, :Sq]
         return out, mo[..., 0], lo[..., 0]
     return out
 
@@ -213,9 +280,13 @@ def _fa_diff_bwd(sm_scale, block_q, block_kv, window, masked, res, do):
     from versecrafter_tpu.kernels.flash_attention_bwd import fa_backward
 
     q, k, v, out, m, l, k_lens = res
+    # The backward kernels hold several fp32 [bq, bkv] tiles at once — the
+    # big-q blocks the forward picks for throughput would blow scoped VMEM
+    # there, so the backward resolves its own (round-1) tile sizes.
     dq, dk, dv = fa_backward(
-        q, k, v, out, m, l, do, k_lens, sm_scale=sm_scale, block_q=block_q,
-        block_kv=block_kv, interpret=jax.default_backend() != "tpu",
+        q, k, v, out, m, l, do, k_lens, sm_scale=sm_scale,
+        block_q=min(block_q, 1024), block_kv=min(block_kv, 1024),
+        interpret=jax.default_backend() != "tpu",
         window=window, masked=masked)
     import numpy as np
     dk_lens = np.zeros(k_lens.shape, jax.dtypes.float0)  # int arg: no grad
@@ -259,7 +330,7 @@ def flash_attention(
     v: jnp.ndarray,
     k_lens: Optional[jnp.ndarray] = None,
     sm_scale: Optional[float] = None,
-    block_q: int = 1024,
+    block_q: Optional[int] = None,
     block_kv: int = 1024,
     impl: str = "auto",
     window_size: tuple = (-1, -1),
@@ -289,7 +360,7 @@ def flash_attention(
         return attention_reference(q, k, v, k_lens=k_lens, sm_scale=sm_scale,
                                    window_size=window_size)
 
-    block_q = min(block_q, _ceil_to(Sq, 128))
+    block_q = _pick_block_q(Sq) if block_q is None else min(block_q, _ceil_to(Sq, 128))
     block_kv = min(block_kv, _ceil_to(Skv, 128))
     masked = k_lens is not None  # (padding re-enables it internally)
     if k_lens is None:
@@ -303,7 +374,8 @@ def flash_attention(
 
 
 def flash_attention_with_stats(q, k, v, sm_scale: Optional[float] = None,
-                               block_q: int = 1024, block_kv: int = 1024,
+                               block_q: Optional[int] = None,
+                               block_kv: int = 1024,
                                impl: str = "auto"):
     """Attention that also returns the online-softmax statistics
     (out, running_max m [B,N,Sq], sum-of-exp l [B,N,Sq]) — the residuals
@@ -324,7 +396,7 @@ def flash_attention_with_stats(q, k, v, sm_scale: Optional[float] = None,
                          v.astype(jnp.float32)).astype(q.dtype)
         return out, m, l
     k_lens = jnp.full((B,), Skv, dtype=jnp.int32)
-    block_q = min(block_q, _ceil_to(Sq, 128))
+    block_q = _pick_block_q(Sq) if block_q is None else min(block_q, _ceil_to(Sq, 128))
     block_kv = min(block_kv, _ceil_to(Skv, 128))
     return _flash_attention_pallas(
         q, k, v, k_lens, sm_scale=float(sm_scale),

@@ -157,3 +157,26 @@ def test_sp_training_ring_path():
         for a, b in zip(jax.tree_util.tree_leaves(new_train),
                         jax.tree_util.tree_leaves(train)))
     assert moved
+
+def test_stats_api_differentiable_through_out():
+    """flash_attention_with_stats carries a vjp for `out` (m/l cotangents
+    are ignored by design — the ring merge differentiates itself)."""
+    from versecrafter_tpu.kernels.flash_attention import (
+        flash_attention_with_stats)
+
+    q = _rand((1, 2, 256, 64), 0)
+    k = _rand((1, 2, 256, 64), 1)
+    v = _rand((1, 2, 256, 64), 2)
+
+    def loss(impl):
+        def f(q, k, v):
+            o, _m, _l = flash_attention_with_stats(
+                q, k, v, impl=impl, block_q=128, block_kv=128)
+            return (o.astype(jnp.float32) ** 2).sum()
+        return f
+
+    got = jax.grad(loss("pallas"), (0, 1, 2))(q, k, v)
+    want = jax.grad(loss("xla"), (0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"d{name}")

@@ -373,13 +373,49 @@ def flash_attention(
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fa_stats_diff(q, k, v, sm_scale, block_q, block_kv):
+    return _flash_attention_pallas(
+        q, k, v, jnp.full((q.shape[0],), k.shape[2], jnp.int32),
+        sm_scale=sm_scale, block_q=block_q, block_kv=block_kv,
+        interpret=jax.default_backend() != "tpu", return_stats=True,
+        masked=False)
+
+
+def _fa_stats_diff_fwd(q, k, v, sm_scale, block_q, block_kv):
+    out, m, l = _fa_stats_diff(q, k, v, sm_scale, block_q, block_kv)
+    return (out, m, l), (q, k, v, out, m, l)
+
+
+def _fa_stats_diff_bwd(sm_scale, block_q, block_kv, res, cts):
+    from versecrafter_tpu.kernels.flash_attention_bwd import fa_backward
+
+    q, k, v, out, m, l = res
+    do, _dm, _dl = cts  # m/l are non-differentiable outputs (see docstring)
+    k_lens = jnp.full((q.shape[0],), k.shape[2], jnp.int32)
+    dq, dk, dv = fa_backward(
+        q, k, v, out, m, l, do, k_lens, sm_scale=sm_scale,
+        block_q=min(block_q, 1024), block_kv=min(block_kv, 1024),
+        interpret=jax.default_backend() != "tpu",
+        window=(-1, -1), masked=False)
+    return dq, dk, dv
+
+
+_fa_stats_diff.defvjp(_fa_stats_diff_fwd, _fa_stats_diff_bwd)
+
+
 def flash_attention_with_stats(q, k, v, sm_scale: Optional[float] = None,
                                block_q: Optional[int] = None,
                                block_kv: int = 1024,
                                impl: str = "auto"):
     """Attention that also returns the online-softmax statistics
     (out, running_max m [B,N,Sq], sum-of-exp l [B,N,Sq]) — the residuals
-    ring attention needs to merge partial results across KV shards."""
+    ring attention needs to merge partial results across KV shards.
+
+    Differentiable through `out` (FA2-style backward kernels). The m/l
+    outputs are diagnostics of the softmax, not an independent compute
+    path — their cotangents are ignored (the ring path differentiates its
+    merge with its own custom backward; see kernels/ring_attention.py)."""
     B, N, Sq, D = q.shape
     Skv = k.shape[2]
     if sm_scale is None:
@@ -395,11 +431,6 @@ def flash_attention_with_stats(q, k, v, sm_scale: Optional[float] = None,
         out = jnp.einsum("bnqk,bnkd->bnqd", p / l[..., None],
                          v.astype(jnp.float32)).astype(q.dtype)
         return out, m, l
-    k_lens = jnp.full((B,), Skv, dtype=jnp.int32)
     block_q = _pick_block_q(Sq) if block_q is None else min(block_q, _ceil_to(Sq, 128))
     block_kv = min(block_kv, _ceil_to(Skv, 128))
-    return _flash_attention_pallas(
-        q, k, v, k_lens, sm_scale=float(sm_scale),
-        block_q=block_q, block_kv=block_kv,
-        interpret=jax.default_backend() != "tpu", return_stats=True,
-        masked=False)
+    return _fa_stats_diff(q, k, v, float(sm_scale), block_q, block_kv)

@@ -8,7 +8,12 @@ rasterization + HardPhongShader). Design:
 
 - everything projects with plain OpenCV pinhole math (the reference's
   pytorch3d NDC sign-flip dance at :363-366 exists only to reproduce exactly
-  that projection);
+  that projection). One convention carries over from pytorch3d's rasterizer:
+  pixel (j, i) samples the scene at screen position (i+0.5, j+0.5) — screen
+  coords have their origin at the top-left CORNER, so u = fx*x/z + cx lands
+  in pixel floor(u), not round(u). Getting this wrong costs nothing at
+  frame 0 and grows with parallax (it flipped disocclusion-stripe phase and
+  cost ~10 dB of background-depth PSNR by frame 80 of the second demo clip);
 - point splatting is a scatter-min z-buffer with a small per-point pixel
   footprint (the pytorch3d radius in NDC units maps to
   radius_px = radius * min(H, W) / 2), winner color by front-most depth —
@@ -35,10 +40,17 @@ BIG = 1e9
 
 
 def project_points(points: jnp.ndarray, K: jnp.ndarray, w2c: jnp.ndarray):
-    """[N,3] world -> (u, v, z) pixel coords + camera depth."""
+    """[N,3] world -> (u, v, z) pixel coords + camera depth.
+
+    precision=highest: TPU matmuls default to bf16 multiplicands, and a
+    ~4e-3 relative error on world coordinates is multiple PIXELS after
+    projection — it cost ~10 dB of golden-parity PSNR on the real chip
+    (the CPU test mesh never sees this). These are K=3 contractions; full
+    fp32 is free."""
     R = w2c[:3, :3]
     t = w2c[:3, 3]
-    pc = points @ R.T + t
+    with jax.default_matmul_precision("highest"):
+        pc = points @ R.T + t
     z = pc[:, 2]
     u = K[0, 0] * pc[:, 0] / z + K[0, 2]
     v = K[1, 1] * pc[:, 1] / z + K[1, 2]
@@ -66,8 +78,10 @@ def splat_points(points: jnp.ndarray, colors: jnp.ndarray, K: jnp.ndarray,
     """
     u, v, z = project_points(points, K, w2c)
     valid = (z > 1e-6) & jnp.isfinite(u) & jnp.isfinite(v)
-    ui = jnp.round(u).astype(jnp.int32)
-    vi = jnp.round(v).astype(jnp.int32)
+    # pixel i covers screen [i, i+1): a point at screen u belongs to pixel
+    # floor(u) (pytorch3d corner-origin convention, module docstring)
+    ui = jnp.floor(u).astype(jnp.int32)
+    vi = jnp.floor(v).astype(jnp.int32)
     inb = valid & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
 
     hw = height * width
@@ -112,7 +126,10 @@ def splat_points(points: jnp.ndarray, colors: jnp.ndarray, K: jnp.ndarray,
                 ok = ok & (xx >= dx)
             elif dx < 0:
                 ok = ok & (xx < width + dx)
-            d2 = (us - xx.astype(jnp.float32)) ** 2 + (vs - yy.astype(jnp.float32)) ** 2
+            # distance from the splat's true center to this pixel's sample
+            # point (pixel centers live at half-integers in screen coords)
+            d2 = (us - (xx.astype(jnp.float32) + 0.5)) ** 2 \
+                + (vs - (yy.astype(jnp.float32) + 0.5)) ** 2
             ok = ok & (d2 <= r2)
             zc = jnp.where(ok, zs, BIG)
             closer = zc < best_z
@@ -143,12 +160,13 @@ def ellipsoid_cam_params(means, covs, K3, w2c, scale_factor=2.5):
     rendering_4D_control_maps.py:98-104)."""
     R = w2c[:3, :3]
     t = w2c[:3, 3]
-    c_cam = means @ R.T + t                       # [K,3]
-    cov_cam = jnp.einsum("ij,kjl,ml->kim", R, covs, R)  # R C R^T
-    evals, evecs = jnp.linalg.eigh(cov_cam)
-    evals = jnp.maximum(evals, 1e-8)
-    axes2 = (scale_factor ** 2) * evals           # squared semi-axes
-    A = jnp.einsum("kij,kj,klj->kil", evecs, 1.0 / axes2, evecs)
+    with jax.default_matmul_precision("highest"):  # see project_points
+        c_cam = means @ R.T + t                       # [K,3]
+        cov_cam = jnp.einsum("ij,kjl,ml->kim", R, covs, R)  # R C R^T
+        evals, evecs = jnp.linalg.eigh(cov_cam)
+        evals = jnp.maximum(evals, 1e-8)
+        axes2 = (scale_factor ** 2) * evals           # squared semi-axes
+        A = jnp.einsum("kij,kj,klj->kil", evecs, 1.0 / axes2, evecs)
     return c_cam, A
 
 
@@ -166,18 +184,20 @@ def raster_ellipsoids(means: jnp.ndarray, covs: jnp.ndarray,
 
     y, x = jnp.mgrid[0:height, 0:width]
     dirs = jnp.stack([
-        (x.astype(jnp.float32) - K[0, 2]) / K[0, 0],
-        (y.astype(jnp.float32) - K[1, 2]) / K[1, 1],
+        (x.astype(jnp.float32) + 0.5 - K[0, 2]) / K[0, 0],
+        (y.astype(jnp.float32) + 0.5 - K[1, 2]) / K[1, 1],
         jnp.ones((height, width), jnp.float32),
-    ], -1)  # [H,W,3] rays through pixel centers, origin at camera
+    ], -1)  # [H,W,3] rays through pixel centers (i+0.5, j+0.5), cam origin
 
     def one(c, Amat, ok):
         # quadratic a t^2 + b t + cc = 0 along ray o=0, dir d
-        Ad = jnp.einsum("ij,hwj->hwi", Amat, dirs)
-        a = jnp.einsum("hwi,hwi->hw", dirs, Ad)
-        Ac = Amat @ c
-        b = -2.0 * jnp.einsum("hwi,i->hw", dirs, Ac)
-        cc = c @ Ac - 1.0
+        # (precision=highest: see project_points)
+        with jax.default_matmul_precision("highest"):
+            Ad = jnp.einsum("ij,hwj->hwi", Amat, dirs)
+            a = jnp.einsum("hwi,hwi->hw", dirs, Ad)
+            Ac = Amat @ c
+            b = -2.0 * jnp.einsum("hwi,i->hw", dirs, Ac)
+            cc = c @ Ac - 1.0
         disc = b * b - 4 * a * cc
         hit = ok & (disc > 0)
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -187,7 +207,8 @@ def raster_ellipsoids(means: jnp.ndarray, covs: jnp.ndarray,
         hit = hit & (tt > 1e-6)
         p = dirs * tt[..., None]
         depth = jnp.where(hit, p[..., 2], BIG)
-        n = jnp.einsum("ij,hwj->hwi", Amat, p - c)
+        with jax.default_matmul_precision("highest"):
+            n = jnp.einsum("ij,hwj->hwi", Amat, p - c)
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
         return depth, n
 

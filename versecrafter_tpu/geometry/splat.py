@@ -54,14 +54,19 @@ def gaussian_density_maps(means: jnp.ndarray, covs: jnp.ndarray,
     pix = jnp.stack([x, y], -1).astype(jnp.float32)  # [H,W,2] (u,v)
 
     def one(mean, cov, ok):
-        mc = R @ mean + t
-        cc = R @ cov @ R.T
+        # precision=highest: TPU matmuls default to bf16 multiplicands,
+        # which shifts projected gaussian centers by whole pixels (see
+        # rasterize.project_points)
+        with jax.default_matmul_precision("highest"):
+            mc = R @ mean + t
+            cc = R @ cov @ R.T
         xx, yy, zz = mc[0], mc[1], mc[2]
         J = jnp.array([[fx, 0.0, 0.0], [0.0, fy, 0.0]]) / jnp.maximum(zz, 1e-6)
         J = J.at[0, 2].set(-fx * xx / jnp.maximum(zz * zz, 1e-9))
         J = J.at[1, 2].set(-fy * yy / jnp.maximum(zz * zz, 1e-9))
         mean2d = jnp.array([fx * xx / zz + cx, fy * yy / zz + cy])
-        cov2d = J @ cc @ J.T + jnp.eye(2) * 1e-6
+        with jax.default_matmul_precision("highest"):
+            cov2d = J @ cc @ J.T + jnp.eye(2) * 1e-6
         det = jnp.linalg.det(cov2d)
         valid = ok & (zz > 0.5) & (det <= 1e11)
         inv = jnp.linalg.inv(cov2d)

@@ -27,8 +27,8 @@ def test_orbax_roundtrip(tmp_path):
 
 def test_simple_adapter_shapes():
     d, cam_ch, down = 32, 6, 4
-    proj = _init_linear(jax.random.key(1), cam_ch * down * down * 2 * 2, d,
-                        jnp.float32)
+    proj = {"conv": _init_linear(
+        jax.random.key(1), cam_ch * down * down * 2 * 2, d, jnp.float32)}
     y_cam = jnp.asarray(
         np.random.default_rng(0).standard_normal((1, cam_ch, 3, 32, 32)),
         jnp.float32)

@@ -95,3 +95,37 @@ def test_auto_mesh_spec():
     # 12 heads / 8 devices has no exact Ulysses split -> ring backstop on sp
     assert s == MeshSpec(sp=8)
     assert auto_mesh_spec(4, num_heads=12) == MeshSpec(sp=4)
+
+
+def test_sharded_pipeline_with_conditioning_extras():
+    """y / clip_fea / camera_video conditioning under a mesh matches the
+    single-device result (the i2v/SimpleAdapter surface composed with SP:
+    camera tokens are added before the sp sharding constraint, image-KV
+    cross-attention rides sp_cross_attention)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        DIT_CFG, model_type="i2v", in_dim=8, add_img_emb=True,
+        img_emb_dim=16, add_control_adapter=True, in_dim_control_adapter=3,
+        downscale_factor_control_adapter=2,
+        control_adapter_residual_blocks=1)
+    comp = _components()
+    p = init_wan_dit(jax.random.key(0), cfg, jnp.float32)
+    p["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.key(99),
+                          p["head"]["head"]["kernel"].shape) * 0.05)
+    comp.update(dit_params=p, dit_cfg=cfg)
+
+    rng = np.random.default_rng(3)
+    # latent grid from _run: h=w=8 / ratio 2 -> 4x4, t_lat from controls
+    extras = dict(
+        y=rng.standard_normal((1, 4, 3, 4, 4)).astype(np.float32),
+        clip_fea=rng.standard_normal((1, 5, 16)).astype(np.float32),
+        # camera H = h_lat * downscale = 4 * 2 -> adapter tokens match the
+        # 12-token latent grid
+        camera_video=rng.standard_normal((1, 3, 3, 8, 8)).astype(np.float32))
+
+    want = _run(VerseCrafterPipeline(**comp), **extras)
+    mesh = make_mesh(MeshSpec(sp=2, tp=2), devices=jax.devices()[:4])
+    got = _run(VerseCrafterPipeline(**comp, mesh=mesh), **extras)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

@@ -55,6 +55,14 @@ class WanDiTConfig:
     # i2v extras
     add_img_emb: bool = False
     img_emb_dim: int = 1280
+    # camera-pose control adapter (base-Wan capability the reference imports
+    # as videox_fun SimpleAdapter, wan_transformer3d.py:800-804: PixelUnshuffle
+    # + conv(kernel=stride=patch_size[1:]) + residual blocks; its output adds
+    # to the patch embeddings at :975-977)
+    add_control_adapter: bool = False
+    in_dim_control_adapter: int = 24
+    downscale_factor_control_adapter: int = 8
+    control_adapter_residual_blocks: int = 1
 
     @property
     def head_dim(self) -> int:

@@ -143,6 +143,44 @@ def _stack(blocks: List[dict]):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
 
+def _convert_simple_adapter(sd: _SD, cfg: WanDiTConfig, dtype) -> dict:
+    """videox_fun SimpleAdapter (imported at wan_transformer3d.py:36, built
+    :800-804): PixelUnshuffle + Conv2d(kernel=stride=patch_size[1:]) +
+    residual_blocks of nn.Sequential(ReLU, Conv3x3, ReLU, Conv3x3) at
+    indices block.1 / block.3. Conv2d weight [D, C*ds*ds, kh, kw] flattens
+    in the same (c', kh, kw) order simple_adapter's patchify uses; 3x3
+    convs map torch OIHW -> HWIO."""
+    ca: dict = {
+        "conv": {
+            "kernel": sd.get("control_adapter.conv.weight", dtype,
+                             reshape=(cfg.dim, -1)).T,
+            "bias": sd.get("control_adapter.conv.bias", dtype),
+        },
+        "res": [],
+    }
+
+    def _conv3x3(name):
+        w = sd.get(f"{name}.weight")  # [O, I, 3, 3] numpy
+        return {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0), dtype),
+                "bias": sd.get(f"{name}.bias", dtype)}
+
+    i = 0
+    while f"control_adapter.residual_blocks.{i}.block.1.weight" in sd.sd:
+        ca["res"].append({
+            "conv1": _conv3x3(f"control_adapter.residual_blocks.{i}.block.1"),
+            "conv2": _conv3x3(f"control_adapter.residual_blocks.{i}.block.3"),
+        })
+        i += 1
+    return ca
+
+
+def convert_simple_adapter(state_dict: Dict[str, Any], cfg: WanDiTConfig,
+                           dtype=None) -> dict:
+    """Standalone converter for a bare SimpleAdapter state dict
+    (keys prefixed 'control_adapter.')."""
+    return _convert_simple_adapter(_SD(state_dict), cfg, dtype or jnp.bfloat16)
+
+
 def convert_wan_dit(state_dict: Dict[str, Any], cfg: WanDiTConfig,
                     dtype=None) -> Tuple[dict, dict]:
     """-> (params, report{'skipped': [...], 'unused': [...]})."""
@@ -199,6 +237,9 @@ def convert_wan_dit(state_dict: Dict[str, Any], cfg: WanDiTConfig,
             params["geoada_patch_embedding"] = _init_linear(
                 jax.random.key(0),
                 cfg.resolved_geoada_in_dim * pt * ph * pw, cfg.dim, dtype)
+
+    if "control_adapter.conv.weight" in state_dict:
+        params["control_adapter"] = _convert_simple_adapter(sd, cfg, dtype)
 
     if cfg.model_type == "i2v" and "img_emb.proj.0.weight" in state_dict:
         params["img_emb"] = {

@@ -201,6 +201,10 @@ def init_wan_dit(key: jax.Array, cfg: WanDiTConfig,
         params["geoada_patch_embedding"] = _init_linear(
             jax.random.fold_in(ks[9], 7), g_patch_in, cfg.dim, dtype)
 
+    if cfg.add_control_adapter:
+        params["control_adapter"] = init_simple_adapter(
+            jax.random.fold_in(key, 77), cfg, dtype)
+
     if cfg.model_type == "i2v" and cfg.add_img_emb:
         ik = jax.random.split(jax.random.fold_in(key, 99), 2)
         params["img_emb"] = {
@@ -319,25 +323,65 @@ def wan_block_forward(p: Params, cfg: WanDiTConfig, x: jnp.ndarray,
 
 def simple_adapter(p: Params, y_camera: jnp.ndarray,
                    patch_size=(2, 2), downscale: int = 8) -> jnp.ndarray:
-    """Camera-pose PixelShuffle control adapter (the base Wan capability the
-    reference imports as videox_fun SimpleAdapter, wan_transformer3d.py:36,
-    800-804,975-977): per-frame pixel-unshuffle by `downscale` into channels,
-    then a strided conv (as matmul) to token space; output added to patch
-    embeddings. y_camera: [B, C, F, H, W] -> [B, S, D]."""
+    """Camera-pose control adapter (the base Wan capability the reference
+    imports as videox_fun SimpleAdapter, wan_transformer3d.py:36,800-804;
+    output added to the patch embeddings at :975-977): per-frame
+    pixel-unshuffle by `downscale` into channels, a strided conv
+    (kernel=stride=patch -> matmul, pure MXU), then ReLU-conv3x3 residual
+    blocks on the per-frame token grid. y_camera: [B, C, F, H, W] ->
+    [B, S, D] tokens ordered like patchify's (f, h, w) flattening."""
     b, c, f, h, w = y_camera.shape
     d = downscale
+    ph, pw = patch_size
     x = y_camera.reshape(b, c, f, h // d, d, w // d, d)
     x = x.transpose(0, 1, 4, 6, 2, 3, 5).reshape(b, c * d * d, f, h // d, w // d)
-    tok = patchify(x, (1, *patch_size))
-    return _linear(p, tok)
+    tok = _linear(p["conv"], patchify(x, (1, ph, pw)))  # [B, S, D]
+    gh, gw = h // d // ph, w // d // pw
+    if p.get("res"):
+        # residual blocks run per-frame on the [gh, gw] token grid in NHWC
+        z = tok.reshape(b * f, gh, gw, tok.shape[-1])
+        for blk in p["res"]:
+            y = z
+            for cv in (blk["conv1"], blk["conv2"]):
+                y = jax.nn.relu(y)
+                y = jax.lax.conv_general_dilated(
+                    y, cv["kernel"].astype(y.dtype), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y = y + cv["bias"].astype(y.dtype)
+            z = z + y
+        tok = z.reshape(b, f * gh * gw, tok.shape[-1])
+    return tok
+
+
+def init_simple_adapter(key, cfg: WanDiTConfig, dtype) -> Params:
+    d = cfg.downscale_factor_control_adapter
+    ph, pw = cfg.patch_size[1:]
+    ks = jax.random.split(key, 1 + 2 * cfg.control_adapter_residual_blocks)
+    p: Params = {"conv": _init_linear(
+        ks[0], cfg.in_dim_control_adapter * d * d * ph * pw, cfg.dim, dtype)}
+    res = []
+    for i in range(cfg.control_adapter_residual_blocks):
+        def conv3(k):
+            lim = math.sqrt(6.0 / (2 * 9 * cfg.dim))
+            return {"kernel": jax.random.uniform(
+                        k, (3, 3, cfg.dim, cfg.dim),
+                        minval=-lim, maxval=lim).astype(dtype),
+                    "bias": jnp.zeros((cfg.dim,), dtype)}
+        res.append({"conv1": conv3(ks[1 + 2 * i]), "conv2": conv3(ks[2 + 2 * i])})
+    p["res"] = res
+    return p
 
 
 def wan_dit_embed(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
                   t: jnp.ndarray, context: jnp.ndarray,
-                  clip_fea: Optional[jnp.ndarray] = None):
+                  clip_fea: Optional[jnp.ndarray] = None,
+                  y_camera: Optional[jnp.ndarray] = None):
     """Patch-embed video latents + time / text embeddings.
 
-    x: [B, C_in, F, H, W]; t: [B] timesteps; context: [B, text_len, text_dim].
+    x: [B, C_in, F, H, W]; t: [B] timesteps; context: [B, text_len, text_dim];
+    y_camera: optional [B, C_cam, F*pt, H_lat*ds, W_lat*ds] camera-pose
+    control maps routed through the SimpleAdapter and added to the patch
+    embeddings (wan_transformer3d.py:975-977).
     Returns (tokens [B,S,D], e [B,D] fp32, e0 [B,6,D] fp32,
     ctx [B,text_len,D], ctx_img or None, grid).
     """
@@ -346,6 +390,10 @@ def wan_dit_embed(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     grid = (x.shape[2] // pt, x.shape[3] // ph, x.shape[4] // pw)
 
     tokens = _linear(params["patch_embedding"], patchify(x, cfg.patch_size))
+    if y_camera is not None and "control_adapter" in params:
+        tokens = tokens + simple_adapter(
+            params["control_adapter"], y_camera, cfg.patch_size[1:],
+            cfg.downscale_factor_control_adapter).astype(tokens.dtype)
 
     # time embeddings in fp32 (reference autocast at wan_transformer3d.py:1014)
     te = params["time_embedding"]
@@ -457,6 +505,7 @@ def wan_dit_forward(
     geoada_scale: float = 1.0,
     y: Optional[jnp.ndarray] = None,
     clip_fea: Optional[jnp.ndarray] = None,
+    y_camera: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
 ) -> jnp.ndarray:
     """Full denoiser forward.
@@ -468,12 +517,14 @@ def wan_dit_forward(
     geoada_context: [B, geoada_in_dim, F_lat, H_lat, W_lat] control latents
     y: [B, C_y, F, H, W] conditioning latents concatenated on channels (i2v,
        wan_transformer3d.py:969-970)
+    y_camera: camera-pose control maps for the SimpleAdapter (see
+       wan_dit_embed)
     Returns [B, C_out, F_lat, H_lat, W_lat] velocity prediction.
     """
     if y is not None:
         x = jnp.concatenate([x, y], axis=1)
     tokens, e, e0, ctx, ctx_img, grid = wan_dit_embed(
-        params, cfg, x, t, context, clip_fea)
+        params, cfg, x, t, context, clip_fea, y_camera=y_camera)
 
     if attn_impl == "sp":
         from versecrafter_tpu.parallel.sharding import constrain_tokens

@@ -71,6 +71,11 @@ class VerseCrafterPipeline:
     t5_params: Any
     t5_cfg: T5Config
     tokenizer: Any = None
+    # optional CLIP vision tower for i2v conditioning (models/clip.py;
+    # reference models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth
+    # consumed via img_emb + k_img/v_img, wan_transformer3d.py:1045-1047)
+    clip_params: Any = None
+    clip_cfg: Any = None
     scheduler_name: str = "unipc"
     scheduler_cfg: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
     attn_impl: str = "auto"
@@ -244,37 +249,52 @@ class VerseCrafterPipeline:
         return jnp.concatenate([zs, m], axis=1), n_ref
 
     def _denoise_fn(self, cfg_batched: bool):
-        """Jitted model step: returns (noise_pred, tea_state)."""
+        """Jitted model step: returns (noise_pred, tea_state).
+
+        `extras` carries optional step-invariant conditioning (base-Wan
+        surface): 'y' i2v latents concatenated on channels, 'clip_fea' CLIP
+        image tokens for the img-KV cross-attention branch, 'y_camera'
+        SimpleAdapter camera maps. CFG applies to the text only, so each is
+        duplicated across both halves of the batch."""
         dit_cfg = self.dit_cfg
         use_tea = self.teacache_threshold > 0.0
 
         def fn(dit_params, latents, t, step_idx, context, geoada, cos, sin,
-               tea_state, guidance, geoada_scale):
+               tea_state, guidance, geoada_scale, extras):
             from versecrafter_tpu.utils.quantize import dequantize_tree
             dit_params = dequantize_tree(dit_params)  # no-op if unquantized
             if cfg_batched:
                 x = jnp.concatenate([latents, latents], axis=0)
                 g = jnp.concatenate([geoada, geoada], axis=0)
                 ctx = context
+                extras = {k: jnp.concatenate([v, v], axis=0)
+                          for k, v in extras.items()}
             else:  # cond-only (cfg-skip window): positive prompts are the
                 # second half of context
                 x = latents
                 g = geoada
                 ctx = context[context.shape[0] // 2:]
             tvec = jnp.full((x.shape[0],), t, jnp.float32)
+            y_in = extras.get("y")
+            clip = extras.get("clip_fea")
+            ycam = extras.get("y_camera")
 
             if not use_tea:
                 pred = wan_dit_forward(
                     dit_params, dit_cfg, x, tvec, ctx, cos, sin,
                     geoada_context=g, geoada_scale=geoada_scale,
+                    y=y_in, clip_fea=clip, y_camera=ycam,
                     attn_impl=self.attn_impl)
                 new_state = tea_state
             else:
                 from versecrafter_tpu.models.wan_dit import (
                     wan_dit_blocks, wan_dit_embed, wan_dit_head, patchify,
                     _linear)
-                tokens, e, e0, ctx_e, _, grid = wan_dit_embed(
-                    dit_params, dit_cfg, x, tvec, ctx)
+                if y_in is not None:
+                    x = jnp.concatenate([x, y_in], axis=1)
+                tokens, e, e0, ctx_e, ctx_img, grid = wan_dit_embed(
+                    dit_params, dit_cfg, x, tvec, ctx, clip_fea=clip,
+                    y_camera=ycam)
                 gtok = _linear(dit_params["geoada_patch_embedding"],
                                patchify(g, dit_cfg.patch_size)) \
                     if dit_cfg.has_geoadapter else None
@@ -289,7 +309,7 @@ class VerseCrafterPipeline:
                     return wan_dit_blocks(
                         dit_params, dit_cfg, tk, e0, cos, sin, ctx_e,
                         geoada_tokens=gtok, geoada_scale=geoada_scale,
-                        attn_impl=self.attn_impl)
+                        attn_impl=self.attn_impl, context_img=ctx_img)
 
                 tokens, new_state = tc.gated_blocks(
                     run, tokens, e0, tea_state, step_idx,
@@ -350,6 +370,10 @@ class VerseCrafterPipeline:
         mask_video: Optional[np.ndarray] = None,
         subject_ref_images: Optional[Sequence[np.ndarray]] = None,
         geoada_context: Optional[jnp.ndarray] = None,
+        y: Optional[jnp.ndarray] = None,
+        clip_fea: Optional[jnp.ndarray] = None,
+        clip_image: Optional[np.ndarray] = None,
+        camera_video: Optional[np.ndarray] = None,
         height: int = 480,
         width: int = 832,
         num_frames: int = 81,
@@ -363,9 +387,32 @@ class VerseCrafterPipeline:
         progress: Optional[Callable[[int, int], None]] = None,
     ):
         """Returns video as numpy [B, T, H, W, 3] in [0,1] (output_type
-        'numpy') or latents (output_type 'latent')."""
+        'numpy') or latents (output_type 'latent').
+
+        Base-Wan conditioning surface (optional, wan_transformer3d.py
+        :969-977, 1045-1047): `y` i2v latents [B, C_y, F_lat, H_lat, W_lat]
+        concatenated on channels; `clip_fea` [B, 257, 1280] CLIP image
+        tokens (or `clip_image` [H, W, 3] encoded through the pipeline's
+        clip tower); `camera_video` [B, C, F, H, W] camera-pose maps for
+        the SimpleAdapter."""
         batch = 1 if isinstance(prompt, str) else len(prompt)
         context = self.encode_prompt(prompt, negative_prompt).astype(dtype)
+
+        if clip_fea is None and clip_image is not None:
+            if self.clip_params is None:
+                raise ValueError("clip_image given but pipeline has no "
+                                 "clip_params (CLIP vision tower)")
+            from versecrafter_tpu.models.clip import encode_image
+            clip_fea = encode_image(self.clip_params, self.clip_cfg, clip_image)
+            clip_fea = jnp.broadcast_to(
+                clip_fea, (batch, *clip_fea.shape[1:]))
+        extras = {}
+        if y is not None:
+            extras["y"] = jnp.asarray(y, dtype)
+        if clip_fea is not None:
+            extras["clip_fea"] = jnp.asarray(clip_fea, dtype)
+        if camera_video is not None:
+            extras["y_camera"] = jnp.asarray(camera_video, dtype)
 
         n_ref = 0
         if geoada_context is None:
@@ -414,7 +461,8 @@ class VerseCrafterPipeline:
                         prev_residual=tea_state.prev_residual[-batch:],
                         accum=tea_state.accum[-batch:],
                         valid=tea_state.valid[-batch:]))
-                fn = self._get_denoise(use_cfg)
+                fn = self._get_denoise(
+                    use_cfg, key_extra=tuple(sorted(extras)))
                 # Wan2.2 MoE expert selection by noise level (sigma = t / T)
                 sigma = float(t) / self.scheduler_cfg.num_train_timesteps
                 use_high = (self.dit_params_high is not None
@@ -423,7 +471,7 @@ class VerseCrafterPipeline:
                 noise_pred, tea_state = fn(
                     dit_params, latents, jnp.asarray(float(t), jnp.float32),
                     jnp.asarray(i, jnp.int32), context, geoada_context, cos, sin,
-                    tea_state, guidance, gscale)
+                    tea_state, guidance, gscale, extras)
                 latents = sched.step(noise_pred, i, latents)
                 if progress is not None:
                     progress(i + 1, num_inference_steps)

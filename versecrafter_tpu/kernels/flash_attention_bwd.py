@@ -60,6 +60,43 @@ def _tile_active(iq, ikv, block_q, block_kv, k_len, window):
     return run
 
 
+def _tile_full(iq, ikv, block_q, block_kv, k_len, window, masked):
+    """True when no element of this (iq, ikv) tile needs masking — fully
+    inside k_len and inside the window for every row. The forward kernel's
+    tile-exact masking, mirrored here: only boundary tiles pay the
+    compare/where on the score tile."""
+    wl, wr = window
+    full = (ikv + 1) * block_kv <= k_len if masked else jnp.bool_(True)
+    if wl >= 0:
+        full = jnp.logical_and(
+            full, ikv * block_kv >= iq * block_q + block_q - 1 - wl)
+    if wr >= 0:
+        full = jnp.logical_and(
+            full, ikv * block_kv + block_kv - 1 <= iq * block_q + wr)
+    return full
+
+
+def _masked_dispatch(run, iq, ikv, block_q, block_kv, k_len, window, masked,
+                     body):
+    """Run body(apply_mask) under pl.when, statically dropping the mask ops
+    on interior tiles when any masking is configured."""
+    wl, wr = window
+    if masked or wl >= 0 or wr >= 0:
+        full = _tile_full(iq, ikv, block_q, block_kv, k_len, window, masked)
+
+        @pl.when(jnp.logical_and(run, full))
+        def _run_full():
+            body(False)
+
+        @pl.when(jnp.logical_and(run, jnp.logical_not(full)))
+        def _run_masked():
+            body(True)
+    else:
+        @pl.when(run)
+        def _run():
+            body(False)
+
+
 def _dq_kernel(klens_ref, qs_ref, k_ref, v_ref, do_ref, L_ref, delta_ref,
                dq_ref, acc_ref, *, sm_scale, block_q, block_kv,
                num_kv_blocks, window, masked):
@@ -72,8 +109,7 @@ def _dq_kernel(klens_ref, qs_ref, k_ref, v_ref, do_ref, L_ref, delta_ref,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(_tile_active(iq, ikv, block_q, block_kv, k_len, window))
-    def _run():
+    def _body(apply_mask):
         qs = qs_ref[0, 0]            # [bq, D]  (scale pre-folded)
         k = k_ref[0, 0]              # [bkv, D]
         v = v_ref[0, 0]
@@ -83,16 +119,20 @@ def _dq_kernel(klens_ref, qs_ref, k_ref, v_ref, do_ref, L_ref, delta_ref,
 
         s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        mask = _score_mask(s.shape, iq, ikv, block_q, block_kv, k_len,
-                           window, masked)
-        if mask is not None:
-            s = jnp.where(mask, s, NEG_INF)
+        if apply_mask:
+            mask = _score_mask(s.shape, iq, ikv, block_q, block_kv, k_len,
+                               window, masked)
+            if mask is not None:
+                s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - L)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
         acc_ref[...] += jax.lax.dot(ds.astype(k.dtype), k,
                                     preferred_element_type=jnp.float32)
+
+    _masked_dispatch(_tile_active(iq, ikv, block_q, block_kv, k_len, window),
+                     iq, ikv, block_q, block_kv, k_len, window, masked, _body)
 
     @pl.when(ikv == num_kv_blocks - 1)
     def _store():
@@ -112,8 +152,7 @@ def _dkv_kernel(klens_ref, qs_ref, k_ref, v_ref, do_ref, L_ref, delta_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    @pl.when(_tile_active(iq, ikv, block_q, block_kv, k_len, window))
-    def _run():
+    def _body(apply_mask):
         qs = qs_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -123,10 +162,11 @@ def _dkv_kernel(klens_ref, qs_ref, k_ref, v_ref, do_ref, L_ref, delta_ref,
 
         s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        mask = _score_mask(s.shape, iq, ikv, block_q, block_kv, k_len,
-                           window, masked)
-        if mask is not None:
-            s = jnp.where(mask, s, NEG_INF)
+        if apply_mask:
+            mask = _score_mask(s.shape, iq, ikv, block_q, block_kv, k_len,
+                               window, masked)
+            if mask is not None:
+                s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - L)                              # [bq, bkv]
         pb = p.astype(do.dtype)
         dv_acc[...] += jax.lax.dot_general(              # pᵀ · dO
@@ -138,6 +178,9 @@ def _dkv_kernel(klens_ref, qs_ref, k_ref, v_ref, do_ref, L_ref, delta_ref,
         dk_acc[...] += jax.lax.dot_general(              # dSᵀ · Q_scaled
             ds, qs, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    _masked_dispatch(_tile_active(iq, ikv, block_q, block_kv, k_len, window),
+                     iq, ikv, block_q, block_kv, k_len, window, masked, _body)
 
     @pl.when(iq == num_q_blocks - 1)
     def _store():

@@ -129,3 +129,30 @@ def test_sharded_pipeline_with_conditioning_extras():
     mesh = make_mesh(MeshSpec(sp=2, tp=2), devices=jax.devices()[:4])
     got = _run(VerseCrafterPipeline(**comp, mesh=mesh), **extras)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_vae_decode_matches_single_device():
+    """Width-sharded VAE (GSPMD conv halo exchange) — plain and streaming
+    decode equal the single-device result, and the input really is
+    distributed (not a silent replicate fallback)."""
+    from versecrafter_tpu.models.vae import init_vae, vae_decode
+    from versecrafter_tpu.models.vae_stream import vae_decode_chunked
+    from versecrafter_tpu.parallel.sharding import shard_vae_io
+
+    cfg = VAE_CFG
+    params = init_vae(jax.random.key(5), cfg, jnp.float32)
+    z = jax.random.normal(jax.random.key(6), (1, cfg.z_dim, 3, 8, 16),
+                          jnp.float32)
+    want = np.asarray(vae_decode(params, cfg, z))
+    want_stream = np.asarray(vae_decode_chunked(params, cfg, z))
+    np.testing.assert_allclose(want_stream, want, atol=2e-5, rtol=1e-5)
+
+    mesh = make_mesh(MeshSpec(sp=2, tp=2), devices=jax.devices()[:4])
+    zs = shard_vae_io(z, mesh)
+    assert not zs.sharding.is_fully_replicated, zs.sharding
+    from versecrafter_tpu.parallel.sharding import replicate
+    ps = replicate(params, mesh)
+    got = np.asarray(jax.jit(lambda p, z: vae_decode(p, cfg, z))(ps, zs))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+    got_stream = np.asarray(vae_decode_chunked(ps, cfg, zs))
+    np.testing.assert_allclose(got_stream, want, atol=2e-4, rtol=1e-4)

@@ -33,15 +33,15 @@ def parse_args(argv=None):
     p.add_argument("--rendering_maps_path", type=str, required=True)
     p.add_argument("--prompt", type=str, required=True)
     p.add_argument("--input_image_path", type=str, required=True)
-    p.add_argument("--num_inference_steps", type=int, default=50)
-    p.add_argument("--sample_size", type=str, default="720,1280")
+    p.add_argument("--num_inference_steps", type=int, default=None)
+    p.add_argument("--sample_size", type=str, default=None)
     p.add_argument("--ulysses_degree", type=int, default=1)
     p.add_argument("--ring_degree", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--guidance_scale", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=2025)
     p.add_argument("--fps", type=int, default=16)
-    p.add_argument("--video_length", type=int, default=81)
+    p.add_argument("--video_length", type=int, default=None)
     p.add_argument("--sampler", type=str, default="Flow_Unipc",
                    choices=["Flow", "Flow_Unipc", "Flow_DPM++"])
     p.add_argument("--shift", type=float, default=16.0)
@@ -77,9 +77,16 @@ def main(argv=None):
         default_pipeline_factory, resolve_mesh, run_generate_request,
         save_generated_video)
 
-    h, w = (int(x) for x in args.sample_size.split(","))
-    if args.offline_smoke:
-        h, w, args.video_length, args.num_inference_steps = 64, 64, 9, 4
+    # offline_smoke defaults to tiny shapes but explicit size flags win, so
+    # a full-scale run on random weights (perf measurement without
+    # checkpoints in the image) stays reachable
+    smoke_defaults = (64, 64, 9, 4) if args.offline_smoke else (720, 1280, 81, 50)
+    h, w = ((int(x) for x in args.sample_size.split(","))
+            if args.sample_size else smoke_defaults[:2])
+    if args.video_length is None:
+        args.video_length = smoke_defaults[2]
+    if args.num_inference_steps is None:
+        args.num_inference_steps = smoke_defaults[3]
 
     # the reference's torchrun --ulysses_degree x --ring_degree becomes one
     # sp mesh axis; --tp composes (versecrafter_inference.py:271-281)

@@ -109,6 +109,22 @@ def replicate(tree, mesh: Mesh):
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
 
 
+def shard_vae_io(x, mesh: Mesh):
+    """Place a [B, C, T, H, W] video/latent tensor with the WIDTH axis
+    sharded over (sp, tp) — spatial parallelism for the VAE. GSPMD then
+    partitions every conv in the jitted encode/decode, inserting the halo
+    exchanges over ICI automatically (the convs are 3x3 spatial, so each
+    chunk program exchanges a 1-pixel halo per conv — the TPU equivalent of
+    hand-written conv halo passing). Width is chosen because the canonical
+    resolutions divide evenly at both pixel and latent scale (832 and 104
+    at 480p; 1280 and 160 at 720p, for sp*tp <= 8); non-divisible shapes
+    fall back to replicated (single-device behavior)."""
+    spec = P(None, None, None, None, ("sp", "tp"))
+    if not _divisible(x, spec, mesh):
+        spec = P()
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def constrain_tokens(x: jnp.ndarray) -> jnp.ndarray:
     """Shard [B, S, D] activations over (dp, sp) when a mesh is active."""
     ctx = current_mesh()

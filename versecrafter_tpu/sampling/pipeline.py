@@ -177,6 +177,16 @@ class VerseCrafterPipeline:
     # the streaming path is numerically identical (models/vae_stream.py)
     VAE_STREAM_THRESHOLD = 1 << 24
 
+    def _shard_vae_input(self, x):
+        """Under a mesh, place VAE inputs width-sharded over (sp, tp):
+        GSPMD spatially partitions every conv of the jitted encode/decode
+        (automatic halo exchange). Sharding propagates from the argument —
+        no changes inside the VAE code."""
+        if self.mesh is None or self.mesh.size == 1:
+            return x
+        from versecrafter_tpu.parallel.sharding import shard_vae_io
+        return shard_vae_io(x, self.mesh)
+
     def _vae_encode_fn(self):
         """Cached jitted VAE encoder (a fresh jit(partial(...)) per call
         would recompile on every generation). Large inputs stream through
@@ -184,6 +194,7 @@ class VerseCrafterPipeline:
         cfg = self.vae_cfg
 
         def encode(x):
+            x = self._shard_vae_input(x)
             if x.shape[2] > 1 and np.prod(x.shape[2:]) > self.VAE_STREAM_THRESHOLD:
                 from versecrafter_tpu.models.vae_stream import vae_encode_chunked
                 return vae_encode_chunked(self.vae_params, cfg, x)
@@ -480,6 +491,7 @@ class VerseCrafterPipeline:
             latents = latents[:, :, n_ref:]
         if output_type == "latent":
             return latents
+        latents = self._shard_vae_input(latents)
         out_voxels = (np.prod(latents.shape[2:])
                       * self.vae_cfg.temporal_compression_ratio
                       * self.vae_cfg.spatial_compression_ratio ** 2)

@@ -137,7 +137,8 @@ def main(argv=None):
                            text_dim=48, out_dim=4, num_heads=4, num_layers=4,
                            text_len=16, geoada_layers=(), geoada_in_dim=8)
         params = _unzero_head(
-            init_wan_dit(jax.random.key(args.seed), cfg, jnp.float32),
+            jax.jit(lambda k: init_wan_dit(k, cfg, jnp.float32))(
+                jax.random.key(args.seed)),
             cfg, jnp.float32)
         pipe = None
     elif args.model_name:

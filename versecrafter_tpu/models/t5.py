@@ -109,34 +109,57 @@ def t5_encode(params: Params, cfg: T5Config, input_ids: jnp.ndarray,
 
 
 def init_t5(key: jax.Array, cfg: T5Config, dtype=jnp.float32) -> Params:
-    kiter = iter(jax.random.split(key, 8 + 8 * cfg.num_layers))
-    nk = lambda: next(kiter)
+    """Random init from ONE bulk normal draw, sliced per leaf.
 
-    def dense(cin, cout, scale):
-        return (jax.random.normal(nk(), (cin, cout)) * scale).astype(dtype)
-
+    A per-leaf `jax.random.normal` graph (~200 RNG ops for umT5-xxl) is
+    mathematically equivalent but compiles pathologically slowly on some
+    backends (minutes per process on the axon AOT compile helper vs seconds
+    for this form); one bulk draw PER LAYER (25 RNG ops, fp32 temp ~0.8 GB
+    each — a single whole-model draw would be a 23 GB fp32 temp) keeps both
+    the compile and peak memory small. Values are i.i.d. N(0,1)·scale
+    either way."""
     d, da, dff = cfg.dim, cfg.dim_attn, cfg.dim_ffn
+
+    per_block = [
+        ((d, da), (d * (da // cfg.num_heads)) ** -0.5),
+        ((d, da), d ** -0.5),
+        ((d, da), d ** -0.5),
+        ((da, d), (cfg.num_heads * (da // cfg.num_heads)) ** -0.5),
+        ((cfg.num_buckets, cfg.num_heads), 2.0 / math.sqrt(d)),
+        ((d, dff), d ** -0.5),
+        ((d, dff), d ** -0.5),
+        ((dff, d), dff ** -0.5),
+    ]
+    blk_total = sum(int(np.prod(s)) for s, _ in per_block)
+    keys = jax.random.split(key, cfg.num_layers + 1)
+
     params: Params = {
-        "embed": (jax.random.normal(nk(), (cfg.vocab, d))).astype(dtype),
+        "embed": jax.random.normal(keys[0], (cfg.vocab, d)).astype(dtype),
         "final_norm": jnp.ones((d,), jnp.float32),
         "blocks": [],
     }
-    for _ in range(cfg.num_layers):
+    for li in range(cfg.num_layers):
+        flat = jax.random.normal(keys[li + 1], (blk_total,))
+        leaves, off = [], 0
+        for s, sc in per_block:
+            n = int(np.prod(s))
+            leaves.append(flat[off:off + n].reshape(s) * sc)
+            off += n
+        qs, ks, vs, os_, rb, w0, w1, wo = leaves
         params["blocks"].append({
             "norm1": jnp.ones((d,), jnp.float32),
             "attn": {
-                "q": dense(d, da, (d * (da // cfg.num_heads)) ** -0.5),
-                "k": dense(d, da, d ** -0.5),
-                "v": dense(d, da, d ** -0.5),
-                "o": dense(da, d, (cfg.num_heads * (da // cfg.num_heads)) ** -0.5),
-                "rel_bias": (jax.random.normal(nk(), (cfg.num_buckets, cfg.num_heads))
-                             * (2.0 / math.sqrt(d))).astype(jnp.float32),
+                "q": qs.astype(dtype),
+                "k": ks.astype(dtype),
+                "v": vs.astype(dtype),
+                "o": os_.astype(dtype),
+                "rel_bias": rb.astype(jnp.float32),
             },
             "norm2": jnp.ones((d,), jnp.float32),
             "ffn": {
-                "wi_0": dense(d, dff, d ** -0.5),
-                "wi_1": dense(d, dff, d ** -0.5),
-                "wo": dense(dff, d, dff ** -0.5),
+                "wi_0": w0.astype(dtype),
+                "wi_1": w1.astype(dtype),
+                "wo": wo.astype(dtype),
             },
         })
     return params

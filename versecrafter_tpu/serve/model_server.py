@@ -242,12 +242,18 @@ def default_pipeline_factory(model_path: Optional[str] = None,
         else:
             cfg = dataclasses.replace(WAN21_1_3B, geoada_layers=(),
                                       geoada_in_dim=128, text_dim=t5_cfg.dim)
+        # jit every init: eager construction dispatches hundreds of tiny
+        # RNG programs, each a separate ~0.4-1 s remote compile over the
+        # device tunnel (measured: several MINUTES of smoke-model startup;
+        # same reasoning as __graft_entry__.entry)
         return VerseCrafterPipeline(
             dit_params=jax.jit(lambda k: init_wan_dit(k, cfg, dtype))(jax.random.key(0)),
             dit_cfg=cfg,
-            vae_params=init_vae(jax.random.key(1), VAEConfig(), jnp.float32),
+            vae_params=jax.jit(lambda k: init_vae(k, VAEConfig(), jnp.float32))(
+                jax.random.key(1)),
             vae_cfg=VAEConfig(),
-            t5_params=init_t5(jax.random.key(2), t5_cfg, dtype),
+            t5_params=jax.jit(lambda k: init_t5(k, t5_cfg, dtype))(
+                jax.random.key(2)),
             t5_cfg=t5_cfg,
             mesh=resolve_mesh(mesh_spec, auto_mesh, cfg.num_heads),
         )

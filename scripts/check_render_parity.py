@@ -42,6 +42,8 @@ def psnr(a, b):
 
 
 def main():
+    from versecrafter_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from versecrafter_tpu.geometry.pointcloud import load_background_from_files
     from versecrafter_tpu.geometry.render import (
         load_camera_trajectory, load_gaussian_trajectory, render_control_maps)

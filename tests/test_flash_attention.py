@@ -110,3 +110,16 @@ def test_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=3e-2, atol=3e-2
     )
+
+
+def test_pick_block_q_minimizes_padding():
+    from versecrafter_tpu.kernels.flash_attention import _pick_block_q, _ceil_to
+
+    assert _pick_block_q(32760) == 4680   # exact divisor, zero padding
+    assert 75600 % _pick_block_q(75600) == 0  # exact divisor (5400)
+    assert _pick_block_q(512) == 512
+    # ring-shard lengths with no divisor in range: padding must stay small
+    for sq in (9450, 8190, 75600 // 8, 100000):
+        bq = _pick_block_q(sq)
+        pad = _ceil_to(sq, bq) - sq
+        assert pad / sq < 0.05, (sq, bq, pad)

@@ -183,3 +183,21 @@ def test_pipeline_clip_image_requires_tower():
         pipe("x", clip_image=np.zeros((32, 32, 3), np.uint8),
              geoada_context=jnp.zeros((1, 4, 2, 8, 8)), height=64, width=64,
              num_inference_steps=1, output_type="latent")
+
+
+def test_camera_video_without_adapter_raises():
+    from versecrafter_tpu.models.t5 import init_t5
+    from versecrafter_tpu.sampling.pipeline import VerseCrafterPipeline
+
+    cfg = dataclasses.replace(CFG, add_control_adapter=False)
+    t5_cfg = T5Config(vocab=64, dim=24, dim_attn=24, dim_ffn=48, num_heads=4,
+                      num_layers=2, num_buckets=8, text_length=cfg.text_len)
+    pipe = VerseCrafterPipeline(
+        dit_params=init_wan_dit(jax.random.key(0), cfg, jnp.float32),
+        dit_cfg=cfg, vae_params=None, vae_cfg=VAEConfig(z_dim=4),
+        t5_params=init_t5(jax.random.key(2), t5_cfg, jnp.float32),
+        t5_cfg=t5_cfg)
+    with pytest.raises(ValueError, match="control_adapter"):
+        pipe("x", camera_video=np.zeros((1, 3, 2, 16, 16), np.float32),
+             geoada_context=jnp.zeros((1, 4, 2, 8, 8)), height=64, width=64,
+             num_inference_steps=1, output_type="latent")

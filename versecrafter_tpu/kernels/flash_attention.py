@@ -39,13 +39,17 @@ def _pick_block_q(sq: int) -> int:
     round-1 1024/1024 default — scripts/bench_kernel_variants.py). Prefer a
     divisor of the sequence so no padded q rows are computed at all
     (32,760 -> 4,680; 75,600 -> 5,040); cap so the fp32 score tile + vreg
-    spills stay inside scoped VMEM."""
+    spills stay inside scoped VMEM. When no divisor exists (e.g. ring
+    shards: 75,600/8 = 9,450), pick the block that balances the q rows over
+    ceil(sq/4096) blocks instead of a flat 4096 (which would compute up to
+    ~30-50% padded rows)."""
     if sq <= 4096:
         return _ceil_to(sq, 128)
     for d in range(min(sq, 5456), 3583, -8):
         if sq % d == 0:
             return d
-    return 4096
+    nblocks = -(-sq // 4096)
+    return _ceil_to(-(-sq // nblocks), 128)
 
 
 def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, *rest, block_q: int,
@@ -430,7 +434,9 @@ def flash_attention_with_stats(q, k, v, sm_scale: Optional[float] = None,
         l = jnp.sum(p, axis=-1)
         out = jnp.einsum("bnqk,bnkd->bnqd", p / l[..., None],
                          v.astype(jnp.float32)).astype(q.dtype)
-        return out, m, l
+        # match the pallas path's contract: stats are non-differentiable on
+        # every backend (otherwise CPU and TPU grads silently disagree)
+        return out, jax.lax.stop_gradient(m), jax.lax.stop_gradient(l)
     block_q = _pick_block_q(Sq) if block_q is None else min(block_q, _ceil_to(Sq, 128))
     block_kv = min(block_kv, _ceil_to(Skv, 128))
     return _fa_stats_diff(q, k, v, float(sm_scale), block_q, block_kv)

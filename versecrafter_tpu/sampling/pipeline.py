@@ -125,6 +125,8 @@ class VerseCrafterPipeline:
             self.t5_params = replicate(self.t5_params, mesh)
         if self.vae_params is not None:
             self.vae_params = replicate(self.vae_params, mesh)
+        if self.clip_params is not None:
+            self.clip_params = replicate(self.clip_params, mesh)
         self.attn_impl = "sp"
         self._jit_cache.clear()
 
@@ -429,6 +431,11 @@ class VerseCrafterPipeline:
         if clip_fea is not None:
             extras["clip_fea"] = jnp.asarray(clip_fea, dtype)
         if camera_video is not None:
+            if "control_adapter" not in self.dit_params:
+                raise ValueError(
+                    "camera_video given but the DiT has no control_adapter "
+                    "(checkpoint lacks SimpleAdapter weights / "
+                    "cfg.add_control_adapter is off)")
             extras["y_camera"] = jnp.asarray(camera_video, dtype)
 
         n_ref = 0

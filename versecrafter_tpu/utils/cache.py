@@ -14,7 +14,19 @@ DEFAULT_DIR = os.environ.get(
     "VERSECRAFTER_JAX_CACHE", os.path.expanduser("~/.cache/versecrafter_jax"))
 
 
-def enable_persistent_cache(path: str = DEFAULT_DIR) -> None:
+def enable_persistent_cache(path: str = DEFAULT_DIR,
+                            fast_rng: bool = True) -> None:
+    """Entry-point runtime setup: persistent compile cache + fast RNG.
+
+    fast_rng=True switches the process-global default PRNG to `rbg`:
+    threefry call-sites compile pathologically slowly through the axon
+    remote AOT helper (measured: umT5-xxl random init 240-570 s vs 12 s
+    with rbg). This CHANGES the values drawn for a given seed (still
+    deterministic per seed within an environment, which is all the
+    random-init smoke models and noise seeds need; real runs load converted
+    weights). Pass fast_rng=False or set VERSECRAFTER_THREEFRY=1 to keep
+    the jax default — tests don't call this hook and always keep threefry.
+    """
     import jax
 
     os.makedirs(path, exist_ok=True)
@@ -26,12 +38,7 @@ def enable_persistent_cache(path: str = DEFAULT_DIR) -> None:
         # left ~1 min of repeat-run compiles on the table)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        # threefry call-sites compile pathologically slowly through the axon
-        # AOT helper (measured: umT5-xxl random init 240-570 s vs 12 s with
-        # the hardware rbg generator). Entry points only ever use RNG for
-        # random-init smoke models and noise seeds — rbg is deterministic
-        # per seed, which is all they need. Tests (which pin exact values on
-        # CPU) don't call this hook and keep the default threefry.
-        jax.config.update("jax_default_prng_impl", "rbg")
+        if fast_rng and not os.environ.get("VERSECRAFTER_THREEFRY"):
+            jax.config.update("jax_default_prng_impl", "rbg")
     except Exception:  # noqa: BLE001 — older jax without these flags
         pass

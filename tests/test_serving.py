@@ -319,3 +319,49 @@ def test_background_model_preload(tmp_path):
     # idempotent once loaded
     server.start_model_loading_async()
     assert server.model_loading_status()["model_loaded"] is True
+
+
+def test_model_server_stall_deadline(tmp_path):
+    """A remote model server stuck in RUNNING with no progress change must
+    fail the task after the stall timeout instead of polling forever
+    (reference bounds its readiness waits at 600 s, api_server.py:1013-1050)."""
+    from versecrafter_tpu.serve.http import Router
+
+    router = Router()
+
+    @router.route("POST", "/generate")
+    def _gen(req):
+        return 200, {"task_id": "wedged"}
+
+    @router.route("GET", "/status/<task_id>")
+    def _status(req):
+        return 200, {"status": "RUNNING", "progress": 3,
+                     "message": "stuck forever"}
+
+    httpd = make_server(router, "127.0.0.1", 0)
+    serve_forever_in_thread(httpd)
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        server = ApiServer(workdir=str(tmp_path), model_server_url=url,
+                           model_server_stall_timeout=1.0)
+        task = server.tasks.create("generate")
+        t0 = time.time()
+        server.run_generate(task.task_id, {"rendering_maps_path": "maps"})
+        st = server.tasks.get(task.task_id)
+        assert st["status"] == "FAILED"
+        assert "no progress" in (st["error"] or "")
+        assert time.time() - t0 < 30
+    finally:
+        httpd.shutdown()
+
+
+def test_model_server_unreachable_bounded(tmp_path):
+    """Connection failures while polling are retried a few times, then fail
+    the task (no infinite retry loop)."""
+    server = ApiServer(workdir=str(tmp_path),
+                       model_server_url="http://127.0.0.1:9",  # discard port
+                       model_server_stall_timeout=1.0)
+    task = server.tasks.create("generate")
+    server.run_generate(task.task_id, {"rendering_maps_path": "maps"})
+    st = server.tasks.get(task.task_id)
+    assert st["status"] == "FAILED"

@@ -38,7 +38,7 @@ def _pick_block_q(sq: int) -> int:
     (measured on v5e: bq~4-5k at bkv=1024 runs ~152-167 TF/s vs ~128 at the
     round-1 1024/1024 default — scripts/bench_kernel_variants.py). Prefer a
     divisor of the sequence so no padded q rows are computed at all
-    (32,760 -> 4,680; 75,600 -> 5,040); cap so the fp32 score tile + vreg
+    (32,760 -> 4,680; 75,600 -> 5,400); cap so the fp32 score tile + vreg
     spills stay inside scoped VMEM. When no divisor exists (e.g. ring
     shards: 75,600/8 = 9,450), pick the block that balances the q rows over
     ceil(sq/4096) blocks instead of a flat 4096 (which would compute up to

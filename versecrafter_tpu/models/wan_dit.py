@@ -390,7 +390,13 @@ def wan_dit_embed(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     grid = (x.shape[2] // pt, x.shape[3] // ph, x.shape[4] // pw)
 
     tokens = _linear(params["patch_embedding"], patchify(x, cfg.patch_size))
-    if y_camera is not None and "control_adapter" in params:
+    if y_camera is not None:
+        if "control_adapter" not in params:
+            raise ValueError(
+                "y_camera conditioning passed but params have no "
+                "'control_adapter' entry — the checkpoint was built without "
+                "a SimpleAdapter (add_control_adapter=False), so the maps "
+                "would be silently ignored")
         tokens = tokens + simple_adapter(
             params["control_adapter"], y_camera, cfg.patch_size[1:],
             cfg.downscale_factor_control_adapter).astype(tokens.dtype)

@@ -6,8 +6,10 @@ This is the validated backbone for the segmentation capability the reference
 consumes through the Grounded-SAM-2 submodule (box-prompted masks,
 /root/reference/inference/grounded_sam2_infer.py:188-194). The reference's
 actual mask model family is SAM2 (Hiera) — see perception/sam2.py, the
-HF-parity-validated port the segmenter uses by default; this SAM1 port stays
-for SAM-vit checkpoints (interchangeable for single-image box prompts).
+HF-parity-validated port the segmenter uses by default; this SAM1 port is
+selectable for SAM-vit checkpoints via
+`ImageSegmenter(mask_backend="sam1")` (interchangeable for single-image box
+prompts — same `predict_boxes` contract).
 
 Components (exact module math of the public design):
 - ViT image encoder: 16x16 patch conv, absolute pos embed, windowed
@@ -300,6 +302,22 @@ def decode_masks(params: Params, cfg: dict, image_embed: jnp.ndarray,
     iou = _ffw(dec["iou_head"], iou_tok, dec["_iou_depth"])
     return (masks.reshape(B, Q, n_mask, 4 * h, 4 * w),
             iou.reshape(B, Q, n_mask))
+
+
+def predict_boxes(params: Params, cfg: dict, pixels: jnp.ndarray,
+                  boxes: jnp.ndarray, multimask_output: bool = True):
+    """One-call box-prompted prediction with the same contract as
+    perception.sam2.predict_boxes (pixels [B, H, W, 3] normalized, boxes
+    [B, Q, 4] xyxy input-image pixels) so the segmenter can select either
+    mask family via `mask_backend`. SAM1 token semantics: token 0 is the
+    single-mask output, tokens 1..3 are the multimask outputs. Returns
+    (masks, iou, None) — SAM1 has no object-score head."""
+    embeds = vision_forward(params, cfg, pixels)
+    sparse = encode_prompts(params, cfg, boxes=boxes)
+    masks, iou = decode_masks(params, cfg, embeds, sparse)
+    if multimask_output:
+        return masks[:, :, 1:], iou[:, :, 1:], None
+    return masks[:, :, :1], iou[:, :, :1], None
 
 
 # ---------------------------------------------------------------------------

@@ -48,7 +48,11 @@ class ImageSegmenter:
     max_objects: int = 5
     min_area_ratio: float = 0.002
     max_area_ratio: float = 0.6
-    # neural backend checkpoints (converted; perception/sam2.py, gdino_hf.py)
+    # neural backend checkpoints (converted; perception/sam2.py, sam.py,
+    # gdino_hf.py). sam2_params holds (params, cfg) of the selected
+    # mask_backend family: "sam2" (Hiera — the reference's model) or "sam1"
+    # (SAM-vit checkpoints; same predict_boxes contract).
+    mask_backend: str = "sam2"
     sam2_params: object = None
     gdino_params: object = None
     tokenizer: object = None
@@ -141,7 +145,15 @@ class ImageSegmenter:
         import jax.numpy as jnp
 
         from versecrafter_tpu.perception import gdino_hf
-        from versecrafter_tpu.perception import sam2 as sam2_mod
+
+        if self.mask_backend == "sam2":
+            from versecrafter_tpu.perception import sam2 as sam2_mod
+            size_key = "image_size"
+        elif self.mask_backend == "sam1":
+            from versecrafter_tpu.perception import sam as sam2_mod
+            size_key = "img_size"
+        else:
+            raise ValueError(f"unknown mask_backend {self.mask_backend!r}")
 
         if self.sam2_params is None or self.gdino_params is None:
             raise RuntimeError("neural backend needs converted sam2/gdino params")
@@ -177,8 +189,8 @@ class ImageSegmenter:
         found = [found[i] for i in keep]
         pix_boxes = pix_boxes[keep]
 
-        # SAM2 masks, all kept boxes in one prompt batch
-        s_size = scfg["image_size"]
+        # SAM masks, all kept boxes in one prompt batch
+        s_size = scfg[size_key]
         simg, sch, scw = self._letterbox(image, s_size)
         simg = (simg - mean) / std
         sboxes = pix_boxes * np.array([scw / ow, sch / oh] * 2)

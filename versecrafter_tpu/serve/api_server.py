@@ -46,12 +46,14 @@ from versecrafter_tpu.serve.tasks import (
 class ApiServer:
     def __init__(self, workdir: str = "outputs/api",
                  model_server_url: Optional[str] = None,
-                 pipeline_factory=None):
+                 pipeline_factory=None,
+                 model_server_stall_timeout: float = 600.0):
         self.workdir = os.path.abspath(workdir)
         os.makedirs(self.workdir, exist_ok=True)
         self.tasks = TaskRegistry()
         self.chunks = ChunkStore()
         self.model_server_url = model_server_url
+        self.model_server_stall_timeout = model_server_stall_timeout
         self._pipeline = None
         self._pipeline_factory = pipeline_factory
         self._loading_lock = threading.Lock()
@@ -208,7 +210,13 @@ class ApiServer:
 
     def _generate_via_model_server(self, task_id: str, params: dict):
         """Reference dispatch tier 1 (api_server.py:1053-1125): POST
-        /generate, then mirror /status/<id> progress every 2 s."""
+        /generate, then mirror /status/<id> progress every 2 s.
+
+        Bounded like the reference's readiness waits (api_server.py:
+        1013-1050): transient poll errors are retried a few times, and a
+        remote that stays RUNNING with no progress/message change for
+        `model_server_stall_timeout` seconds fails the task instead of
+        polling forever."""
         import time
         import urllib.request
 
@@ -220,16 +228,38 @@ class ApiServer:
         with urllib.request.urlopen(req, timeout=30) as resp:
             remote_id = json.loads(resp.read())["task_id"]
 
+        errors = 0
+        last_state = None
+        last_change = time.monotonic()
         while True:
-            with urllib.request.urlopen(
-                    f"{self.model_server_url}/status/{remote_id}", timeout=30) as r:
-                st = json.loads(r.read())
+            try:
+                with urllib.request.urlopen(
+                        f"{self.model_server_url}/status/{remote_id}",
+                        timeout=30) as r:
+                    st = json.loads(r.read())
+                errors = 0
+            except Exception as e:  # noqa: BLE001 — transient poll failure
+                errors += 1
+                if errors >= 5:
+                    raise RuntimeError(
+                        f"model server unreachable after {errors} polls: {e}")
+                time.sleep(2)
+                continue
             self.tasks.update(task_id, progress=st["progress"],
                               message=st["message"])
             if st["status"] in (COMPLETED, FAILED):
                 self.tasks.update(task_id, status=st["status"],
                                   result=st.get("result"), error=st.get("error"))
                 return
+            state = (st["status"], st["progress"], st["message"])
+            if state != last_state:
+                last_state = state
+                last_change = time.monotonic()
+            elif time.monotonic() - last_change > self.model_server_stall_timeout:
+                raise RuntimeError(
+                    f"model server task {remote_id} made no progress for "
+                    f"{self.model_server_stall_timeout:.0f}s (stuck at "
+                    f"{state}); giving up")
             time.sleep(2)
 
     def _generate_in_process(self, task_id: str, params: dict):

@@ -189,8 +189,11 @@ def test_window_size_config_threads_to_attention():
     win_pl = wan_dit_forward(params, cfg_win, x, t, ctx, cos, sin,
                              attn_impl="pallas")
     assert float(jnp.abs(win_xla - full).max()) > 1e-5  # window changes output
+    # pallas now routes through the FUSED norm+rope kernel (bf16 rope
+    # tables, one fewer rounding) — tolerance matches its documented 2e-3
+    # fused-vs-unfused contract instead of the old bit-level agreement
     np.testing.assert_allclose(np.asarray(win_pl), np.asarray(win_xla),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=2e-3, atol=5e-4)
 
 
 def test_window_size_under_sequence_parallelism():
@@ -215,3 +218,43 @@ def test_window_size_under_sequence_parallelism():
             shard_dit_params(params, mesh), x, t, ctx, cos, sin)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_geoada_stacked_matches_interleaved():
+    """The inference geoada schedule (all hints first, then the base stack —
+    two plain scans) must match the training interleaved superstep exactly:
+    the hint chain depends only on the initial tokens, so the order is a
+    pure schedule choice (round-3 restructure for the fused kernel)."""
+    import dataclasses
+    from versecrafter_tpu.models.wan_dit import wan_dit_blocks
+
+    cfg = dataclasses.replace(TINY, geoada_layers=(), geoada_in_dim=8)
+    params = init_wan_dit(jax.random.key(3), cfg, dtype=jnp.float32)
+    # geoada after_proj is zero-init (hints are zero) — randomize so the
+    # hint path actually contributes
+    params["geoada_blocks"]["after_proj"]["kernel"] = jax.random.normal(
+        jax.random.key(4),
+        params["geoada_blocks"]["after_proj"]["kernel"].shape) * 0.1
+
+    rng = np.random.default_rng(0)
+    b, s, d = 2, 3 * 4 * 4, cfg.dim
+    x = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    gtok = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    e0 = jnp.asarray(rng.standard_normal((b, 6, d)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, cfg.text_len, d)), jnp.float32)
+    cos, sin = _rope(cfg, 3, 4, 4)
+
+    import versecrafter_tpu.models.wan_dit as wd
+    old = wd.GEOADA_STACKED_HINTS
+    wd.GEOADA_STACKED_HINTS = True
+    try:
+        out_inf = wan_dit_blocks(params, cfg, x, e0, cos, sin, ctx,
+                                 geoada_tokens=gtok, geoada_scale=0.7,
+                                 attn_impl="xla", remat=False)
+    finally:
+        wd.GEOADA_STACKED_HINTS = old
+    out_train = wan_dit_blocks(params, cfg, x, e0, cos, sin, ctx,
+                               geoada_tokens=gtok, geoada_scale=0.7,
+                               attn_impl="xla", remat=True)
+    np.testing.assert_allclose(np.asarray(out_inf), np.asarray(out_train),
+                               atol=1e-5, rtol=1e-5)

@@ -52,14 +52,41 @@ def _pick_block_q(sq: int) -> int:
     return _ceil_to(-(-sq // nblocks), 128)
 
 
-def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, *rest, block_q: int,
+def _pairswap(x, interpret: bool):
+    """Swap adjacent lanes: out[..., 2i] = x[..., 2i+1], out[..., 2i+1] =
+    x[..., 2i] — the lane shuffle that turns the interleaved-table RoPE
+    rotation into two fused multiply-adds (see interleave_rope_tables)."""
+    if interpret:
+        up = jnp.roll(x, -1, axis=-1)
+        dn = jnp.roll(x, 1, axis=-1)
+    else:
+        # pltpu.roll requires a non-negative shift; roll(-1) == roll(L-1)
+        up = pltpu.roll(x, x.shape[-1] - 1, axis=x.ndim - 1)
+        dn = pltpu.roll(x, 1, axis=x.ndim - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(lane % 2 == 0, up, dn)
+
+
+def _qk_transform(x, rstat, g, cos, sin, interpret: bool):
+    """In-tile qk-RMSNorm + RoPE: x [rows, D] bf16 raw projection output,
+    rstat [rows, 1] fp32 per-row rsqrt(mean over the FULL model dim) with
+    any scalar folds (sm_scale*log2e) pre-applied, g [1, D] fp32 per-channel
+    norm scale, cos/sin [rows, D] interleaved tables (bf16 — the table
+    rounding is below the bf16 output rounding). fp32 math, bf16 out."""
+    xf = x.astype(jnp.float32) * rstat * g
+    rot = xf * cos.astype(jnp.float32) \
+        + _pairswap(xf, interpret) * sin.astype(jnp.float32)
+    return rot.astype(x.dtype)
+
+
+def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
                block_kv: int, num_kv_blocks: int, window: tuple,
-               masked: bool, stats: bool):
+               masked: bool, stats: bool, fused: bool, interpret: bool):
     """sm_scale is pre-folded into q by the caller (one [B,N,S,D] multiply
     instead of a per-tile [bq,bkv] one — every elementwise op on the score
     tile costs real VPU time).
 
-    Two statically-selected flavors:
+    Statically-selected flavors:
     - stats=False (inference): exp2 scoring (sm_scale*log2e folded into q —
       one fewer VPU op inside the transcendental) and NO m/l outputs: the
       round-1 kernel wrote 2x[B,N,S,128] fp32 stats to HBM that inference
@@ -68,11 +95,29 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, *rest, block_q: int,
       bit-identical to round 1, because fa_backward and the ring merge
       recompute exp(s - m) with their own sm_scale folding and a different
       bf16 rounding of q*(scale*log2e) would bias the recomputed p.
+    - fused=True (inference only, implies stats=False): q/k/v arrive RAW
+      from the projections in their NATIVE flat [B, S, N*D] layout — the
+      per-head [bq, D] tile is carved out by the LANE-dim block index
+      (strided 256-byte-row DMA, far below the DMA bandwidth the matmul
+      time affords) — so the model needs no [B,N,S,D] relayout passes at
+      all and the output writes back in the o-projection's layout. Per-row
+      RMS statistics ([B,S,1], spanning ALL heads — a per-head tile cannot
+      compute them), per-head norm-scale slices ([N, 1, D], block-indexed by
+      the head grid dim) and interleaved RoPE tables are extra inputs, and
+      the norm+rotation run in-tile (VPU work hidden under the MXU) instead
+      of as separate HBM-bandwidth passes. The cos/sin tables are FULL-ARRAY
+      inputs (constant index map -> fetched into VMEM once per kernel call,
+      not re-streamed per KV tile), sliced per tile with pl.ds. The q
+      transform is computed once per q block into a scratch; the k transform
+      is recomputed per (iq, ikv) visit — negligible VPU time vs the matmul.
     """
-    if stats:
-        mo_ref, lo_ref, m_ref, l_ref, acc_ref = rest
+    if fused:
+        (qs_ref, ks_ref, cos_ref, sin_ref, gq_ref, gk_ref,
+         o_ref, m_ref, l_ref, acc_ref, qrot_ref) = rest
+    elif stats:
+        o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = rest
     else:
-        m_ref, l_ref, acc_ref = rest
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ikv = pl.program_id(3)
@@ -85,6 +130,11 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, *rest, block_q: int,
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        if fused:
+            qrot_ref[...] = _qk_transform(
+                q_ref[0], qs_ref[0], gq_ref[0],
+                cos_ref[pl.ds(iq * block_q, block_q), :],
+                sin_ref[pl.ds(iq * block_q, block_q), :], interpret)
 
     # Skip KV tiles entirely past this batch element's true KV length, and
     # (for sliding-window attention) tiles fully outside the window of every
@@ -99,8 +149,15 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, *rest, block_q: int,
     need_window = wl >= 0 or wr >= 0
 
     def _body(apply_mask: bool):
-        q = q_ref[0, 0]  # [bq, D]
-        k = k_ref[0, 0]  # [bkv, D]
+        if fused:
+            q = qrot_ref[...]  # [bq, D] (transformed once at ikv == 0)
+            k = _qk_transform(
+                k_ref[0], ks_ref[0], gk_ref[0],
+                cos_ref[pl.ds(ikv * block_kv, block_kv), :],
+                sin_ref[pl.ds(ikv * block_kv, block_kv), :], interpret)
+        else:
+            q = q_ref[0, 0]  # [bq, D]
+            k = k_ref[0, 0]  # [bkv, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -129,7 +186,7 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, *rest, block_q: int,
         l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=1, keepdims=True)
         m_ref[...] = m_next
 
-        v = v_ref[0, 0]  # [bkv, D]
+        v = v_ref[0] if fused else v_ref[0, 0]  # [bkv, D]
         pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
@@ -163,7 +220,11 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, o_ref, *rest, block_q: int,
     def _store():
         l = l_ref[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        out = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        if fused:
+            o_ref[0] = out
+        else:
+            o_ref[0, 0] = out
         if stats:
             mo_ref[0, 0] = m_ref[...]
             lo_ref[0, 0] = l_ref[...]
@@ -200,7 +261,7 @@ def _flash_attention_pallas(q, k, v, k_lens, *, sm_scale, block_q, block_kv,
     kernel = functools.partial(
         _fa_kernel, block_q=block_q, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, window=window, masked=masked,
-        stats=return_stats,
+        stats=return_stats, fused=False, interpret=interpret,
     )
 
     out_shape = [jax.ShapeDtypeStruct((B, N, sq_pad, D), q.dtype)]
@@ -440,3 +501,277 @@ def flash_attention_with_stats(q, k, v, sm_scale: Optional[float] = None,
     block_q = _pick_block_q(Sq) if block_q is None else min(block_q, _ceil_to(Sq, 128))
     block_kv = min(block_kv, _ceil_to(Skv, 128))
     return _fa_stats_diff(q, k, v, float(sm_scale), block_q, block_kv)
+
+
+
+
+# --------------------------------------------------------------------------
+# fused qk-RMSNorm + RoPE + attention (inference fast path)
+#
+# The reference applies WanRMSNorm and rope_apply to q/k as separate tensor
+# passes before its flash-attn dispatch (wan_transformer3d.py:391-399); at
+# 32,760 tokens those are ~0.35 s/step of pure fp32 HBM bandwidth, plus the
+# [B,S,D]<->[B,N,S,D] relayouts around the kernel. Here the norm scale +
+# rotation run inside the attention kernel's q/k tile prologue (SURVEY §2.3
+# "fused RMSNorm+RoPE inside the Pallas attention kernel") and the kernel
+# reads/writes the projections' native [B, S, N, D] layout directly, so the
+# only remaining outside work is the per-row RMS statistic (it spans ALL
+# heads, so a per-head tile can't compute it) — one read of q/k producing a
+# [B,S,1] vector, with sm_scale*log2e folded in for free.
+# --------------------------------------------------------------------------
+
+# resident cos/sin tables above this size would crowd out the score tile;
+# fall back to the unfused path (only reachable at ~100k+ token single-chip
+# shapes — longer sequences run sequence-parallel, which is unfused anyway)
+MAX_TABLE_BYTES = 48 * 1024 * 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("head_dim", "block_q", "block_kv", "interpret", "window",
+                     "masked"),
+)
+def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
+                                  cos_i, sin_i, gq, gk, *, head_dim, block_q,
+                                  block_kv, interpret, window=(-1, -1),
+                                  masked=True):
+    """q/k/v [B, S, N*head_dim] RAW projection outputs (native layout — the
+    per-head slice is selected by the LANE-dim block index, so no relayout
+    ever materializes); rstat_[qk] [B, S, 1] fp32 per-row rsqrt stats
+    (sm_scale*log2e folded into rstat_q); cos_i/sin_i [S, head_dim]
+    interleaved rope tables (bf16); g[qk] [N, 1, head_dim] fp32 per-head
+    norm-scale slices. Returns [B, S, N*head_dim]."""
+    B, Sq, DF = q.shape
+    D = head_dim
+    N = DF // D
+    Skv = k.shape[1]
+
+    sq_pad = _ceil_to(Sq, block_q)
+    skv_pad = _ceil_to(Skv, block_kv)
+    s_pad = max(sq_pad, skv_pad)  # one table covers both q and k rows
+    if sq_pad != Sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - Sq), (0, 0)))
+        rstat_q = jnp.pad(rstat_q, ((0, 0), (0, sq_pad - Sq), (0, 0)))
+    if skv_pad != Skv:
+        k = jnp.pad(k, ((0, 0), (0, skv_pad - Skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, skv_pad - Skv), (0, 0)))
+        rstat_k = jnp.pad(rstat_k, ((0, 0), (0, skv_pad - Skv), (0, 0)))
+        masked = True  # padded keys must not contribute
+    if cos_i.shape[0] != s_pad:
+        cos_i = jnp.pad(cos_i, ((0, s_pad - cos_i.shape[0]), (0, 0)))
+        sin_i = jnp.pad(sin_i, ((0, s_pad - sin_i.shape[0]), (0, 0)))
+
+    num_kv_blocks = skv_pad // block_kv
+    grid = (B, N, sq_pad // block_q, num_kv_blocks)
+
+    kernel = functools.partial(
+        _fa_kernel, block_q=block_q, block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks, window=window, masked=masked,
+        stats=False, fused=True, interpret=interpret,
+    )
+
+    const2 = lambda *_: (0, 0)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, sq_pad, DF), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, D),
+                             lambda b, h, iq, ikv, *_: (b, iq, h)),
+                pl.BlockSpec((1, block_kv, D),
+                             lambda b, h, iq, ikv, *_: (b, ikv, h)),
+                pl.BlockSpec((1, block_kv, D),
+                             lambda b, h, iq, ikv, *_: (b, ikv, h)),
+                pl.BlockSpec((1, block_q, 1),
+                             lambda b, h, iq, ikv, *_: (b, iq, 0)),
+                pl.BlockSpec((1, block_kv, 1),
+                             lambda b, h, iq, ikv, *_: (b, ikv, 0)),
+                # full-array residents: constant index map -> fetched once
+                pl.BlockSpec((s_pad, D), const2),
+                pl.BlockSpec((s_pad, D), const2),
+                pl.BlockSpec((1, 1, D), lambda b, h, iq, ikv, *_: (h, 0, 0)),
+                pl.BlockSpec((1, 1, D), lambda b, h, iq, ikv, *_: (h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, D),
+                                   lambda b, h, iq, ikv, *_: (b, iq, h)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+                pltpu.VMEM((block_q, D), q.dtype),  # transformed q tile
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * N * sq_pad * skv_pad * D,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize
+            + (cos_i.size + sin_i.size) * cos_i.dtype.itemsize,
+            transcendentals=B * N * sq_pad * skv_pad,
+        ),
+        interpret=interpret,
+    )(k_lens, q, k, v, rstat_q, rstat_k, cos_i, sin_i, gq, gk)
+
+    if sq_pad != Sq:
+        out = out[:, :Sq]
+    return out
+
+
+def _unfused_rope_rms_attention(q, k, v, cos, sin, gq, gk, num_heads, eps,
+                                sm_scale, window, impl):
+    """The separate-passes reference math the fused kernel replaces (and the
+    path every backend other than compiled-pallas uses): full-dim RMSNorm,
+    pairwise rope, head split, flash attention. Matches wan_dit's historical
+    _self_attention body exactly."""
+    from versecrafter_tpu.kernels.norms import rms_norm
+    from versecrafter_tpu.kernels.rope import apply_rope
+
+    b, s, d = q.shape
+    n = num_heads
+    hd = d // n
+    if gq is not None:
+        q = rms_norm(q, gq, eps)
+        k = rms_norm(k, gk, eps)
+    q = apply_rope(q.reshape(b, s, n, hd), cos, sin)
+    k = apply_rope(k.reshape(b, s, n, hd), cos, sin)
+    v = v.reshape(b, s, n, hd)
+    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    out = flash_attention(q, k, v, sm_scale=sm_scale, impl=impl,
+                          window_size=window)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+def prepare_fused_rope_tables(cos, sin, block_kv: int = 1024):
+    """Interleave + cast + pad the rope tables ONCE per forward (wan_dit
+    hoists this out of the scanned blocks; rebuilding the [S_pad, D] bf16
+    pair inside every layer is redundant work and extra per-iteration
+    buffers in the XLA while loop). Uses the same block geometry the fused
+    dispatch picks, so the kernel call sees already-final tables."""
+    from versecrafter_tpu.kernels.rope import interleave_rope_tables
+
+    s = cos.shape[0]
+    block_q = _pick_block_q(s)
+    bkv = min(block_kv, _ceil_to(s, 128))
+    s_pad = max(_ceil_to(s, block_q), _ceil_to(s, bkv))
+    ci, si = interleave_rope_tables(cos, sin)
+    ci = ci.astype(jnp.bfloat16)
+    si = si.astype(jnp.bfloat16)
+    if ci.shape[0] != s_pad:
+        ci = jnp.pad(ci, ((0, s_pad - ci.shape[0]), (0, 0)))
+        si = jnp.pad(si, ((0, s_pad - si.shape[0]), (0, 0)))
+    return ci, si
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def _fused_qk_diff(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads, eps,
+                   sm_scale, window, interpret):
+    b, s, d = q.shape
+    n = num_heads
+    hd = d // n
+
+    scale_q = sm_scale * LOG2E
+    if gq is not None:
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        rq = jax.lax.rsqrt(
+            jnp.mean(qf * qf, axis=-1, keepdims=True) + eps) * scale_q
+        rk = jax.lax.rsqrt(jnp.mean(kf * kf, axis=-1, keepdims=True) + eps)
+        gq_heads = gq.astype(jnp.float32).reshape(n, 1, hd)
+        gk_heads = gk.astype(jnp.float32).reshape(n, 1, hd)
+    else:
+        rq = jnp.full((b, s, 1), scale_q, jnp.float32)
+        rk = jnp.ones((b, s, 1), jnp.float32)
+        gq_heads = jnp.ones((n, 1, hd), jnp.float32)
+        gk_heads = jnp.ones((n, 1, hd), jnp.float32)
+
+    if cos_i is None:
+        cos_i, sin_i = prepare_fused_rope_tables(cos, sin)
+
+    block_q = _pick_block_q(s)
+    block_kv = min(1024, _ceil_to(s, 128))
+    k_lens = jnp.full((b,), s, jnp.int32)
+
+    return _flash_attention_fused_pallas(
+        q, k, v, k_lens, rq, rk, cos_i, sin_i, gq_heads, gk_heads,
+        head_dim=hd, block_q=block_q, block_kv=block_kv,
+        interpret=interpret, window=window, masked=False)
+
+
+def _fused_qk_diff_fwd(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads,
+                       eps, sm_scale, window, interpret):
+    # under jax.grad the forward runs the UNFUSED math — training keeps the
+    # stats-path numerics rule (see _fa_kernel docstring); the fused exp2
+    # kernel stays inference-only
+    out = _unfused_rope_rms_attention(q, k, v, cos, sin, gq, gk, num_heads,
+                                      eps, sm_scale, window, "auto")
+    return out, (q, k, v, cos, sin, gq, gk, cos_i, sin_i)
+
+
+def _fused_qk_diff_bwd(num_heads, eps, sm_scale, window, interpret, res, do):
+    q, k, v, cos, sin, gq, gk, cos_i, sin_i = res
+
+    def f(q, k, v, gq, gk):
+        return _unfused_rope_rms_attention(q, k, v, cos, sin, gq, gk,
+                                           num_heads, eps, sm_scale, window,
+                                           "auto")
+
+    _, vjp = jax.vjp(f, q, k, v, gq, gk)
+    dq, dk, dv, dgq, dgk = vjp(do)
+    # rope tables are constants (host-built angle grids) — no cotangent flows
+    return (dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin), dgq, dgk,
+            None if cos_i is None else jnp.zeros_like(cos_i),
+            None if sin_i is None else jnp.zeros_like(sin_i))
+
+
+_fused_qk_diff.defvjp(_fused_qk_diff_fwd, _fused_qk_diff_bwd)
+
+
+def fused_rope_rms_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    gq: Optional[jnp.ndarray] = None,
+    gk: Optional[jnp.ndarray] = None,
+    *,
+    num_heads: int,
+    eps: float = 1e-6,
+    sm_scale: Optional[float] = None,
+    window_size: tuple = (-1, -1),
+    impl: str = "auto",
+    tables_i=None,
+) -> jnp.ndarray:
+    """Self-attention over [B, S, D] RAW q/k/v projection outputs with
+    qk-RMSNorm (scale gq/gk [D], optional) and RoPE (half-width tables
+    cos/sin [S, D/num_heads/2]) fused into the attention kernel.
+
+    Numerics: the inference primal rounds once to bf16 after the in-tile
+    fp32 norm+rotate (vs the unfused path's two roundings) and uses bf16
+    rope tables (rounding below the bf16 output rounding) — parity within
+    2e-3 bf16. Under jax.grad the forward AND backward use the unfused
+    differentiable path, so training numerics are identical to the
+    separate-passes path (same rule as _fa_diff's stats-path fwd).
+
+    impl: 'auto' (fused pallas on TPU, unfused xla elsewhere), 'pallas'
+    (fused kernel, interpret mode off-TPU), 'xla' (unfused reference)."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1] // num_heads)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    s_pad = _ceil_to(q.shape[1], 128)
+    hd = q.shape[-1] // num_heads
+    table_bytes = 2 * 2 * s_pad * hd
+    if impl == "xla" or table_bytes > MAX_TABLE_BYTES:
+        return _unfused_rope_rms_attention(
+            q, k, v, cos, sin, gq, gk, num_heads, eps, sm_scale,
+            window_size, impl)
+    cos_i, sin_i = tables_i if tables_i is not None else (None, None)
+    return _fused_qk_diff(
+        q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads, float(eps),
+        float(sm_scale), (int(window_size[0]), int(window_size[1])),
+        jax.default_backend() != "tpu")

@@ -35,11 +35,28 @@ import jax
 import jax.numpy as jnp
 
 from versecrafter_tpu.core.config import WanDiTConfig
-from versecrafter_tpu.kernels.flash_attention import flash_attention
+from versecrafter_tpu.kernels.flash_attention import (
+    flash_attention, fused_rope_rms_attention)
 from versecrafter_tpu.kernels.norms import layer_norm, rms_norm
 from versecrafter_tpu.kernels.rope import apply_rope
 
 Params = Dict[str, Any]
+
+# Whether the scanned DiT blocks route self-attention through the fused
+# qk-RMSNorm+RoPE kernel. The fused kernel measures FASTER in isolation
+# (rope/rms/relayout passes eliminated; ~-6 ms/layer at 32,760 tok) but the
+# full-block step measured SLOWER on the v5e (+~100 ms/step, round-3
+# probes) — a block-context interaction still under investigation — so the
+# model default stays on the separate-passes path until it's understood.
+# Flip to True (or call kernels.flash_attention.fused_rope_rms_attention
+# directly) to use the fused path.
+FUSED_QK_ATTENTION = False
+
+# Inference geoada hint schedule: False = interleaved superstep (O(1) hint
+# memory, also the training path), True = reference-order stacked hints
+# (two plain single-block scans; +~27 ms/step measured unfused, built for
+# the fused kernel's plain-scan preference — see FUSED_QK_ATTENTION).
+GEOADA_STACKED_HINTS = False
 
 
 # ---------------------------------------------------------------------------
@@ -224,13 +241,28 @@ def init_wan_dit(key: jax.Array, cfg: WanDiTConfig,
 
 def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
                     qk_norm: bool, eps: float, attn_impl: str,
-                    window_size: tuple = (-1, -1)) -> jnp.ndarray:
+                    window_size: tuple = (-1, -1),
+                    rope_i=None, fuse_qk: bool = True) -> jnp.ndarray:
     b, s, d = x.shape
     n = num_heads
     hd = d // n
     q = _linear(p["q"], x)
     k = _linear(p["k"], x)
     v = _linear(p["v"], x)
+    if attn_impl != "sp" and fuse_qk:
+        # norm + rope fused into the attention kernel (no separate
+        # fp32-bandwidth passes; unfused reference math on non-pallas
+        # backends — see kernels.flash_attention.fused_rope_rms_attention)
+        out = fused_rope_rms_attention(
+            q, k, v, cos, sin,
+            p["norm_q"]["scale"] if qk_norm else None,
+            p["norm_k"]["scale"] if qk_norm else None,
+            num_heads=n, eps=eps, window_size=window_size, impl=attn_impl,
+            tables_i=rope_i)
+        return _linear(p["o"], out)
+    # sequence-parallel path (rope needs the LOCAL table slice before the
+    # all_to_all redistributes heads/sequence) and the fuse_qk=False
+    # fallback keep the separate passes
     if qk_norm:
         q = rms_norm(q, p["norm_q"]["scale"], eps)
         k = rms_norm(k, p["norm_k"]["scale"], eps)
@@ -239,7 +271,8 @@ def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
     v = v.reshape(b, s, n, hd)
     q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
     if attn_impl == "sp":
-        from versecrafter_tpu.parallel.sharding import sequence_parallel_attention
+        from versecrafter_tpu.parallel.sharding import (
+            sequence_parallel_attention)
         out = sequence_parallel_attention(q, k, v, window_size=window_size)
     else:
         out = flash_attention(q, k, v, impl=attn_impl,
@@ -287,7 +320,8 @@ def _cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
 def wan_block_forward(p: Params, cfg: WanDiTConfig, x: jnp.ndarray,
                       e0: jnp.ndarray, cos, sin, context: jnp.ndarray,
                       attn_impl: str = "auto",
-                      context_img: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                      context_img: Optional[jnp.ndarray] = None,
+                      rope_i=None, fuse_qk: bool = True) -> jnp.ndarray:
     """One WanAttentionBlock (wan_transformer3d.py:564-611).
 
     x: [B, S, D] (bf16); e0: [B, 6, D] fp32 time modulation.
@@ -299,7 +333,8 @@ def wan_block_forward(p: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     tmp = (tmp * (1.0 + e[:, 1][:, None]) + e[:, 0][:, None]).astype(dtype)
     y = _self_attention(p["self_attn"], tmp, cos, sin, cfg.num_heads,
                         cfg.qk_norm, cfg.eps, attn_impl,
-                        window_size=cfg.window_size)
+                        window_size=cfg.window_size, rope_i=rope_i,
+                        fuse_qk=fuse_qk)
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e[:, 2][:, None]).astype(dtype)
 
     if cfg.cross_attn_norm:
@@ -445,14 +480,37 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     # save_on_cpu at wan_transformer3d.py:270-304)
     blk = wan_block_forward
     if remat:
-        # cfg (1) and attn_impl (7) are non-array statics
-        blk = jax.checkpoint(wan_block_forward, static_argnums=(1, 7))
+        # cfg (1), attn_impl (7) and fuse_qk (10) are non-array statics
+        blk = jax.checkpoint(wan_block_forward, static_argnums=(1, 7, 10))
+
+    # int8 weight storage: dequantize PER LAYER inside the scan body — a
+    # whole-tree dequant before the scan would materialize the full bf16
+    # weights (2x14B = 28 GB at flagship scale); this keeps one transient
+    # bf16 block (~0.7 GB) alive at a time while HBM holds int8
+    from versecrafter_tpu.utils.quantize import (
+        dequantize_tree, has_quantized, strip_dtype_tokens)
+    block_params = params["blocks"]
+    if has_quantized(block_params):
+        block_params = strip_dtype_tokens(block_params)
+        deq = functools.partial(dequantize_tree, dtype=x.dtype)
+    else:
+        deq = lambda t: t
+
+    # interleaved/padded rope tables for the fused attention kernel, built
+    # ONCE per forward instead of inside every scanned layer (unused and
+    # DCE'd on the unfused/xla/sp paths)
+    rope_i = None
+    if attn_impl != "sp":
+        from versecrafter_tpu.kernels.flash_attention import (
+            prepare_fused_rope_tables)
+        rope_i = prepare_fused_rope_tables(cos, sin)
 
     if not cfg.has_geoadapter or geoada_tokens is None:
         def body(carry, bp):
-            return blk(bp, cfg, carry, e0, cos, sin, context,
-                       attn_impl, context_img), None
-        x, _ = jax.lax.scan(body, x, params["blocks"])
+            return blk(deq(bp), cfg, carry, e0, cos, sin, context,
+                       attn_impl, context_img, rope_i,
+                       FUSED_QK_ATTENTION), None
+        x, _ = jax.lax.scan(body, x, block_params)
         return x
 
     glayers = cfg.resolved_geoada_layers
@@ -466,25 +524,73 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
             f"non-uniform geoada_layers {glayers} (reference default is every "
             f"2nd layer; add a python-loop path if ever needed)")
 
-    c = _linear(params["geoada_before_proj"], geoada_tokens) + x
-    base_stacked = jax.tree.map(
-        lambda a: a.reshape(len(glayers), stride, *a.shape[1:]), params["blocks"])
+    geo_params = params["geoada_blocks"]
+    if has_quantized(geo_params):
+        geo_params = strip_dtype_tokens(geo_params)
+    c = _linear(deq(params["geoada_before_proj"]), geoada_tokens) + x
 
-    def superstep(carry, layer_params):
-        xx, cc = carry
-        gp, bps = layer_params
-        cc = blk(gp, cfg, cc, e0, cos, sin, context, attn_impl)
-        hint = _linear(gp["after_proj"], cc)
-        for j in range(stride):
-            bp = jax.tree.map(lambda a: a[j], bps)
-            xx = blk(bp, cfg, xx, e0, cos, sin, context,
-                     attn_impl, context_img)
-            if j == 0:
-                xx = xx + (hint * jnp.asarray(geoada_scale, hint.dtype)).astype(xx.dtype)
-        return (xx, cc), None
+    if remat or not GEOADA_STACKED_HINTS:
+        # TRAINING (and the inference default): interleave geoada block i
+        # right before base block
+        # stride*i so only ONE hint is alive at a time (O(1) activation
+        # memory under remat) — identical numerics to the reference's
+        # compute-all-hints-first order because the hint chain depends only
+        # on the initial tokens (wan_transformer3d_versecrafter.py:254-292).
+        base_stacked = jax.tree.map(
+            lambda a: a.reshape(len(glayers), stride, *a.shape[1:]),
+            block_params)
 
-    (x, _), _ = jax.lax.scan(superstep, (x, c),
-                             (params["geoada_blocks"], base_stacked))
+        def superstep(carry, layer_params):
+            xx, cc = carry
+            gp, bps = layer_params
+            gp = deq(gp)
+            cc = blk(gp, cfg, cc, e0, cos, sin, context, attn_impl, None,
+                     rope_i, FUSED_QK_ATTENTION)
+            hint = _linear(gp["after_proj"], cc)
+            for j in range(stride):
+                bp = deq(jax.tree.map(lambda a: a[j], bps))
+                xx = blk(bp, cfg, xx, e0, cos, sin, context,
+                         attn_impl, context_img, rope_i, FUSED_QK_ATTENTION)
+                if j == 0:
+                    xx = xx + (hint * jnp.asarray(geoada_scale, hint.dtype)
+                               ).astype(xx.dtype)
+            return (xx, cc), None
+
+        (x, _), _ = jax.lax.scan(superstep, (x, c),
+                                 (geo_params, base_stacked))
+        return x
+
+    # INFERENCE: the reference's order — all hints first, then the base
+    # stack — as TWO PLAIN single-block scans. Measured on the v5e: the
+    # pair-unrolled tuple-carry superstep above defeats the fused attention
+    # kernel's win (+101 ms/step vs -200 in a plain scan; round-3 probes),
+    # while plain scans keep it. Costs len(glayers) stacked hints
+    # (~1.5 GB bf16 at 1.3B/32k tokens; sp-sharded under a mesh) — fine for
+    # inference, which doesn't hold optimizer/grad state.
+    def hint_step(cc, gp):
+        gp = deq(gp)
+        cc = blk(gp, cfg, cc, e0, cos, sin, context, attn_impl, None,
+                 rope_i, FUSED_QK_ATTENTION)
+        return cc, _linear(gp["after_proj"], cc)
+
+    _, hints = jax.lax.scan(hint_step, c, geo_params)  # [G, B, S, D]
+    gscale = jnp.asarray(geoada_scale, hints.dtype)
+
+    def base_step(carry, xs):
+        bp, layer_idx = xs
+        xx = blk(deq(bp), cfg, carry, e0, cos, sin, context,
+                 attn_impl, context_img, rope_i, FUSED_QK_ATTENTION)
+        # hint after every `stride`-th block (reference adds hints[idx]
+        # right after block i for i in geoada_layers)
+        is_hinted = layer_idx % stride == 0
+        hint = jax.lax.dynamic_index_in_dim(
+            hints, layer_idx // stride, axis=0, keepdims=False)
+        xx = jnp.where(is_hinted,
+                       xx + (hint * gscale).astype(xx.dtype), xx)
+        return xx, None
+
+    x, _ = jax.lax.scan(
+        base_step, x, (block_params, jnp.arange(L, dtype=jnp.int32)))
     return x
 
 

@@ -159,3 +159,89 @@ def test_subject_ref_images(pipe):
     # ref slot: first control's channels carry the ref latent, mask zeros
     assert float(jnp.abs(ctx[:, :4, 0]).max()) > 0
     assert float(jnp.abs(ctx[:, 8:, 0]).max()) == 0.0
+
+
+def test_video_masked_init_conditioning(pipe):
+    """video= encodes the masked init video as the single geoada source
+    (pipeline_wan_versecrafter.py:793-807 intended semantics). Equivalence
+    check against the explicit control path: passing the pre-masked video as
+    the control must produce the identical output."""
+    rng = np.random.default_rng(3)
+    v = rng.random((1, 3, 5, 8, 8)).astype(np.float32)
+    m = _mask()
+    # tiny DIT expects geoada_in_dim=12 = 2 controls; a single video gives
+    # 4 + 4 = 8 -> use a one-control config
+    cfg1 = dataclasses.replace(DIT_CFG, geoada_in_dim=8)
+    p1 = VerseCrafterPipeline(
+        dit_params=init_wan_dit(jax.random.key(0), cfg1, jnp.float32),
+        dit_cfg=cfg1, vae_params=pipe.vae_params, vae_cfg=VAE_CFG,
+        t5_params=pipe.t5_params, t5_cfg=T5_CFG, scheduler_name="unipc")
+    out_video = p1("x", video=v, mask_video=m, height=8, width=8,
+                   num_frames=5, num_inference_steps=2, guidance_scale=2.0,
+                   shift=3.0, seed=5, dtype=jnp.float32)
+    keep = (m < 0.5).astype(np.float32)
+    masked = v * keep + 0.5 * (1.0 - keep)
+    out_ctrl = p1("x", control_videos=[masked], mask_video=m, height=8,
+                  width=8, num_frames=5, num_inference_steps=2,
+                  guidance_scale=2.0, shift=3.0, seed=5, dtype=jnp.float32)
+    np.testing.assert_allclose(out_video, out_ctrl, atol=1e-6)
+    # and video= without a mask is an explicit error
+    with pytest.raises(ValueError, match="mask_video"):
+        p1("x", video=v, height=8, width=8, num_frames=5,
+           num_inference_steps=1, dtype=jnp.float32)
+
+
+def test_custom_timesteps(pipe):
+    """timesteps= overrides the schedule (retrieve_timesteps passthrough)."""
+    out = _run(pipe, timesteps=[800.0, 400.0, 100.0])
+    assert out.shape[1] == 5 and np.isfinite(out).all()
+    # different schedule -> different result than the default 4-step run
+    base = _run(pipe)
+    assert np.abs(out - base).max() > 1e-6
+
+
+def test_latents_override(pipe):
+    """latents= replaces the seeded init noise; same latents -> same video
+    regardless of seed."""
+    lat = pipe("x", control_videos=_controls(), mask_video=_mask(),
+               height=8, width=8, num_frames=5, num_inference_steps=1,
+               guidance_scale=1.0, seed=11, dtype=jnp.float32,
+               output_type="latent")
+    a = _run(pipe, seed=1, latents=jnp.ones_like(lat) * 0.3)
+    b = _run(pipe, seed=2, latents=jnp.ones_like(lat) * 0.3)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    with pytest.raises(ValueError, match="latents"):
+        _run(pipe, latents=jnp.ones((1, 2, 2, 2, 2), jnp.float32))
+
+
+def test_prompt_embeds_passthrough(pipe):
+    """prompt_embeds/negative_prompt_embeds skip the T5 encode and must
+    reproduce the in-pipeline encoding exactly."""
+    ctx = pipe.encode_prompt("a car drives left", "static")
+    neg, pos = np.split(np.asarray(ctx), 2, axis=0)
+    a = _run(pipe)
+    b = pipe(prompt_embeds=jnp.asarray(pos),
+             negative_prompt_embeds=jnp.asarray(neg),
+             control_videos=_controls(), mask_video=_mask(),
+             height=8, width=8, num_frames=5, num_inference_steps=4,
+             guidance_scale=2.0, shift=3.0, seed=7, dtype=jnp.float32)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_callback_on_step_end(pipe):
+    """callback_on_step_end sees every step and can replace latents."""
+    calls = []
+
+    def cb(p, i, t, kw):
+        calls.append((i, t))
+        assert "latents" in kw
+        if i == 0:
+            return {"latents": kw["latents"] * 0.0}
+        return None
+
+    out = _run(pipe, callback_on_step_end=cb)
+    assert len(calls) == 4
+    assert calls[0][0] == 0 and calls[-1][0] == 3
+    base = _run(pipe)
+    # zeroing the latents after step 0 must change the trajectory
+    assert np.abs(out - base).max() > 1e-6

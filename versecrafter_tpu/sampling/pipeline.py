@@ -96,6 +96,12 @@ class VerseCrafterPipeline:
     teacache_skip_start: int = 5
     teacache_coefficients: Tuple[float, ...] = tc.VERSECRAFTER_COEFFS
     cfg_skip_ratio: float = 0.0
+    # TeaCache observability: when True, per-step accumulator snapshots are
+    # collected into teacache_accum_history (accum > 0 after a step == that
+    # CFG row skipped). record_teacache_stats() uses teacache_record
+    # internally to collect coefficient-fitting trajectories.
+    teacache_debug: bool = False
+    teacache_record: Any = None
 
     def __post_init__(self):
         if self.tokenizer is None:
@@ -105,6 +111,7 @@ class VerseCrafterPipeline:
                 self.dit_cfg.head_dim, self.dit_cfg.rope_max_pos,
                 self.dit_cfg.rope_theta))
         self._jit_cache: Dict[Any, Callable] = {}
+        self.teacache_accum_history = []
         if self.mesh is not None:
             self.set_mesh(self.mesh)
 
@@ -174,6 +181,34 @@ class VerseCrafterPipeline:
                 self.dit_cfg.head_dim, self.dit_cfg.rope_max_pos,
                 self.dit_cfg.rope_theta, riflex_k=k, riflex_L_test=L_test,
                 riflex_L_test_scale=L_test_scale))
+
+    def record_teacache_stats(self, *args, **kwargs):
+        """Run one full (never-skipping) generation while recording the
+        TeaCache observables, and return (rel_e0, rel_residual) — each
+        [num_steps-1, B] — ready for tc.fit_teacache_coefficients. This is
+        the trajectory-recording method behind the reference's hardcoded
+        polynomial (versecrafter_inference.py:306; TeaCache's published
+        fitting recipe): rel_e0 is the relative-L1 drift of the
+        time-modulation tensor between consecutive steps, rel_residual the
+        drift of the transformer-blocks residual. Accepts the same arguments
+        as __call__ (output is discarded; pass several prompts/seeds and
+        pool the results for a robust fit)."""
+        self.teacache_record = []
+        old_thresh = self.teacache_threshold
+        self.teacache_threshold = 0.0
+        try:
+            kwargs.setdefault("output_type", "latent")
+            self(*args, **kwargs)
+            rec = self.teacache_record
+        finally:
+            self.teacache_record = None
+            self.teacache_threshold = old_thresh
+        mods = np.stack([r[0] for r in rec])      # [steps, B, 6, D]
+        rel_res = np.stack([r[1] for r in rec])   # [steps, B]
+        prev, cur = mods[:-1], mods[1:]
+        rel_e0 = (np.abs(cur - prev).mean(axis=(2, 3))
+                  / np.maximum(np.abs(prev).mean(axis=(2, 3)), 1e-8))
+        return rel_e0, rel_res[1:]
 
     # full-sequence VAE above this voxel count would exceed single-chip HBM;
     # the streaming path is numerically identical (models/vae_stream.py)
@@ -276,12 +311,20 @@ class VerseCrafterPipeline:
         SimpleAdapter camera maps. CFG applies to the text only, so each is
         duplicated across both halves of the batch."""
         dit_cfg = self.dit_cfg
-        use_tea = self.teacache_threshold > 0.0
+        recording = self.teacache_record is not None
+        use_tea = self.teacache_threshold > 0.0 or recording
 
         def fn(dit_params, latents, t, step_idx, context, geoada, cos, sin,
                tea_state, guidance, geoada_scale, extras):
             from versecrafter_tpu.utils.quantize import dequantize_tree
-            dit_params = dequantize_tree(dit_params)  # no-op if unquantized
+            # dequantize the small non-scanned parts here; the stacked
+            # block weights dequantize PER LAYER inside wan_dit_blocks'
+            # scan (a whole-tree dequant would materialize 2x the bf16
+            # weights — 28 GB at 14B). No-op if unquantized.
+            dit_params = {
+                k: (v if k in ("blocks", "geoada_blocks")
+                    else dequantize_tree(v))
+                for k, v in dit_params.items()}
             if cfg_batched:
                 x = jnp.concatenate([latents, latents], axis=0)
                 g = jnp.concatenate([geoada, geoada], axis=0)
@@ -330,10 +373,14 @@ class VerseCrafterPipeline:
                         geoada_tokens=gtok, geoada_scale=geoada_scale,
                         attn_impl=self.attn_impl, context_img=ctx_img)
 
-                tokens, new_state = tc.gated_blocks(
-                    run, tokens, e0, tea_state, step_idx,
-                    self.teacache_threshold, self.teacache_skip_start,
-                    self.teacache_coefficients)
+                if recording:
+                    tokens, new_state = tc.recording_blocks(
+                        run, tokens, e0, tea_state)
+                else:
+                    tokens, new_state = tc.gated_blocks(
+                        run, tokens, e0, tea_state, step_idx,
+                        self.teacache_threshold, self.teacache_skip_start,
+                        self.teacache_coefficients)
                 pred = wan_dit_head(dit_params, dit_cfg, tokens, e, grid)
 
             if cfg_batched:
@@ -375,7 +422,8 @@ class VerseCrafterPipeline:
 
     def _get_denoise(self, cfg_batched: bool, key_extra=()):
         key = (cfg_batched, self.teacache_threshold, self.teacache_skip_start,
-               self.teacache_coefficients, self.attn_impl, *key_extra)
+               self.teacache_coefficients, self.attn_impl,
+               self.teacache_record is not None, *key_extra)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._denoise_fn(cfg_batched)
         return self._jit_cache[key]
@@ -383,9 +431,10 @@ class VerseCrafterPipeline:
     # -- main entry --------------------------------------------------------
     def __call__(
         self,
-        prompt,
+        prompt=None,
         negative_prompt: str = "",
         control_videos: Optional[Sequence[np.ndarray]] = None,
+        video: Optional[np.ndarray] = None,
         mask_video: Optional[np.ndarray] = None,
         subject_ref_images: Optional[Sequence[np.ndarray]] = None,
         geoada_context: Optional[jnp.ndarray] = None,
@@ -397,13 +446,18 @@ class VerseCrafterPipeline:
         width: int = 832,
         num_frames: int = 81,
         num_inference_steps: int = 30,
+        timesteps: Optional[Sequence[float]] = None,
         guidance_scale: float = 5.0,
         shift: float = 16.0,
         seed: int = 2025,
+        latents: Optional[jnp.ndarray] = None,
+        prompt_embeds: Optional[jnp.ndarray] = None,
+        negative_prompt_embeds: Optional[jnp.ndarray] = None,
         geoada_context_scale: float = 1.0,
         dtype=jnp.bfloat16,
         output_type: str = "numpy",
         progress: Optional[Callable[[int, int], None]] = None,
+        callback_on_step_end: Optional[Callable] = None,
     ):
         """Returns video as numpy [B, T, H, W, 3] in [0,1] (output_type
         'numpy') or latents (output_type 'latent').
@@ -413,9 +467,27 @@ class VerseCrafterPipeline:
         concatenated on channels; `clip_fea` [B, 257, 1280] CLIP image
         tokens (or `clip_image` [H, W, 3] encoded through the pipeline's
         clip tower); `camera_video` [B, C, F, H, W] camera-pose maps for
-        the SimpleAdapter."""
-        batch = 1 if isinstance(prompt, str) else len(prompt)
-        context = self.encode_prompt(prompt, negative_prompt).astype(dtype)
+        the SimpleAdapter.
+
+        Reference passthrough surface (pipeline_wan_versecrafter.py:650-948):
+        `video` [B,3,T,H,W] in [0,1] — when no control_videos are given, the
+        init video is masked to the keep region (init*(mask<0.5), :793-807;
+        NOTE the reference as written hits a NameError in this branch —
+        input_video vs input_videos at :807/:832 — this implements the
+        intended semantics: the masked video becomes the single geoada
+        control source); `timesteps` custom schedule; `latents` initial
+        noise override; `prompt_embeds`/`negative_prompt_embeds` skip the T5
+        encode; `callback_on_step_end(pipe, i, t, {'latents': ...}) ->
+        optional dict` may replace `latents` between steps (:916-925)."""
+        if prompt_embeds is not None:
+            batch = prompt_embeds.shape[0]
+            if negative_prompt_embeds is None:
+                negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+            context = jnp.concatenate(
+                [negative_prompt_embeds, prompt_embeds], axis=0).astype(dtype)
+        else:
+            batch = 1 if isinstance(prompt, str) else len(prompt)
+            context = self.encode_prompt(prompt, negative_prompt).astype(dtype)
 
         if clip_fea is None and clip_image is not None:
             if self.clip_params is None:
@@ -440,8 +512,20 @@ class VerseCrafterPipeline:
 
         n_ref = 0
         if geoada_context is None:
+            if control_videos is None and video is not None:
+                # masked init-video conditioning (reference :793-807): zero
+                # out the to-generate region in [-1,1] space. encode_controls
+                # normalizes v*2-1 internally, so fold the mask as
+                # v*keep + 0.5*(1-keep) (0.5 in [0,1] == 0 in [-1,1]).
+                if mask_video is None:
+                    raise ValueError("video= conditioning needs mask_video")
+                keep = (np.asarray(mask_video, np.float32) < 0.5).astype(
+                    np.float32)
+                v = np.asarray(video, np.float32)
+                control_videos = [v * keep + 0.5 * (1.0 - keep)]
             if control_videos is None:
-                raise ValueError("need control_videos or geoada_context")
+                raise ValueError(
+                    "need control_videos, video or geoada_context")
             if mask_video is None:
                 mask_video = np.ones(
                     (batch, 1, num_frames, height, width), np.float32)
@@ -458,11 +542,21 @@ class VerseCrafterPipeline:
         cos, sin = grid_cos_sin(self._angles, grid_f, grid_h, grid_w)
 
         sched = make_scheduler(self.scheduler_name, self.scheduler_cfg)
-        timesteps = sched.set_timesteps(num_inference_steps, shift=shift)
+        if timesteps is not None:
+            timesteps = sched.set_custom_timesteps(timesteps)
+            num_inference_steps = sched.num_inference_steps
+        else:
+            timesteps = sched.set_timesteps(num_inference_steps, shift=shift)
 
-        latents = jax.random.normal(
-            jax.random.key(seed),
-            (batch, self.vae_cfg.z_dim, t_lat, h_lat, w_lat), dtype)
+        lat_shape = (batch, self.vae_cfg.z_dim, t_lat, h_lat, w_lat)
+        if latents is None:
+            latents = jax.random.normal(jax.random.key(seed), lat_shape, dtype)
+        else:
+            if tuple(latents.shape) != lat_shape:
+                raise ValueError(
+                    f"latents= shape {tuple(latents.shape)} != expected "
+                    f"{lat_shape}")
+            latents = jnp.asarray(latents, dtype)
 
         do_cfg = guidance_scale > 1.0
         tea_batch = 2 * batch if do_cfg else batch
@@ -496,7 +590,19 @@ class VerseCrafterPipeline:
                     dit_params, latents, jnp.asarray(float(t), jnp.float32),
                     jnp.asarray(i, jnp.int32), context, geoada_context, cos, sin,
                     tea_state, guidance, gscale, extras)
+                if self.teacache_record is not None:
+                    self.teacache_record.append(
+                        (np.asarray(tea_state.prev_mod),
+                         np.asarray(tea_state.accum)))
+                if self.teacache_debug and self.teacache_threshold > 0.0:
+                    self.teacache_accum_history.append(
+                        np.asarray(tea_state.accum))
                 latents = sched.step(noise_pred, i, latents)
+                if callback_on_step_end is not None:
+                    out = callback_on_step_end(
+                        self, i, float(t), {"latents": latents})
+                    if out:
+                        latents = out.pop("latents", latents)
                 if progress is not None:
                     progress(i + 1, num_inference_steps)
 

@@ -58,6 +58,19 @@ class _FlowSchedulerBase:
         self._reset_state()
         return self.timesteps
 
+    def set_custom_timesteps(self, timesteps):
+        """Custom timestep schedule (the diffusers retrieve_timesteps
+        `timesteps=` passthrough the reference exposes,
+        pipeline_wan_versecrafter.py:664,746-755): sigmas follow directly as
+        t / num_train_timesteps, with a final 0."""
+        ts = np.asarray(list(timesteps), np.float64)
+        self.num_inference_steps = len(ts)
+        sig = (ts / self.cfg.num_train_timesteps).astype(np.float32)
+        self.sigmas = np.append(sig, 0.0).astype(np.float32)
+        self.timesteps = self.sigmas[:-1] * self.cfg.num_train_timesteps
+        self._reset_state()
+        return self.timesteps
+
     def _reset_state(self):
         pass
 

@@ -72,3 +72,78 @@ def test_skip_start_forces_compute():
     np.testing.assert_allclose(np.asarray(out), np.asarray(_blocks(tokens)),
                                rtol=1e-6)
     assert np.asarray(new.valid).all()
+
+
+def test_fit_coefficients_recovers_polynomial():
+    """fit_teacache_coefficients must recover a known rescale polynomial
+    from (rel_e0, rel_residual) observations."""
+    rng = np.random.default_rng(0)
+    true = (3.0, -2.0, 0.5, 0.1, 0.02)
+    x = rng.uniform(0.01, 0.3, size=200)
+    y = np.polyval(true, x)
+    got = tc.fit_teacache_coefficients(x, y, degree=4)
+    np.testing.assert_allclose(got, true, rtol=1e-6)
+    with np.testing.assert_raises(ValueError):
+        tc.fit_teacache_coefficients([0.1, 0.2], [0.3, 0.4], degree=4)
+
+
+def test_recording_blocks_measures_residual_drift():
+    """recording_blocks never skips and reports the residual rel-L1 drift in
+    accum (the fit target)."""
+    rng = np.random.default_rng(1)
+    b, s, d = 2, 6, 8
+    tokens = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    e0 = jnp.asarray(rng.standard_normal((b, 6, d)), jnp.float32)
+    state = tc.init_state(b, s, d, jnp.float32)
+    delta = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    out1, st1 = tc.recording_blocks(lambda tk: tk + delta, tokens, e0, state)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(tokens + delta))
+    np.testing.assert_allclose(np.asarray(st1.prev_residual),
+                               np.asarray(delta), atol=1e-6)
+    # second step with residual 1.1*delta: rel drift = 0.1*|delta|/|delta|
+    out2, st2 = tc.recording_blocks(lambda tk: tk + 1.1 * delta, tokens, e0, st1)
+    rel = np.abs(0.1 * np.asarray(delta)).mean(axis=(1, 2)) \
+        / np.abs(np.asarray(delta)).mean(axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(st2.accum), rel, rtol=1e-4)
+
+
+def test_record_fit_fire_end_to_end():
+    """The full loop the reference never shipped a utility for: record
+    trajectories -> fit coefficients -> enable_teacache with them -> steps
+    genuinely skip (accum > 0 after a step means that row skipped)."""
+    import dataclasses
+    import jax
+    from tests.test_pipeline import (
+        DIT_CFG, T5_CFG, VAE_CFG, _controls, _live_dit_params, _mask)
+    from versecrafter_tpu.models.t5 import init_t5
+    from versecrafter_tpu.models.vae import init_vae
+    from versecrafter_tpu.sampling.pipeline import VerseCrafterPipeline
+
+    pipe = VerseCrafterPipeline(
+        dit_params=_live_dit_params(), dit_cfg=DIT_CFG,
+        vae_params=init_vae(jax.random.key(1), VAE_CFG, jnp.float32),
+        vae_cfg=VAE_CFG,
+        t5_params=init_t5(jax.random.key(2), T5_CFG, jnp.float32),
+        t5_cfg=T5_CFG, scheduler_name="unipc")
+
+    kw = dict(control_videos=_controls(), mask_video=_mask(), height=8,
+              width=8, num_frames=5, num_inference_steps=8,
+              guidance_scale=2.0, shift=3.0, seed=7, dtype=jnp.float32)
+    rel_e0, rel_res = pipe.record_teacache_stats("a car", **kw)
+    assert rel_e0.shape == rel_res.shape == (7, 2)
+    assert np.isfinite(rel_e0).all() and np.isfinite(rel_res).all()
+    assert pipe.teacache_record is None  # cleaned up
+
+    coeffs = tc.fit_teacache_coefficients(rel_e0, rel_res, degree=2)
+    # threshold above the typical predicted drift -> accumulation must build
+    # across steps before a fresh pass fires; with skip_start=1 some steps
+    # skip
+    thresh = float(np.polyval(coeffs, rel_e0.mean()) * 2.0)
+    pipe.enable_teacache(max(thresh, 1e-6), skip_start=1,
+                         coefficients=coeffs)
+    pipe.teacache_debug = True
+    pipe.teacache_accum_history = []
+    out = pipe("a car", **kw)
+    assert np.isfinite(out).all()
+    accums = np.stack(pipe.teacache_accum_history)  # [steps, rows]
+    assert (accums > 0).any(), "no step ever skipped with fitted coefficients"

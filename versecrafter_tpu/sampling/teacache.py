@@ -26,6 +26,7 @@ from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # rescale polynomial for Wan/VerseCrafter 14B (versecrafter_inference.py:306)
 VERSECRAFTER_COEFFS = (
@@ -97,3 +98,47 @@ def gated_blocks(
         valid=jnp.ones_like(state.valid),
     )
     return out, new_state
+
+
+def fit_teacache_coefficients(rel_e0, rel_residual, degree: int = 4):
+    """Fit the rescale polynomial from recorded trajectories — the method
+    behind the reference's hardcoded 14B coefficients
+    (versecrafter_inference.py:306): polyfit the relative-L1 drift of the
+    time-modulation tensor e0 (the cheap observable) against the relative-L1
+    drift of the transformer-blocks residual (the quantity TeaCache actually
+    wants to bound).
+
+    rel_e0 / rel_residual: 1-D arrays of per-step observations, typically
+    pooled over several prompts/seeds (VerseCrafterPipeline.
+    record_teacache_stats produces them). Returns `degree+1` coefficients,
+    highest power first — directly usable as `coefficients=` in
+    enable_teacache / gated_blocks."""
+    x = np.asarray(rel_e0, np.float64).ravel()
+    y = np.asarray(rel_residual, np.float64).ravel()
+    ok = np.isfinite(x) & np.isfinite(y)
+    if ok.sum() <= degree:
+        raise ValueError(
+            f"need more than {degree} finite observations, got {int(ok.sum())}")
+    return tuple(np.polyfit(x[ok], y[ok], degree))
+
+
+def recording_blocks(run_blocks, tokens, e0, state):
+    """Always-run variant of gated_blocks that measures what the gate would
+    observe: returns (out, new_state) where new_state.accum holds the
+    per-row relative-L1 drift of the blocks residual vs the previous step
+    (the quantity the rescale polynomial predicts) and prev_mod snapshots
+    e0. VerseCrafterPipeline.record_teacache_stats drives this and pairs
+    accum with the host-side rel-L1 of consecutive prev_mod snapshots."""
+    fresh = run_blocks(tokens)
+    residual = fresh - tokens
+    rf = residual.astype(jnp.float32)
+    pf = state.prev_residual.astype(jnp.float32)
+    rel_res = (jnp.mean(jnp.abs(rf - pf), axis=(1, 2))
+               / jnp.maximum(jnp.mean(jnp.abs(pf), axis=(1, 2)), 1e-8))
+    new_state = TeaCacheState(
+        prev_mod=e0.astype(jnp.float32),
+        prev_residual=residual.astype(state.prev_residual.dtype),
+        accum=rel_res,
+        valid=jnp.ones_like(state.valid),
+    )
+    return fresh, new_state

@@ -434,6 +434,24 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     return sd.get("state_dict", sd)
 
 
+def maybe_load_clip(model_dir: str, dtype=None):
+    """Convert the CLIP vision tower when the model dir ships one
+    (models_clip_*.pth — image_encoder_subpath,
+    config/wan2.1/wan_civitai.yaml:39). Returns (params, cfg) or
+    (None, None); load_versecrafter wires the result into the pipeline's
+    clip_params so `clip_image=` i2v conditioning works out of the box."""
+    import glob as _glob
+
+    ckpts = sorted(_glob.glob(os.path.join(model_dir, "models_clip_*.pth")))
+    if not ckpts:
+        return None, None
+    from versecrafter_tpu.models.clip import convert_clip_vision
+
+    import jax.numpy as _jnp
+    return convert_clip_vision(load_torch_state_dict(ckpts[0]),
+                               dtype=dtype or _jnp.bfloat16)
+
+
 def load_versecrafter(model_dir: str, transformer_path: Optional[str] = None,
                       geoada_in_dim: int = 128, dtype=None,
                       scheduler: str = "unipc", tokenizer_path: Optional[str] = None,
@@ -499,6 +517,8 @@ def load_versecrafter(model_dir: str, transformer_path: Optional[str] = None,
 
     from versecrafter_tpu.utils.tokenizer import load_tokenizer
 
+    clip_params, clip_cfg = maybe_load_clip(model_dir, dtype)
+
     return VerseCrafterPipeline(
         dit_params=dit_params, dit_cfg=cfg,
         vae_params=vae_params, vae_cfg=vae_cfg,
@@ -508,4 +528,6 @@ def load_versecrafter(model_dir: str, transformer_path: Optional[str] = None,
         scheduler_name=scheduler,
         dit_params_high=dit_params_high,
         moe_boundary=moe_boundary,
+        clip_params=clip_params,
+        clip_cfg=clip_cfg,
     )

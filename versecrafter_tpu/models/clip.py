@@ -72,7 +72,13 @@ def _quick_gelu(x):
 def clip_vision_forward(params: Params, cfg: dict, image: jnp.ndarray
                         ) -> jnp.ndarray:
     """image [B, H, W, 3] CLIP-normalized -> tokens [B, 1+N, D]
-    (cls first — the 257 tokens the i2v cross-attention consumes)."""
+    (cls first — the 257 tokens the i2v cross-attention consumes).
+
+    cfg["post_norm"] (default True) applies the final layernorm to ALL
+    tokens; the HF CLIPVisionModel's last_hidden_state omits it
+    (post_layernorm is applied to the pooled CLS only), so HF-parity tests
+    run with post_norm=False. cfg["ln_eps"] defaults to the CLIP 1e-5."""
+    eps = cfg.get("ln_eps", 1e-5)
     b, h, w, _ = image.shape
     p = cfg["patch"]
     x = image.reshape(b, h // p, p, w // p, p, 3).transpose(0, 1, 3, 5, 2, 4)
@@ -81,13 +87,15 @@ def clip_vision_forward(params: Params, cfg: dict, image: jnp.ndarray
     cls = jnp.broadcast_to(params["cls"].astype(tok.dtype), (b, 1, tok.shape[-1]))
     tok = jnp.concatenate([cls, tok], 1)
     tok = tok + params["pos"][:, : tok.shape[1]].astype(tok.dtype)
-    tok = layer_norm(tok, params["pre_norm"]["scale"], params["pre_norm"]["bias"])
+    tok = layer_norm(tok, params["pre_norm"]["scale"], params["pre_norm"]["bias"],
+                     eps=eps)
 
     heads = cfg["heads"]
     d = tok.shape[-1]
     hd = d // heads
     for blk in params["blocks"]:
-        xn = layer_norm(tok, blk["norm1"]["scale"], blk["norm1"]["bias"])
+        xn = layer_norm(tok, blk["norm1"]["scale"], blk["norm1"]["bias"],
+                        eps=eps)
         q = jnp.dot(xn, blk["attn"]["q"]["kernel"].astype(xn.dtype)) + blk["attn"]["q"]["bias"].astype(xn.dtype)
         k = jnp.dot(xn, blk["attn"]["k"]["kernel"].astype(xn.dtype)) + blk["attn"]["k"]["bias"].astype(xn.dtype)
         v = jnp.dot(xn, blk["attn"]["v"]["kernel"].astype(xn.dtype)) + blk["attn"]["v"]["bias"].astype(xn.dtype)
@@ -98,12 +106,16 @@ def clip_vision_forward(params: Params, cfg: dict, image: jnp.ndarray
         a = jax.nn.softmax(s.astype(jnp.float32), -1).astype(tok.dtype)
         o = jnp.einsum("bnqk,bnkd->bnqd", a, v).transpose(0, 2, 1, 3).reshape(b, -1, d)
         tok = tok + jnp.dot(o, blk["attn"]["o"]["kernel"].astype(o.dtype)) + blk["attn"]["o"]["bias"].astype(o.dtype)
-        xn = layer_norm(tok, blk["norm2"]["scale"], blk["norm2"]["bias"])
+        xn = layer_norm(tok, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                        eps=eps)
         m = jnp.dot(_quick_gelu(
             jnp.dot(xn, blk["fc1"]["kernel"].astype(xn.dtype)) + blk["fc1"]["bias"].astype(xn.dtype)),
             blk["fc2"]["kernel"].astype(xn.dtype)) + blk["fc2"]["bias"].astype(xn.dtype)
         tok = tok + m
-    return layer_norm(tok, params["post_norm"]["scale"], params["post_norm"]["bias"])
+    if not cfg.get("post_norm", True):
+        return tok
+    return layer_norm(tok, params["post_norm"]["scale"],
+                      params["post_norm"]["bias"], eps=eps)
 
 
 def encode_image(params: Params, cfg: dict, image: np.ndarray) -> jnp.ndarray:
@@ -116,3 +128,122 @@ def encode_image(params: Params, cfg: dict, image: np.ndarray) -> jnp.ndarray:
         x = x / 255.0
     x = (x - CLIP_MEAN) / CLIP_STD
     return clip_vision_forward(params, cfg, jnp.asarray(x)[None])
+
+
+# ---------------------------------------------------------------------------
+# checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def _np(t):
+    return np.asarray(t.detach().cpu().float().numpy()
+                      if hasattr(t, "detach") else t)
+
+
+def convert_clip_vision(state_dict, cfg: dict = None, dtype=jnp.float32,
+                        heads: int = None):
+    """Convert a CLIP vision tower checkpoint into this module's pytree.
+
+    Two public layouts are auto-detected (the reference's
+    models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth follows the
+    open-clip convention; the videox_fun loader itself is in the absent
+    submodule, so the mapping is validated by tiny-config parity vs the HF
+    CLIPVisionModel and a synthetic open-clip relayout of the same weights):
+
+    - HuggingFace `CLIPVisionModel`: vision_model.embeddings.*,
+      vision_model.encoder.layers.{i}.self_attn.{q,k,v,out}_proj /
+      layer_norm1/2 / mlp.fc1/fc2, pre/post layernorm;
+    - open-clip / torch-MHA: visual.conv1, visual.class_embedding,
+      visual.positional_embedding, visual.ln_pre/ln_post,
+      visual.transformer.resblocks.{i}.ln_1/ln_2, attn.in_proj_* (packed
+      qkv), attn.out_proj, mlp.c_fc/c_proj.
+
+    Returns (params, cfg). `heads` (not recoverable from weights) defaults
+    to dim/80 — ViT-Huge-14's 16 heads at 1280."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    hf = any(k.startswith("vision_model.") for k in sd)
+
+    if hf:
+        conv = _np(sd["vision_model.embeddings.patch_embedding.weight"])
+        cls = _np(sd["vision_model.embeddings.class_embedding"])
+        pos = _np(sd["vision_model.embeddings.position_embedding.weight"])
+        pre = "vision_model.pre_layrnorm" if \
+            "vision_model.pre_layrnorm.weight" in sd else "vision_model.pre_layernorm"
+        post = "vision_model.post_layernorm"
+        nblk = len({k.split(".")[3] for k in sd
+                    if k.startswith("vision_model.encoder.layers.")})
+        blk_fmt = "vision_model.encoder.layers.{i}."
+    else:
+        conv = _np(sd["visual.conv1.weight"])
+        cls = _np(sd["visual.class_embedding"])
+        pos = _np(sd["visual.positional_embedding"])
+        pre, post = "visual.ln_pre", "visual.ln_post"
+        nblk = len({k.split(".")[3] for k in sd
+                    if k.startswith("visual.transformer.resblocks.")})
+        blk_fmt = "visual.transformer.resblocks.{i}."
+
+    d, _, p, _ = conv.shape
+    n_tok = pos.shape[0]
+    img = int(round((n_tok - 1) ** 0.5)) * p
+    cfg = cfg or dict(patch=p, dim=d, depth=nblk,
+                      heads=heads or max(1, d // 80), img_size=img)
+
+    def ln(name):
+        return {"scale": jnp.asarray(_np(sd[name + ".weight"]), jnp.float32),
+                "bias": jnp.asarray(_np(sd[name + ".bias"]), jnp.float32)}
+
+    def lin(wname, bname=None):
+        w = _np(sd[wname]).T
+        out = {"kernel": jnp.asarray(w, dtype)}
+        if bname and bname in sd:
+            out["bias"] = jnp.asarray(_np(sd[bname]), dtype)
+        return out
+
+    # conv [D, 3, p, p] -> [3*p*p, D] in (c, py, px) patch order (the
+    # forward's reshape order)
+    params: Params = {
+        "patch_embed": {"kernel": jnp.asarray(
+            conv.reshape(d, 3 * p * p).T, dtype)},
+        "cls": jnp.asarray(cls.reshape(1, 1, d), dtype),
+        "pos": jnp.asarray(pos.reshape(1, n_tok, d), dtype),
+        "pre_norm": ln(pre),
+        "post_norm": ln(post),
+        "blocks": [],
+    }
+    for i in range(nblk):
+        pre_i = blk_fmt.format(i=i)
+        if hf:
+            attn = {
+                "q": lin(pre_i + "self_attn.q_proj.weight",
+                         pre_i + "self_attn.q_proj.bias"),
+                "k": lin(pre_i + "self_attn.k_proj.weight",
+                         pre_i + "self_attn.k_proj.bias"),
+                "v": lin(pre_i + "self_attn.v_proj.weight",
+                         pre_i + "self_attn.v_proj.bias"),
+                "o": lin(pre_i + "self_attn.out_proj.weight",
+                         pre_i + "self_attn.out_proj.bias"),
+            }
+            blk = {
+                "norm1": ln(pre_i + "layer_norm1"),
+                "norm2": ln(pre_i + "layer_norm2"),
+                "attn": attn,
+                "fc1": lin(pre_i + "mlp.fc1.weight", pre_i + "mlp.fc1.bias"),
+                "fc2": lin(pre_i + "mlp.fc2.weight", pre_i + "mlp.fc2.bias"),
+            }
+        else:
+            w = _np(sd[pre_i + "attn.in_proj_weight"])  # [3D, D] packed
+            bqkv = _np(sd[pre_i + "attn.in_proj_bias"])
+            attn = {}
+            for j, nme in enumerate("qkv"):
+                attn[nme] = {"kernel": jnp.asarray(w[j * d:(j + 1) * d].T, dtype),
+                             "bias": jnp.asarray(bqkv[j * d:(j + 1) * d], dtype)}
+            attn["o"] = lin(pre_i + "attn.out_proj.weight",
+                            pre_i + "attn.out_proj.bias")
+            blk = {
+                "norm1": ln(pre_i + "ln_1"),
+                "norm2": ln(pre_i + "ln_2"),
+                "attn": attn,
+                "fc1": lin(pre_i + "mlp.c_fc.weight", pre_i + "mlp.c_fc.bias"),
+                "fc2": lin(pre_i + "mlp.c_proj.weight", pre_i + "mlp.c_proj.bias"),
+            }
+        params["blocks"].append(blk)
+    return params, cfg

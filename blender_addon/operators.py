@@ -95,7 +95,10 @@ class VERSECRAFTER_OT_preprocess(bpy.types.Operator):
         name = os.path.basename(img)
         client.upload(img, name)
         task_id = client.start("preprocess", image=name,
-                               text_prompt=s.text_prompt)
+                               text_prompt=s.text_prompt,
+                               box_threshold=s.box_threshold,
+                               min_area_ratio=s.min_area_ratio,
+                               max_area_ratio=s.max_area_ratio)
         wd = _workdir(context)
 
         def done(st):
@@ -105,10 +108,12 @@ class VERSECRAFTER_OT_preprocess(bpy.types.Operator):
             client.download(res["gaussian_params"].replace(os.sep, "/"),
                             os.path.join(wd, "gaussian_params.json"))
             s.preprocess_done = True
+            s.is_processing = False
             s.status_text = f"preprocess done ({res['num_objects']} objects)"
             bpy.ops.versecrafter.load_scene()
 
         _poll_task(client, task_id, context.scene, done)
+        s.is_processing = True
         s.status_text = "preprocessing..."
         return {"FINISHED"}
 
@@ -276,6 +281,12 @@ class VERSECRAFTER_OT_postprocess(bpy.types.Operator):
             output_dir="rendering_4D_maps", fps=s.fps)
 
         def after_render(st):
+            s.render_done = True
+            extra = {}
+            if s.teacache_threshold > 0:
+                extra["teacache_threshold"] = s.teacache_threshold
+            if s.cfg_skip_ratio > 0:
+                extra["cfg_skip_ratio"] = s.cfg_skip_ratio
             gen_id = client.start(
                 "generate",
                 rendering_maps_path=st["result"]["output_dir"],
@@ -283,7 +294,7 @@ class VERSECRAFTER_OT_postprocess(bpy.types.Operator):
                 prompt=s.prompt, negative_prompt=s.negative_prompt,
                 height=s.height, width=s.width, num_frames=s.num_frames,
                 num_inference_steps=s.steps, guidance_scale=s.guidance,
-                seed=s.seed, fps=s.fps)
+                seed=s.seed, fps=s.fps, **extra)
 
             def after_gen(st2):
                 remote = st2["result"]["video_path"]
@@ -291,11 +302,14 @@ class VERSECRAFTER_OT_postprocess(bpy.types.Operator):
                 client.download(remote.replace(os.sep, "/"), local,
                                 chunked=True)
                 s.generated_video = local
+                s.generate_done = True
+                s.is_processing = False
                 s.status_text = f"video ready: {local}"
 
             _poll_task(client, gen_id, context.scene, after_gen)
 
         _poll_task(client, render_id, context.scene, after_render)
+        s.is_processing = True
         s.status_text = "rendering control maps..."
         return {"FINISHED"}
 

@@ -24,6 +24,10 @@ class VERSECRAFTER_PT_main(bpy.types.Panel):
         box.label(text="Step 1 — Preprocess")
         box.prop(s, "image_path")
         box.prop(s, "text_prompt")
+        box.prop(s, "box_threshold")
+        row = box.row()
+        row.prop(s, "min_area_ratio")
+        row.prop(s, "max_area_ratio")
         box.operator("versecrafter.preprocess",
                      icon="CHECKMARK" if s.preprocess_done else "NONE")
 
@@ -47,9 +51,20 @@ class VERSECRAFTER_PT_main(bpy.types.Panel):
         row.prop(s, "num_frames")
         row.prop(s, "fps")
         box.prop(s, "seed")
-        box.operator("versecrafter.postprocess")
+        box.prop(s, "teacache_threshold")
+        box.prop(s, "cfg_skip_ratio")
+        box.operator(
+            "versecrafter.postprocess",
+            icon="CHECKMARK" if s.generate_done else "NONE")
         box.operator("versecrafter.open_folder")
 
+        # per-step completion summary (reference step1..6_complete flags)
+        done = [s.preprocess_done, s.scene_loaded, s.exported,
+                s.render_done, s.generate_done]
+        col.label(text="Progress: " + " ".join(
+            ("[x]" if d else "[ ]") for d in done))
+        if s.is_processing:
+            col.label(text="processing...", icon="TIME")
         if s.status_text:
             col.label(text=s.status_text)
 

@@ -8,6 +8,14 @@ cookie, prompts, generation knobs, per-step completion flags.
 import bpy
 
 
+def _update_num_frames(self, context):
+    """Sync the Blender timeline to the generation length (reference
+    update_video_length, properties.py:18-23)."""
+    scene = context.scene
+    scene.frame_start = 1
+    scene.frame_end = self.num_frames
+
+
 class VerseCrafterSettings(bpy.types.PropertyGroup):
     server_url: bpy.props.StringProperty(
         name="Server URL", default="http://127.0.0.1:8190")
@@ -20,16 +28,41 @@ class VerseCrafterSettings(bpy.types.PropertyGroup):
         name="Objects", default="object.",
         description="Text prompt for segmentation, e.g. 'car. person.'")
 
+    # detection knobs (reference properties.py:109-137)
+    box_threshold: bpy.props.FloatProperty(
+        name="Detection Threshold", default=0.4, min=0.0, max=1.0,
+        description="Confidence threshold for object detection")
+    min_area_ratio: bpy.props.FloatProperty(
+        name="Min Area Ratio", default=0.003, min=0.0, max=1.0, precision=4)
+    max_area_ratio: bpy.props.FloatProperty(
+        name="Max Area Ratio", default=0.2, min=0.0, max=1.0, precision=4)
+    resolution_level: bpy.props.IntProperty(
+        name="Resolution Level", default=9, min=0, max=9,
+        description="Depth estimation resolution")
+    use_fp16: bpy.props.BoolProperty(
+        name="Use FP16", default=True,
+        description="Half precision for faster inference")
+    output_name: bpy.props.StringProperty(
+        name="Output Name", default="camera_object_0",
+        description="Name prefix for exported trajectories/outputs")
+
     prompt: bpy.props.StringProperty(
         name="Prompt", default="a cinematic scene")
     negative_prompt: bpy.props.StringProperty(name="Negative Prompt", default="")
-    num_frames: bpy.props.IntProperty(name="Frames", default=81, min=1, max=241)
+    num_frames: bpy.props.IntProperty(name="Frames", default=81, min=1,
+                                      max=241, update=_update_num_frames)
     fps: bpy.props.IntProperty(name="FPS", default=16, min=1, max=60)
-    steps: bpy.props.IntProperty(name="Steps", default=30, min=1, max=100)
+    steps: bpy.props.IntProperty(name="Steps", default=30, min=1, max=200)
     guidance: bpy.props.FloatProperty(name="Guidance", default=5.0, min=0, max=20)
-    seed: bpy.props.IntProperty(name="Seed", default=2025)
+    seed: bpy.props.IntProperty(name="Seed", default=2025, min=0)
     height: bpy.props.IntProperty(name="Height", default=480, min=64)
     width: bpy.props.IntProperty(name="Width", default=832, min=64)
+    # acceleration toggles (serving generate params, CLI parity)
+    teacache_threshold: bpy.props.FloatProperty(
+        name="TeaCache Threshold", default=0.0, min=0.0, max=1.0,
+        description="0 disables TeaCache step skipping")
+    cfg_skip_ratio: bpy.props.FloatProperty(
+        name="CFG Skip Ratio", default=0.0, min=0.0, max=1.0)
 
     workdir: bpy.props.StringProperty(
         name="Local Folder", subtype="DIR_PATH", default="//versecrafter")
@@ -37,11 +70,14 @@ class VerseCrafterSettings(bpy.types.PropertyGroup):
     ellipsoid_sigma: bpy.props.FloatProperty(
         name="Ellipsoid Sigma", default=2.0, min=0.5, max=5.0)
 
-    # progress state
+    # progress state (per-step completion flags, reference :173-186)
     status_text: bpy.props.StringProperty(default="")
+    is_processing: bpy.props.BoolProperty(default=False)
     preprocess_done: bpy.props.BoolProperty(default=False)
     scene_loaded: bpy.props.BoolProperty(default=False)
     exported: bpy.props.BoolProperty(default=False)
+    render_done: bpy.props.BoolProperty(default=False)
+    generate_done: bpy.props.BoolProperty(default=False)
     generated_video: bpy.props.StringProperty(default="")
 
 

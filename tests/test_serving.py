@@ -365,3 +365,53 @@ def test_model_server_unreachable_bounded(tmp_path):
     server.run_generate(task.task_id, {"rendering_maps_path": "maps"})
     st = server.tasks.get(task.task_id)
     assert st["status"] == "FAILED"
+
+
+def test_model_unload_and_reload(api):
+    """POST /api/unload_model frees the resident pipeline; the next generate
+    reloads on demand (reference single-GPU memory management,
+    api_server.py:474-481)."""
+    base, server = api
+    # make sure something is loaded (earlier generate test usually did)
+    server.start_model_loading_async()
+    t0 = time.time()
+    while server.model_loading_status()["loading"] and time.time() - t0 < 120:
+        time.sleep(0.1)
+    code, resp = _post(f"{base}/api/unload_model")
+    assert code == 200
+    assert _get(f"{base}/api/model_status")[1]["model_loaded"] is False
+    # idempotent
+    assert _post(f"{base}/api/unload_model")[1]["unloaded"] is False
+
+    # reload on demand: run a generate again
+    maps = os.path.join(server.workdir, "maps")
+    if os.path.exists(os.path.join(maps, "merged_mask.mp4")):
+        _, resp = _post(f"{base}/api/generate", payload={
+            "rendering_maps_path": "maps", "prompt": "again",
+            "height": 8, "width": 8, "num_frames": 5,
+            "num_inference_steps": 1, "guidance_scale": 1.0, "fps": 5,
+        })
+        st = _wait_task(base, resp["task_id"])
+        assert st["status"] == "COMPLETED", st
+        assert _get(f"{base}/api/model_status")[1]["model_loaded"] is True
+
+
+def test_generate_acceleration_params(api):
+    """teacache/cfg-skip toggles ride the generate params (CLI parity) and
+    are restored after the request."""
+    base, server = api
+    maps = os.path.join(server.workdir, "maps")
+    if not os.path.exists(os.path.join(maps, "merged_mask.mp4")):
+        pytest.skip("maps not prepared by earlier test")
+    _, resp = _post(f"{base}/api/generate", payload={
+        "rendering_maps_path": "maps", "prompt": "fast",
+        "height": 8, "width": 8, "num_frames": 5,
+        "num_inference_steps": 3, "guidance_scale": 2.0, "fps": 5,
+        "teacache_threshold": 0.5, "teacache_skip_start": 1,
+        "cfg_skip_ratio": 0.3,
+    })
+    st = _wait_task(base, resp["task_id"])
+    assert st["status"] == "COMPLETED", st
+    pipe = server._pipeline
+    assert pipe.teacache_threshold == 0.0  # restored
+    assert pipe.cfg_skip_ratio == 0.0

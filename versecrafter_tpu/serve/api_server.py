@@ -47,7 +47,13 @@ class ApiServer:
     def __init__(self, workdir: str = "outputs/api",
                  model_server_url: Optional[str] = None,
                  pipeline_factory=None,
-                 model_server_stall_timeout: float = 600.0):
+                 model_server_stall_timeout: float = 600.0,
+                 unload_after_generate: bool = False):
+        # unload_after_generate mirrors the reference's single-GPU memory
+        # management: free the model after each generation so render/VAE
+        # stages get the HBM back (reference api_server.py:474-481,
+        # 1311-1318); the next generate reloads on demand.
+        self.unload_after_generate = unload_after_generate
         self.workdir = os.path.abspath(workdir)
         os.makedirs(self.workdir, exist_ok=True)
         self.tasks = TaskRegistry()
@@ -97,6 +103,20 @@ class ApiServer:
                 "error": self._model_load_error,
                 "model_server_url": self.model_server_url}
 
+    def unload_model(self) -> dict:
+        """Drop the resident pipeline and let jax free its device buffers
+        (explicit form of the reference's after-generate unload,
+        api_server.py:474-481). Reload happens on demand at the next
+        generate / start_model_loading_async."""
+        import gc
+
+        with self._loading_lock:
+            was_loaded = self._pipeline is not None
+            self._pipeline = None
+            self._model_load_error = None
+        gc.collect()  # prompt release of the params' HBM buffers
+        return {"unloaded": was_loaded}
+
     # -- path-traversal guard (get_safe_filepath semantics) -----------------
     def safe_path(self, name: str) -> str:
         p = os.path.abspath(os.path.join(self.workdir, name))
@@ -132,7 +152,15 @@ class ApiServer:
             moge.save_outputs(out, depth_dir)
 
             self.tasks.update(task_id, progress=40, message="segmenting")
-            seg = ImageSegmenter(backend=params.get("backend", "saliency"))
+            # detection knobs ride the request like the reference's
+            # preprocess API (box/area thresholds, api_server.py:418-421)
+            seg = ImageSegmenter(
+                backend=params.get("backend", "saliency"),
+                box_threshold=float(params.get("box_threshold", 0.25)),
+                text_threshold=float(params.get("text_threshold", 0.25)),
+                min_area_ratio=float(params.get("min_area_ratio", 0.002)),
+                max_area_ratio=float(params.get("max_area_ratio", 0.6)),
+                max_objects=int(params.get("max_objects", 5)))
             dets = seg.segment_image(img, params.get("text_prompt", "object."),
                                      depth=depth)
             mask_dir = os.path.join(out_root, "object_mask")
@@ -280,6 +308,8 @@ class ApiServer:
         out = save_generated_video(video, params, params["save_path"])
         self.tasks.update(task_id, status=COMPLETED, progress=100,
                           result={"video_path": os.path.relpath(out, self.workdir)})
+        if self.unload_after_generate:
+            self.unload_model()
 
     def run_workflow(self, task_id: str, params: dict):
         """Render then generate (api /api/workflow)."""
@@ -460,6 +490,14 @@ def build_router(server: ApiServer) -> Router:
         return 200, {"status": "ok", "server": "VerseCrafter API",
                      "version": "1.0"}
 
+    @r.route("POST", "/api/unload_model")
+    def unload_model(req):
+        return 200, server.unload_model()
+
+    @r.route("GET", "/api/unload_model")
+    def unload_model_get(req):  # GET mirror, same as the other POST routes
+        return 200, server.unload_model()
+
     @r.route("GET", "/api/model_status")
     def model_status(req):
         return 200, server.model_loading_status()
@@ -498,6 +536,9 @@ def main(argv=None):
                         "via /api/model_status")
     p.add_argument("--auto_mesh", action="store_true",
                    help="shard the in-process model over all visible devices")
+    p.add_argument("--unload_after_generate", action="store_true",
+                   help="free the model after each generation (single-chip "
+                        "memory management, reference api_server.py:474-481)")
     args = p.parse_args(argv)
 
     from versecrafter_tpu.utils.cache import enable_persistent_cache
@@ -510,7 +551,8 @@ def main(argv=None):
                                            auto_mesh=args.auto_mesh)
     server = ApiServer(workdir=args.workdir,
                        model_server_url=args.model_server_url,
-                       pipeline_factory=factory)
+                       pipeline_factory=factory,
+                       unload_after_generate=args.unload_after_generate)
     if args.preload_model:
         server.start_model_loading_async()
     httpd = make_server(build_router(server), args.host, args.port)

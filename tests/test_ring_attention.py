@@ -65,7 +65,7 @@ def test_ring_sp_attention_wrapper():
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("sp", [2, 4])
+@pytest.mark.parametrize("sp", [2, 4, 8])
 def test_ring_attention_gradients(sp):
     """Ring backward (rotating fa_backward against global logsumexp) must
     match jax.grad of full single-device attention."""

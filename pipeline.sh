@@ -14,6 +14,7 @@ OUT=${OUT:-outputs/demo}
 MODEL=${MODEL:-}           # path to Wan2.1-T2V-14B dir (empty = offline smoke)
 PROMPT=${PROMPT:-"people walk through the scene, cinematic"}
 STEPS=${STEPS:-30}
+FRAMES=${FRAMES:-81}       # canonical operating point (README.md:281-295)
 
 mkdir -p "$OUT"
 
@@ -21,7 +22,7 @@ if [ -z "${MULTIPROC:-}" ]; then
     exec python -m versecrafter_tpu.cli.pipeline \
         --data "$DATA" --out "$OUT" ${MODEL:+--model "$MODEL"} \
         --prompt "$PROMPT" --sample_size "480,832" \
-        --num_inference_steps "$STEPS"
+        --num_inference_steps "$STEPS" --video_length "$FRAMES"
 fi
 
 echo "== step 1: depth + intrinsics =="
@@ -61,6 +62,7 @@ python -m versecrafter_tpu.cli.inference \
     --prompt "$PROMPT" \
     --input_image_path "$DATA/0001.png" \
     --save_path "$OUT/generated" \
-    --sample_size "480,832" --num_inference_steps "$STEPS"
+    --sample_size "480,832" --num_inference_steps "$STEPS" \
+    --video_length "$FRAMES"
 
 echo "done -> $OUT/generated"

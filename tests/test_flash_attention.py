@@ -222,3 +222,88 @@ class TestFusedRopeRmsAttention:
             q, k, v, cos, sin, gq, gk, N, 1e-6, HD ** -0.5, (-1, -1),
             "pallas")
         assert float(jnp.max(jnp.abs(ref - got))) == 0.0
+
+
+class TestFusedCrossAttention:
+    """Norm-only fused kernel (fused_rms_cross_attention): cross-attention
+    with qk-RMSNorm in the kernel prologue, no rope tables at all."""
+
+    def _setup(self, B=2, Sq=520, Skv=192, N=4, HD=64, dtype=jnp.float32):
+        import numpy as np
+        D = N * HD
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.standard_normal((B, Sq, D)), dtype)
+        k = jnp.asarray(rng.standard_normal((B, Skv, D)), dtype)
+        v = jnp.asarray(rng.standard_normal((B, Skv, D)), dtype)
+        gq = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.float32)
+        gk = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.float32)
+        return q, k, v, gq, gk, N, HD
+
+    def test_parity(self):
+        from versecrafter_tpu.kernels.flash_attention import (
+            _unfused_rms_cross_attention, fused_rms_cross_attention)
+        q, k, v, gq, gk, N, HD = self._setup()
+        ref = _unfused_rms_cross_attention(q, k, v, gq, gk, N, 1e-6,
+                                           HD ** -0.5, "xla")
+        got = fused_rms_cross_attention(q, k, v, gq, gk, num_heads=N,
+                                        impl="pallas")
+        assert float(jnp.max(jnp.abs(ref - got))) < 2e-3
+
+    def test_parity_no_norm_bf16(self):
+        from versecrafter_tpu.kernels.flash_attention import (
+            _unfused_rms_cross_attention, fused_rms_cross_attention)
+        q, k, v, gq, gk, N, HD = self._setup(dtype=jnp.bfloat16)
+        ref = _unfused_rms_cross_attention(q, k, v, None, None, N, 1e-6,
+                                           HD ** -0.5, "xla")
+        got = fused_rms_cross_attention(q, k, v, None, None, num_heads=N,
+                                        impl="pallas")
+        err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                    - got.astype(jnp.float32))))
+        assert err < 1e-2
+
+    def test_grad_delegates_to_unfused(self):
+        import jax
+        from versecrafter_tpu.kernels.flash_attention import (
+            _unfused_rms_cross_attention, fused_rms_cross_attention)
+        q, k, v, gq, gk, N, HD = self._setup()
+        f = lambda q, gq: fused_rms_cross_attention(
+            q, k, v, gq, gk, num_heads=N, impl="pallas").sum()
+        u = lambda q, gq: _unfused_rms_cross_attention(
+            q, k, v, gq, gk, N, 1e-6, HD ** -0.5, "auto").sum()
+        gf = jax.grad(f, argnums=(0, 1))(q, gq)
+        gu = jax.grad(u, argnums=(0, 1))(q, gq)
+        for a, b in zip(gf, gu):
+            assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+    def test_block_forward_flag_parity(self):
+        """wan_block_forward with FUSED_CROSS_ATTENTION on == off."""
+        import numpy as np
+        from versecrafter_tpu.core.config import WanDiTConfig
+        from versecrafter_tpu.models import wan_dit
+        import jax
+
+        cfg = WanDiTConfig(in_dim=4, dim=128, ffn_dim=256, freq_dim=32,
+                           text_dim=32, out_dim=4, num_heads=2, num_layers=1,
+                           text_len=16)
+        p = wan_dit._init_block(jax.random.key(0), cfg, jnp.float32)
+        rng = np.random.default_rng(0)
+        S = 24 * 4  # f*h*w grid below
+        x = jnp.asarray(rng.standard_normal((1, S, cfg.dim)), jnp.float32)
+        e0 = jnp.asarray(rng.standard_normal((1, 6, cfg.dim)) * 0.1,
+                         jnp.float32)
+        ctx = jnp.asarray(rng.standard_normal((1, 16, cfg.dim)), jnp.float32)
+        from versecrafter_tpu.kernels.rope import (grid_cos_sin,
+                                                   rope_3d_angles)
+        ang = rope_3d_angles(cfg.head_dim, max_pos=32)
+        cos, sin = grid_cos_sin(tuple(jnp.asarray(a) for a in ang), 6, 4, 4)
+        old = wan_dit.FUSED_CROSS_ATTENTION
+        try:
+            wan_dit.FUSED_CROSS_ATTENTION = False
+            a = wan_dit.wan_block_forward(p, cfg, x, e0, cos, sin, ctx,
+                                          "pallas")
+            wan_dit.FUSED_CROSS_ATTENTION = True
+            b = wan_dit.wan_block_forward(p, cfg, x, e0, cos, sin, ctx,
+                                          "pallas")
+        finally:
+            wan_dit.FUSED_CROSS_ATTENTION = old
+        assert float(jnp.max(jnp.abs(a - b))) < 2e-3

@@ -38,10 +38,15 @@ def main(argv=None):
                    help="segmentation phrases")
     p.add_argument("--sample_size", default="480,832")
     p.add_argument("--num_inference_steps", type=int, default=30)
+    p.add_argument("--video_length", type=int, default=None,
+                   help="frames to generate (None: inference CLI default)")
     p.add_argument("--fps", type=int, default=16)
     p.add_argument("--skip", default="",
                    help="comma-separated stage names to skip "
                         "(depth,segment,gaussian,render,generate)")
+    p.add_argument("--smoke_scale", default="1.3b", choices=["1.3b", "tiny"],
+                   help="offline-smoke model size when --model is absent "
+                        "(tiny: wiring checks on slow backends)")
     args = p.parse_args(argv)
 
     from versecrafter_tpu.utils.cache import enable_persistent_cache
@@ -101,10 +106,12 @@ def main(argv=None):
         "--save_path", os.path.join(out, "generated"),
         "--sample_size", args.sample_size,
         "--num_inference_steps", str(args.num_inference_steps)]
+    if args.video_length is not None:
+        gen_args += ["--video_length", str(args.video_length)]
     if args.model:
         gen_args += ["--model_name", args.model]
     else:
-        gen_args += ["--offline_smoke"]
+        gen_args += ["--offline_smoke", "--smoke_scale", args.smoke_scale]
     stage("generate", lambda: inference.main(gen_args))
 
     print(json.dumps({"stage_wall_s": times,

@@ -72,8 +72,11 @@ def _qk_transform(x, rstat, g, cos, sin, interpret: bool):
     rstat [rows, 1] fp32 per-row rsqrt(mean over the FULL model dim) with
     any scalar folds (sm_scale*log2e) pre-applied, g [1, D] fp32 per-channel
     norm scale, cos/sin [rows, D] interleaved tables (bf16 — the table
-    rounding is below the bf16 output rounding). fp32 math, bf16 out."""
+    rounding is below the bf16 output rounding; None = norm only, the
+    cross-attention flavor). fp32 math, bf16 out."""
     xf = x.astype(jnp.float32) * rstat * g
+    if cos is None:
+        return xf.astype(x.dtype)
     rot = xf * cos.astype(jnp.float32) \
         + _pairswap(xf, interpret) * sin.astype(jnp.float32)
     return rot.astype(x.dtype)
@@ -81,7 +84,8 @@ def _qk_transform(x, rstat, g, cos, sin, interpret: bool):
 
 def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
                block_kv: int, num_kv_blocks: int, window: tuple,
-               masked: bool, stats: bool, fused: bool, interpret: bool):
+               masked: bool, stats: bool, fused: bool, interpret: bool,
+               rope: bool = True):
     """sm_scale is pre-folded into q by the caller (one [B,N,S,D] multiply
     instead of a per-tile [bq,bkv] one — every elementwise op on the score
     tile costs real VPU time).
@@ -111,9 +115,13 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
       transform is computed once per q block into a scratch; the k transform
       is recomputed per (iq, ikv) visit — negligible VPU time vs the matmul.
     """
-    if fused:
+    if fused and rope:
         (qs_ref, ks_ref, cos_ref, sin_ref, gq_ref, gk_ref,
          o_ref, m_ref, l_ref, acc_ref, qrot_ref) = rest
+    elif fused:  # norm-only (cross-attention): no rope tables at all
+        (qs_ref, ks_ref, gq_ref, gk_ref,
+         o_ref, m_ref, l_ref, acc_ref, qrot_ref) = rest
+        cos_ref = sin_ref = None
     elif stats:
         o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -133,8 +141,10 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
         if fused:
             qrot_ref[...] = _qk_transform(
                 q_ref[0], qs_ref[0], gq_ref[0],
-                cos_ref[pl.ds(iq * block_q, block_q), :],
-                sin_ref[pl.ds(iq * block_q, block_q), :], interpret)
+                None if cos_ref is None
+                else cos_ref[pl.ds(iq * block_q, block_q), :],
+                None if sin_ref is None
+                else sin_ref[pl.ds(iq * block_q, block_q), :], interpret)
 
     # Skip KV tiles entirely past this batch element's true KV length, and
     # (for sliding-window attention) tiles fully outside the window of every
@@ -153,8 +163,10 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
             q = qrot_ref[...]  # [bq, D] (transformed once at ikv == 0)
             k = _qk_transform(
                 k_ref[0], ks_ref[0], gk_ref[0],
-                cos_ref[pl.ds(ikv * block_kv, block_kv), :],
-                sin_ref[pl.ds(ikv * block_kv, block_kv), :], interpret)
+                None if cos_ref is None
+                else cos_ref[pl.ds(ikv * block_kv, block_kv), :],
+                None if sin_ref is None
+                else sin_ref[pl.ds(ikv * block_kv, block_kv), :], interpret)
         else:
             q = q_ref[0, 0]  # [bq, D]
             k = k_ref[0, 0]  # [bkv, D]
@@ -539,12 +551,14 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
     per-head slice is selected by the LANE-dim block index, so no relayout
     ever materializes); rstat_[qk] [B, S, 1] fp32 per-row rsqrt stats
     (sm_scale*log2e folded into rstat_q); cos_i/sin_i [S, head_dim]
-    interleaved rope tables (bf16); g[qk] [N, 1, head_dim] fp32 per-head
-    norm-scale slices. Returns [B, S, N*head_dim]."""
+    interleaved rope tables (bf16) or None for the norm-only cross-attention
+    flavor; g[qk] [N, 1, head_dim] fp32 per-head norm-scale slices.
+    Returns [B, S, N*head_dim]."""
     B, Sq, DF = q.shape
     D = head_dim
     N = DF // D
     Skv = k.shape[1]
+    rope = cos_i is not None
 
     sq_pad = _ceil_to(Sq, block_q)
     skv_pad = _ceil_to(Skv, block_kv)
@@ -557,7 +571,7 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
         v = jnp.pad(v, ((0, 0), (0, skv_pad - Skv), (0, 0)))
         rstat_k = jnp.pad(rstat_k, ((0, 0), (0, skv_pad - Skv), (0, 0)))
         masked = True  # padded keys must not contribute
-    if cos_i.shape[0] != s_pad:
+    if rope and cos_i.shape[0] != s_pad:
         cos_i = jnp.pad(cos_i, ((0, s_pad - cos_i.shape[0]), (0, 0)))
         sin_i = jnp.pad(sin_i, ((0, s_pad - sin_i.shape[0]), (0, 0)))
 
@@ -567,10 +581,17 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
     kernel = functools.partial(
         _fa_kernel, block_q=block_q, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, window=window, masked=masked,
-        stats=False, fused=True, interpret=interpret,
+        stats=False, fused=True, interpret=interpret, rope=rope,
     )
 
     const2 = lambda *_: (0, 0)
+    table_in = ([q, k, v, rstat_q, rstat_k, cos_i, sin_i, gq, gk] if rope
+                else [q, k, v, rstat_q, rstat_k, gq, gk])
+    table_specs = ([
+        # full-array residents: constant index map -> fetched once
+        pl.BlockSpec((s_pad, D), const2),
+        pl.BlockSpec((s_pad, D), const2),
+    ] if rope else [])
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, sq_pad, DF), q.dtype),
@@ -588,9 +609,7 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
                              lambda b, h, iq, ikv, *_: (b, iq, 0)),
                 pl.BlockSpec((1, block_kv, 1),
                              lambda b, h, iq, ikv, *_: (b, ikv, 0)),
-                # full-array residents: constant index map -> fetched once
-                pl.BlockSpec((s_pad, D), const2),
-                pl.BlockSpec((s_pad, D), const2),
+                *table_specs,
                 pl.BlockSpec((1, 1, D), lambda b, h, iq, ikv, *_: (h, 0, 0)),
                 pl.BlockSpec((1, 1, D), lambda b, h, iq, ikv, *_: (h, 0, 0)),
             ],
@@ -610,11 +629,11 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * N * sq_pad * skv_pad * D,
             bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize
-            + (cos_i.size + sin_i.size) * cos_i.dtype.itemsize,
+            + ((cos_i.size + sin_i.size) * cos_i.dtype.itemsize if rope else 0),
             transcendentals=B * N * sq_pad * skv_pad,
         ),
         interpret=interpret,
-    )(k_lens, q, k, v, rstat_q, rstat_k, cos_i, sin_i, gq, gk)
+    )(k_lens, *table_in)
 
     if sq_pad != Sq:
         out = out[:, :Sq]
@@ -766,7 +785,12 @@ def fused_rope_rms_attention(
     s_pad = _ceil_to(q.shape[1], 128)
     hd = q.shape[-1] // num_heads
     table_bytes = 2 * 2 * s_pad * hd
-    if impl == "xla" or table_bytes > MAX_TABLE_BYTES:
+    # the fused layout selects the per-head slice by the LANE-dim block
+    # index, so head_dim must tile the 128-lane register exactly on real
+    # hardware (interpret mode has no such constraint; production Wan
+    # head_dim is 128)
+    bad_hd = jax.default_backend() == "tpu" and hd % 128 != 0
+    if impl == "xla" or bad_hd or table_bytes > MAX_TABLE_BYTES:
         return _unfused_rope_rms_attention(
             q, k, v, cos, sin, gq, gk, num_heads, eps, sm_scale,
             window_size, impl)
@@ -775,3 +799,114 @@ def fused_rope_rms_attention(
         q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads, float(eps),
         float(sm_scale), (int(window_size[0]), int(window_size[1])),
         jax.default_backend() != "tpu")
+
+
+# --------------------------------------------------------------------------
+# fused qk-RMSNorm cross-attention (norm-only flavor: no rope — queries are
+# video tokens, keys the 512 text tokens, and the reference applies no
+# positional rotation in cross attention, wan_transformer3d.py:408-436)
+# --------------------------------------------------------------------------
+
+def _unfused_rms_cross_attention(q, k, v, gq, gk, num_heads, eps, sm_scale,
+                                 impl):
+    """Separate-passes reference math for cross attention with qk-RMSNorm:
+    matches wan_dit._cross_attention's historical body exactly."""
+    from versecrafter_tpu.kernels.norms import rms_norm
+
+    b, s, d = q.shape
+    n = num_heads
+    hd = d // n
+    if gq is not None:
+        q = rms_norm(q, gq, eps)
+        k = rms_norm(k, gk, eps)
+    q = q.reshape(b, s, n, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, -1, n, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, -1, n, hd).transpose(0, 2, 1, 3)
+    out = flash_attention(q, k, v, sm_scale=sm_scale, impl=impl)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_cross_diff(q, k, v, gq, gk, num_heads, eps, sm_scale, interpret):
+    b, s, d = q.shape
+    n = num_heads
+    hd = d // n
+    skv = k.shape[1]
+
+    scale_q = sm_scale * LOG2E
+    if gq is not None:
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        rq = jax.lax.rsqrt(
+            jnp.mean(qf * qf, axis=-1, keepdims=True) + eps) * scale_q
+        rk = jax.lax.rsqrt(jnp.mean(kf * kf, axis=-1, keepdims=True) + eps)
+        gq_heads = gq.astype(jnp.float32).reshape(n, 1, hd)
+        gk_heads = gk.astype(jnp.float32).reshape(n, 1, hd)
+    else:
+        rq = jnp.full((b, s, 1), scale_q, jnp.float32)
+        rk = jnp.ones((b, skv, 1), jnp.float32)
+        gq_heads = jnp.ones((n, 1, hd), jnp.float32)
+        gk_heads = jnp.ones((n, 1, hd), jnp.float32)
+
+    return _flash_attention_fused_pallas(
+        q, k, v, jnp.full((b,), skv, jnp.int32), rq, rk, None, None,
+        gq_heads, gk_heads, head_dim=hd, block_q=_pick_block_q(s),
+        block_kv=min(1024, _ceil_to(skv, 128)), interpret=interpret,
+        masked=False)
+
+
+def _fused_cross_diff_fwd(q, k, v, gq, gk, num_heads, eps, sm_scale,
+                          interpret):
+    out = _unfused_rms_cross_attention(q, k, v, gq, gk, num_heads, eps,
+                                       sm_scale, "auto")
+    return out, (q, k, v, gq, gk)
+
+
+def _fused_cross_diff_bwd(num_heads, eps, sm_scale, interpret, res, do):
+    q, k, v, gq, gk = res
+
+    def f(q, k, v, gq, gk):
+        return _unfused_rms_cross_attention(q, k, v, gq, gk, num_heads, eps,
+                                            sm_scale, "auto")
+
+    _, vjp = jax.vjp(f, q, k, v, gq, gk)
+    return vjp(do)
+
+
+_fused_cross_diff.defvjp(_fused_cross_diff_fwd, _fused_cross_diff_bwd)
+
+
+def fused_rms_cross_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    gq: Optional[jnp.ndarray] = None,
+    gk: Optional[jnp.ndarray] = None,
+    *,
+    num_heads: int,
+    eps: float = 1e-6,
+    sm_scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Cross-attention over RAW projection outputs q [B, S, D] (video
+    tokens) and k/v [B, Skv, D] (context tokens, e.g. 512 text tokens) with
+    qk-RMSNorm fused into the kernel — the norm-only sibling of
+    fused_rope_rms_attention: removes the separate q-RMS pass over the long
+    video axis and both [B,S,D]<->[B,N,S,D] relayouts. Same numerics/grad
+    contract: inference primal is the fused exp2 kernel, under jax.grad the
+    unfused path runs."""
+    hd = q.shape[-1] // num_heads
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(hd)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # same lane-dim constraint as fused_rope_rms_attention: head_dim must
+    # tile the 128-lane register exactly on real hardware
+    bad_hd = jax.default_backend() == "tpu" and hd % 128 != 0
+    if impl == "xla" or bad_hd:
+        return _unfused_rms_cross_attention(q, k, v, gq, gk, num_heads, eps,
+                                            sm_scale, "auto" if bad_hd
+                                            else impl)
+    return _fused_cross_diff(q, k, v, gq, gk, num_heads, float(eps),
+                             float(sm_scale),
+                             jax.default_backend() != "tpu")

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from versecrafter_tpu.core.config import WanDiTConfig
 from versecrafter_tpu.kernels.flash_attention import (
-    flash_attention, fused_rope_rms_attention)
+    flash_attention, fused_rms_cross_attention, fused_rope_rms_attention)
 from versecrafter_tpu.kernels.norms import layer_norm, rms_norm
 from versecrafter_tpu.kernels.rope import apply_rope
 
@@ -53,6 +53,15 @@ Params = Dict[str, Any]
 # flips the latter for investigation).
 FUSED_QK_ATTENTION = True
 GEOADA_FUSED_QK = False
+
+# Route cross-attention through the norm-only fused kernel
+# (fused_rms_cross_attention): removes the q-RMS pass over the video axis
+# and both relayouts. Measured on the v5e at 32,760 tok CFG-2
+# (scripts/bench_fused_ablation.py --cross): plain -66.6 ms/step
+# (3614.5 -> 3547.9), geoada -98.8 ms/step (5742.2 -> 5643.4), exact
+# bf16 parity — unlike the rope-table fusion, this one also wins inside
+# geoada programs, so it is gated independently of GEOADA_FUSED_QK.
+FUSED_CROSS_ATTENTION = True
 
 # Inference geoada hint schedule: False = interleaved superstep (O(1) hint
 # memory, also the training path), True = reference-order stacked hints
@@ -286,13 +295,24 @@ def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
 def _cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
                      num_heads: int, qk_norm: bool, eps: float,
                      attn_impl: str,
-                     context_img: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     context_img: Optional[jnp.ndarray] = None,
+                     fuse_qk: bool = False) -> jnp.ndarray:
     b, s, d = x.shape
     n = num_heads
     hd = d // n
     q = _linear(p["q"], x)
     k = _linear(p["k"], context)
     v = _linear(p["v"], context)
+    if attn_impl != "sp" and fuse_qk and context_img is None:
+        # norm fused into the kernel; removes the q-RMS pass over the long
+        # video axis and the [B,S,D]<->[B,N,S,D] relayouts (the i2v img-KV
+        # branch keeps the separate-passes path below)
+        out = fused_rms_cross_attention(
+            q, k, v,
+            p["norm_q"]["scale"] if qk_norm else None,
+            p["norm_k"]["scale"] if qk_norm else None,
+            num_heads=n, eps=eps, impl=attn_impl)
+        return _linear(p["o"], out)
     if qk_norm:
         q = rms_norm(q, p["norm_q"]["scale"], eps)
         k = rms_norm(k, p["norm_k"]["scale"], eps)
@@ -343,9 +363,13 @@ def wan_block_forward(p: Params, cfg: WanDiTConfig, x: jnp.ndarray,
         xn = layer_norm(x, p["norm3"]["scale"], p["norm3"]["bias"], eps=cfg.eps)
     else:
         xn = x
+    # cross fusion is gated independently of the self-attn fuse_qk flag:
+    # the geoada anomaly (see GEOADA_FUSED_QK) is specific to the rope-table
+    # kernel, so geoada programs can still take the norm-only cross kernel
     x = x + _cross_attention(p["cross_attn"], xn, context, cfg.num_heads,
                              cfg.qk_norm, cfg.eps, attn_impl,
-                             context_img=context_img)
+                             context_img=context_img,
+                             fuse_qk=FUSED_CROSS_ATTENTION)
 
     tmp = layer_norm(x, eps=cfg.eps).astype(jnp.float32)
     tmp = (tmp * (1.0 + e[:, 4][:, None]) + e[:, 3][:, None]).astype(dtype)

@@ -116,7 +116,7 @@ def test_pick_block_q_minimizes_padding():
     from versecrafter_tpu.kernels.flash_attention import _pick_block_q, _ceil_to
 
     assert _pick_block_q(32760) == 4680   # exact divisor, zero padding
-    assert 75600 % _pick_block_q(75600) == 0  # exact divisor (5400)
+    assert _pick_block_q(75600) == 5400   # exact divisor (docstring value)
     assert _pick_block_q(512) == 512
     # ring-shard lengths with no divisor in range: padding must stay small
     for sq in (9450, 8190, 75600 // 8, 100000):

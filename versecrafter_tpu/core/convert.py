@@ -299,7 +299,17 @@ def _conv2(sd: _SD, prefix: str, dtype) -> dict:
 def convert_wan_vae(state_dict: Dict[str, Any], cfg: VAEConfig = VAEConfig(),
                     dtype=None) -> Tuple[dict, dict]:
     """Maps the Wan VAE torch layout (encoder.conv1/downsamples.N/middle/head,
-    decoder.conv1/upsamples.N, conv1/conv2 quant convs)."""
+    decoder.conv1/upsamples.N, conv1/conv2 quant convs).
+
+    Latent-stats convention (check FIRST on any real-weight parity run):
+    this repo applies the Wan per-channel latent mean/std INSIDE
+    encode()/decode() (models/vae.py use_latent_stats, so pipeline-visible
+    latents are always standardized), matching the reference's
+    AutoencoderKLWan which stores latents_mean/latents_std in its config
+    and normalizes in its own encode/decode wrappers — i.e. the geoada
+    control context and the denoised latents see the SAME standardized
+    scale. If a weight-run shows a uniform per-channel scale/offset error,
+    suspect this placement before the conv weights."""
     dtype = dtype or jnp.float32
     sd = _SD(state_dict)
     nres = cfg.num_res_blocks

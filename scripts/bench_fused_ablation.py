@@ -6,11 +6,14 @@ kernel OFF vs ON, for both the plain Wan backbone and the GeoAdapter
 flagship, plus a numerical-parity check of the two paths. Round-3 measured
 results (v5e):
 
-    plain   unfused 3818.8 ms  ->  fused 3613.7 ms   (-205 ms, -5.4%)
-    geoada  unfused 5742.7 ms  ->  fused +~100 ms REGRESSION (cause
-            unexplained; every synthetic reconstruction of the block wins
-            ~-170 ms) -> geoada programs default to unfused
-            (wan_dit.GEOADA_FUSED_QK).
+    plain   unfused 3818.8 ms  ->  fused(streaming) 3613.7   (-205 ms)
+    geoada  unfused 5668.3 ms  ->  fused(streaming) +70-110 REGRESSION
+            (trace-diagnosed: scripts/trace_fused_geoada.py)
+            ->  fused(RESIDENT-KV) 5225.5            (-443 ms, -7.8%)
+
+The resident-KV kernel mode (V resident per (b,h), K rotated once) is what
+makes geoada programs win; it is auto-selected by the dispatch wherever it
+fits VMEM, so both models now default to fused self-attention at 480p.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_fused_ablation.py
        [--geoada] [--iters 5]
@@ -53,6 +56,14 @@ def main():
 
     params = jax.jit(lambda k: wan_dit.init_wan_dit(k, cfg, jnp.bfloat16))(
         jax.random.key(0))
+    # the head is zero-init (reference parity) -> a fresh-init forward is
+    # CONSTANT and the fused-vs-unfused max_abs_diff below would be
+    # vacuously 0. Randomize it so the parity number actually probes the
+    # attention path.
+    hk = params["head"]["head"]["kernel"]
+    params["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.key(9), hk.shape) * 0.02
+    ).astype(hk.dtype)
     angles = tuple(jnp.asarray(a) for a in rope_3d_angles(cfg.head_dim))
     cos, sin = grid_cos_sin(angles, *grid)
     B = 2

@@ -1,0 +1,56 @@
+"""Kernel-level fused-vs-unfused parity at Wan scale on the real chip.
+
+The model-level parity check in bench_fused_ablation.py needs a randomized
+head (the production zero-init head makes a fresh-init forward constant —
+any two attention paths diff to a vacuous 0.0). This probes the contract
+directly where it lives: one fused_rope_rms_attention call (resident-KV
+mode at this shape) vs the separate-passes pallas math, at the bench
+operating point (B=2, S=32,760, 12 heads, head_dim 128, bf16).
+
+Round-3 measured result (v5e): max_abs_diff 4.88e-4 at output magnitude
+~0.084 — the documented one-vs-two-bf16-rounding envelope (<= 2e-3).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/check_fused_parity_chip.py
+"""
+
+import json
+
+
+def main():
+    import importlib
+
+    import jax
+
+    from versecrafter_tpu.utils.cache import setup_runtime
+    setup_runtime()
+    import jax.numpy as jnp
+
+    fa = importlib.import_module("versecrafter_tpu.kernels.flash_attention")
+    from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
+
+    B, S, N, HD = 2, 32760, 12, 128
+    D = N * HD
+    ks = jax.random.split(jax.random.key(0), 5)
+    q = jax.random.normal(ks[0], (B, S, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, S, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, S, D), jnp.bfloat16)
+    gq = 1.0 + 0.1 * jax.random.normal(ks[3], (D,), jnp.float32)
+    gk = 1.0 + 0.1 * jax.random.normal(ks[4], (D,), jnp.float32)
+    ang = tuple(jnp.asarray(a) for a in rope_3d_angles(HD))
+    cos, sin = grid_cos_sin(ang, 21, 30, 52)
+
+    fused = jax.jit(lambda q, k, v: fa.fused_rope_rms_attention(
+        q, k, v, cos, sin, gq, gk, num_heads=N, impl="pallas"))(q, k, v)
+    ref = jax.jit(lambda q, k, v: fa._unfused_rope_rms_attention(
+        q, k, v, cos, sin, gq, gk, N, 1e-6, HD ** -0.5, (-1, -1),
+        "pallas"))(q, k, v)
+    err = float(jnp.max(jnp.abs(fused.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+    print(json.dumps({"metric": "resident_fused_parity_chip",
+                      "max_abs_diff": err, "ref_max": scale}))
+    assert err <= 2e-3, err
+
+
+if __name__ == "__main__":
+    main()

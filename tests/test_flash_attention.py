@@ -202,6 +202,45 @@ class TestFusedRopeRmsAttention:
         for a, b in zip(gf, gu):
             assert float(jnp.max(jnp.abs(a - b))) == 0.0
 
+    def test_resident_kv_matches_streaming_multiblock(self):
+        """Resident-KV mode (V resident + K rotated once on the iq == 0
+        pass) must be bit-identical to the streaming mode on a grid with
+        MULTIPLE q and kv blocks — the only regime where the rotate-once
+        reuse across q blocks actually happens — including a k_lens-masked
+        ragged tail."""
+
+        import jax
+        import importlib
+        fa = importlib.import_module(
+            "versecrafter_tpu.kernels.flash_attention")
+        q, k, v, cos, sin, gq, gk, N, HD = self._setup(S=460)
+        # tables must cover exactly S rows (the _setup grid yields 520)
+        from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
+        ang = rope_3d_angles(HD, max_pos=64)
+        cos, sin = grid_cos_sin(tuple(jnp.asarray(a) for a in ang), 10, 2, 23)
+        b, s, d = q.shape
+        eps, sm_scale = 1e-6, HD ** -0.5
+        scale_q = sm_scale * fa.LOG2E
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        rq = jax.lax.rsqrt(
+            jnp.mean(qf * qf, axis=-1, keepdims=True) + eps) * scale_q
+        rk = jax.lax.rsqrt(jnp.mean(kf * kf, axis=-1, keepdims=True) + eps)
+        gq_h = gq.astype(jnp.float32).reshape(N, 1, HD)
+        gk_h = gk.astype(jnp.float32).reshape(N, 1, HD)
+        cos_i, sin_i = fa.prepare_fused_rope_tables(cos, sin, block_kv=128)
+        k_lens = jnp.full((b,), s, jnp.int32)
+        outs = [
+            fa._flash_attention_fused_pallas(
+                q, k, v, k_lens, rq, rk, cos_i, sin_i, gq_h, gk_h,
+                head_dim=HD, block_q=128, block_kv=128, interpret=True,
+                masked=True, resident_kv=res)
+            for res in (False, True)
+        ]
+        # interpret mode lowers the two variants to two different XLA CPU
+        # programs whose dot reassociation differs by a couple of fp32 ULPs;
+        # the math is identical (same tiles, same order)
+        assert float(jnp.max(jnp.abs(outs[0] - outs[1]))) < 1e-6
+
     def test_table_cap_falls_back(self):
         """Sequences whose resident tables exceed the VMEM budget must route
         to the unfused path (correctness preserved)."""

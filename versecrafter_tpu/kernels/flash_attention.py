@@ -33,19 +33,21 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_block_q(sq: int) -> int:
+def _pick_block_q(sq: int, cap: int = 5456) -> int:
     """Large q blocks amortize the m/l/acc bookkeeping across more MXU work
     (measured on v5e: bq~4-5k at bkv=1024 runs ~152-167 TF/s vs ~128 at the
     round-1 1024/1024 default — scripts/bench_kernel_variants.py). Prefer a
     divisor of the sequence so no padded q rows are computed at all
-    (32,760 -> 4,680; 75,600 -> 5,400); cap so the fp32 score tile + vreg
-    spills stay inside scoped VMEM. When no divisor exists (e.g. ring
-    shards: 75,600/8 = 9,450), pick the block that balances the q rows over
-    ceil(sq/4096) blocks instead of a flat 4096 (which would compute up to
-    ~30-50% padded rows)."""
+    (32,760 -> 4,680; 75,600 -> 5,400); `cap` bounds the block so the fp32
+    score tile + vreg spills stay inside scoped VMEM (the resident-KV fused
+    mode passes 4096, whose 32,760-divisor is 3,640 — q stays pad-free
+    there too). When no divisor exists (e.g. ring shards: 75,600/8 = 9,450),
+    pick the block that balances the q rows over ceil(sq/4096) blocks
+    instead of a flat 4096 (which would compute up to ~30-50% padded
+    rows)."""
     if sq <= 4096:
         return _ceil_to(sq, 128)
-    for d in range(min(sq, 5456), 3583, -8):
+    for d in range(min(sq, cap), 3583, -8):
         if sq % d == 0:
             return d
     nblocks = -(-sq // 4096)
@@ -85,7 +87,7 @@ def _qk_transform(x, rstat, g, cos, sin, interpret: bool):
 def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
                block_kv: int, num_kv_blocks: int, window: tuple,
                masked: bool, stats: bool, fused: bool, interpret: bool,
-               rope: bool = True):
+               rope: bool = True, resident_kv: bool = False):
     """sm_scale is pre-folded into q by the caller (one [B,N,S,D] multiply
     instead of a per-tile [bq,bkv] one — every elementwise op on the score
     tile costs real VPU time).
@@ -114,8 +116,18 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
       not re-streamed per KV tile), sliced per tile with pl.ds. The q
       transform is computed once per q block into a scratch; the k transform
       is recomputed per (iq, ikv) visit — negligible VPU time vs the matmul.
+    - resident_kv=True (fused rope flavor, unwindowed, VMEM permitting): V's
+      per-(b,h) slice is a VMEM resident and K is rotated ONCE into a
+      resident scratch during the iq == 0 pass, so K/V are fetched (and K
+      transformed) once per (b,h) instead of once per q block — removes the
+      (n_q - 1)x redundant strided re-streaming of K/V that makes the flat
+      layout's DMA the kernel's weak spot inside large programs.
     """
-    if fused and rope:
+    krot_ref = None
+    if fused and rope and resident_kv:
+        (qs_ref, ks_ref, cos_ref, sin_ref, gq_ref, gk_ref,
+         o_ref, m_ref, l_ref, acc_ref, qrot_ref, krot_ref) = rest
+    elif fused and rope:
         (qs_ref, ks_ref, cos_ref, sin_ref, gq_ref, gk_ref,
          o_ref, m_ref, l_ref, acc_ref, qrot_ref) = rest
     elif fused:  # norm-only (cross-attention): no rope tables at all
@@ -158,8 +170,27 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
 
     need_window = wl >= 0 or wr >= 0
 
+    if fused and resident_kv:
+        # Transform k ONCE per (b, h): the iq == 0 pass rotates each visited
+        # KV tile into the resident scratch; later q blocks reuse it (k_ref's
+        # index map only streams fresh tiles while iq == 0). Tiles beyond
+        # k_len are never visited at any iq (window is (-1,-1) here — the
+        # dispatch falls back to streaming for windowed attention, whose
+        # later q blocks need tiles iq == 0 skipped).
+        @pl.when(jnp.logical_and(iq == 0, run))
+        def _krot():
+            kv_slice = pl.ds(ikv * block_kv, block_kv)
+            krot_ref[kv_slice, :] = _qk_transform(
+                k_ref[0], ks_ref[0, kv_slice, :], gk_ref[0],
+                None if cos_ref is None else cos_ref[kv_slice, :],
+                None if sin_ref is None else sin_ref[kv_slice, :], interpret)
+
     def _body(apply_mask: bool):
-        if fused:
+        if fused and resident_kv:
+            q = qrot_ref[...]
+            kv_slice = pl.ds(ikv * block_kv, block_kv)
+            k = krot_ref[kv_slice, :]
+        elif fused:
             q = qrot_ref[...]  # [bq, D] (transformed once at ikv == 0)
             k = _qk_transform(
                 k_ref[0], ks_ref[0], gk_ref[0],
@@ -198,7 +229,10 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
         l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=1, keepdims=True)
         m_ref[...] = m_next
 
-        v = v_ref[0] if fused else v_ref[0, 0]  # [bkv, D]
+        if fused and resident_kv:
+            v = v_ref[0, pl.ds(ikv * block_kv, block_kv), :]
+        else:
+            v = v_ref[0] if fused else v_ref[0, 0]  # [bkv, D]
         pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
@@ -537,16 +571,81 @@ def flash_attention_with_stats(q, k, v, sm_scale: Optional[float] = None,
 # shapes — longer sequences run sequence-parallel, which is unfused anyway)
 MAX_TABLE_BYTES = 48 * 1024 * 1024
 
+# resident-KV mode budget: the estimated working set must leave Mosaic
+# headroom inside the 110 MiB scoped-VMEM cap (v5e has 128 MiB)
+RESIDENT_KV_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _fused_block_geometry(seq: int, head_dim: int, window: tuple = (-1, -1),
+                          block_kv_cap: int = 1024):
+    """The (block_q, block_kv, resident_kv) the fused SELF-attention
+    dispatch uses at this sequence length — one source of truth shared by
+    _fused_qk_diff, prepare_fused_rope_tables and resident_kv_available so
+    table padding and the mode gate can't drift from the kernel call.
+
+    Divisor-of-S blocks that avoid the pad copies were MEASURED SLOWER than
+    flat aligned blocks on the geoada step (bq 3,640 vs 4,096: +100 ms;
+    bkv 936 vs 1,024: +273 ms) — block alignment beats pad avoidance, so
+    both dims keep the flat picks and the ~0.6 ms/call pad copies stay."""
+    block_q = _pick_block_q(seq)
+    block_kv = min(block_kv_cap, _ceil_to(seq, 128))
+    block_q_res = min(block_q, 4096)
+    resident = _use_resident_kv(seq, seq, block_q_res, block_kv, head_dim,
+                                (int(window[0]), int(window[1])))
+    return (block_q_res if resident else block_q), block_kv, resident
+
+
+def resident_kv_available(seq: int, head_dim: int,
+                          window: tuple = (-1, -1)) -> bool:
+    """Whether the fused self-attention dispatch will run in resident-KV
+    mode at this sequence length (same block geometry it would pick). Model
+    code uses this to decide WHERE to fuse: GeoAdapter programs only win
+    with the resident kernel (the streaming flavor's strided K/V
+    re-streaming is context-sensitive and measured +70-110 ms/step there —
+    scripts/trace_fused_geoada.py), while plain programs win either way."""
+    return _fused_block_geometry(seq, head_dim, window)[2]
+
+
+def _use_resident_kv(sq: int, skv: int, block_q: int, block_kv: int,
+                     d: int, window: tuple) -> bool:
+    """Gate for the fused kernel's resident-KV mode: unwindowed only (the
+    rotate-once pass skips KV tiles a later q block's window would need) and
+    the working set must fit the VMEM budget. Module-level budget so tests
+    can force the streaming path."""
+    if window != (-1, -1):
+        return False
+    sq_pad = _ceil_to(sq, block_q)
+    skv_pad = _ceil_to(skv, block_kv)
+    return (_resident_kv_vmem_bytes(sq_pad, skv_pad, block_q, block_kv, d)
+            <= RESIDENT_KV_VMEM_BUDGET)
+
+
+def _resident_kv_vmem_bytes(sq_pad: int, skv_pad: int, block_q: int,
+                            block_kv: int, d: int) -> int:
+    """Upper-bound VMEM working set of the fused kernel's resident-KV mode
+    (residents counted twice where Mosaic double-buffers across the
+    (b, h)-boundary prefetch). At the 480p x 81f point (32,768 pad) this is
+    ~85 MiB -> resident; at 720p (75,776) ~135 MiB -> streaming fallback."""
+    bf16 = 2
+    v_res = 2 * skv_pad * d * bf16           # resident V, double-buffered
+    krot = skv_pad * d * bf16                # rotated-K scratch
+    tables = 2 * max(sq_pad, skv_pad) * d * bf16
+    score = block_q * block_kv * (4 + bf16)  # fp32 s tile + bf16 p
+    q_io = 2 * 2 * block_q * d * bf16        # q in + out, double-buffered
+    k_stream = 2 * block_kv * d * bf16
+    softmax = block_q * (2 * LANES * 4 + d * 4 + d * bf16)
+    return v_res + krot + tables + score + q_io + k_stream + softmax
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("head_dim", "block_q", "block_kv", "interpret", "window",
-                     "masked"),
+                     "masked", "resident_kv"),
 )
 def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
                                   cos_i, sin_i, gq, gk, *, head_dim, block_q,
                                   block_kv, interpret, window=(-1, -1),
-                                  masked=True):
+                                  masked=True, resident_kv=False):
     """q/k/v [B, S, N*head_dim] RAW projection outputs (native layout — the
     per-head slice is selected by the LANE-dim block index, so no relayout
     ever materializes); rstat_[qk] [B, S, 1] fp32 per-row rsqrt stats
@@ -578,10 +677,20 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
     num_kv_blocks = skv_pad // block_kv
     grid = (B, N, sq_pad // block_q, num_kv_blocks)
 
+    # resident_kv (decided by the caller — see _use_resident_kv): hold the
+    # per-(b,h) V slice resident in VMEM and rotate K ONCE into a resident
+    # scratch on the iq == 0 pass, instead of re-streaming + re-transforming
+    # K/V for every q block (7x redundant HBM traffic at 32,760 tokens; the
+    # strided 256-byte-row reads of the flat layout are the fused kernel's
+    # one DMA weakness, so cutting their volume matters more here than it
+    # did for the [B,N,S,D] kernel).
+    resident_kv = resident_kv and rope
+
     kernel = functools.partial(
         _fa_kernel, block_q=block_q, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, window=window, masked=masked,
         stats=False, fused=True, interpret=interpret, rope=rope,
+        resident_kv=resident_kv,
     )
 
     const2 = lambda *_: (0, 0)
@@ -592,6 +701,27 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
         pl.BlockSpec((s_pad, D), const2),
         pl.BlockSpec((s_pad, D), const2),
     ] if rope else [])
+    if resident_kv:
+        # K streams fresh tiles only while iq == 0 (the rotate-once pass);
+        # for iq > 0 the index map pins tile 0 — same block index between
+        # consecutive grid steps, so no re-fetch happens and the kernel
+        # reads the rotated scratch instead.
+        k_spec = pl.BlockSpec(
+            (1, block_kv, D),
+            lambda b, h, iq, ikv, *_: (b, jnp.where(iq == 0, ikv, 0), h))
+        v_spec = pl.BlockSpec((1, skv_pad, D),
+                              lambda b, h, iq, ikv, *_: (b, 0, h))
+        ks_spec = pl.BlockSpec((1, skv_pad, 1),
+                               lambda b, h, iq, ikv, *_: (b, 0, 0))
+        extra_scratch = [pltpu.VMEM((skv_pad, D), q.dtype)]  # rotated K
+    else:
+        k_spec = pl.BlockSpec((1, block_kv, D),
+                              lambda b, h, iq, ikv, *_: (b, ikv, h))
+        v_spec = pl.BlockSpec((1, block_kv, D),
+                              lambda b, h, iq, ikv, *_: (b, ikv, h))
+        ks_spec = pl.BlockSpec((1, block_kv, 1),
+                               lambda b, h, iq, ikv, *_: (b, ikv, 0))
+        extra_scratch = []
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, sq_pad, DF), q.dtype),
@@ -601,14 +731,11 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
             in_specs=[
                 pl.BlockSpec((1, block_q, D),
                              lambda b, h, iq, ikv, *_: (b, iq, h)),
-                pl.BlockSpec((1, block_kv, D),
-                             lambda b, h, iq, ikv, *_: (b, ikv, h)),
-                pl.BlockSpec((1, block_kv, D),
-                             lambda b, h, iq, ikv, *_: (b, ikv, h)),
+                k_spec,
+                v_spec,
                 pl.BlockSpec((1, block_q, 1),
                              lambda b, h, iq, ikv, *_: (b, iq, 0)),
-                pl.BlockSpec((1, block_kv, 1),
-                             lambda b, h, iq, ikv, *_: (b, ikv, 0)),
+                ks_spec,
                 *table_specs,
                 pl.BlockSpec((1, 1, D), lambda b, h, iq, ikv, *_: (h, 0, 0)),
                 pl.BlockSpec((1, 1, D), lambda b, h, iq, ikv, *_: (h, 0, 0)),
@@ -620,10 +747,18 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
                 pltpu.VMEM((block_q, LANES), jnp.float32),
                 pltpu.VMEM((block_q, D), jnp.float32),
                 pltpu.VMEM((block_q, D), q.dtype),  # transformed q tile
+                *extra_scratch,
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # resident mode: iq must NOT be split across megacores (v5p has
+            # two) — a core starting at iq > 0 would read a rotated-K
+            # scratch it never wrote. batch/head stay parallel, which is
+            # where a megacore split belongs at these grids anyway.
+            dimension_semantics=(
+                ("parallel", "parallel", "arbitrary", "arbitrary")
+                if resident_kv else
+                ("parallel", "parallel", "parallel", "arbitrary")),
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
@@ -673,9 +808,10 @@ def prepare_fused_rope_tables(cos, sin, block_kv: int = 1024):
     from versecrafter_tpu.kernels.rope import interleave_rope_tables
 
     s = cos.shape[0]
-    block_q = _pick_block_q(s)
-    bkv = min(block_kv, _ceil_to(s, 128))
-    s_pad = max(_ceil_to(s, block_q), _ceil_to(s, bkv))
+    # interleaved tables are full-width: head_dim = 2 x half-width
+    bq, bkv, _ = _fused_block_geometry(s, 2 * cos.shape[1],
+                                       block_kv_cap=block_kv)
+    s_pad = max(_ceil_to(s, bq), _ceil_to(s, bkv))
     ci, si = interleave_rope_tables(cos, sin)
     ci = ci.astype(jnp.bfloat16)
     si = si.astype(jnp.bfloat16)
@@ -710,14 +846,21 @@ def _fused_qk_diff(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads, eps,
     if cos_i is None:
         cos_i, sin_i = prepare_fused_rope_tables(cos, sin)
 
-    block_q = _pick_block_q(s)
-    block_kv = min(1024, _ceil_to(s, 128))
+    # resident-KV mode trades q-block size for the resident V + rotated-K
+    # buffers: the throughput-optimal bq~4.7-5k plus the residents overflows
+    # scoped VMEM (measured 123.1M vs the 122M cap at bq=4680). bq=4096
+    # fits with margin — and measured 100 ms/step FASTER than the divisor
+    # pick 3,640 despite 3,640 removing the q-pad and output-slice copies
+    # (5,227.8 vs 5,327.9 ms on the geoada step), so the flat power-of-two
+    # block wins over pad-avoidance here.
+    block_q, block_kv, resident_kv = _fused_block_geometry(s, hd, window)
     k_lens = jnp.full((b,), s, jnp.int32)
 
     return _flash_attention_fused_pallas(
         q, k, v, k_lens, rq, rk, cos_i, sin_i, gq_heads, gk_heads,
         head_dim=hd, block_q=block_q, block_kv=block_kv,
-        interpret=interpret, window=window, masked=False)
+        interpret=interpret, window=window, masked=False,
+        resident_kv=resident_kv)
 
 
 def _fused_qk_diff_fwd(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads,

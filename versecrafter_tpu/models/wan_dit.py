@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 from versecrafter_tpu.core.config import WanDiTConfig
 from versecrafter_tpu.kernels.flash_attention import (
-    flash_attention, fused_rms_cross_attention, fused_rope_rms_attention)
+    flash_attention, fused_rms_cross_attention, fused_rope_rms_attention,
+    resident_kv_available)
 from versecrafter_tpu.kernels.norms import layer_norm, rms_norm
 from versecrafter_tpu.kernels.rope import apply_rope
 
@@ -45,12 +46,15 @@ Params = Dict[str, Any]
 # Whether the scanned DiT blocks route self-attention through the fused
 # qk-RMSNorm+RoPE kernel. Measured on the v5e at 32,760 tok (round 3):
 # the PLAIN (no-geoadapter) 1.3B step wins -205 ms/step (3.82 -> 3.61 s,
-# -5.4%: rope/rms/relayout passes eliminated), but every GEOADAPTER program
-# variant measured +~100 ms/step (interleaved superstep, stacked hints,
-# hybrid — all reproduce it, while every synthetic reconstruction of the
-# block wins; the geoada-program interaction is unexplained). Defaults:
-# fused ON for plain models, OFF inside geoada programs (GEOADA_FUSED_QK
-# flips the latter for investigation).
+# rope/rms/relayout passes eliminated) with the kernel's STREAMING flavor,
+# and GeoAdapter programs win -419 ms/step (5.65 -> 5.23 s) with its
+# RESIDENT-KV flavor. The streaming flavor inside geoada programs is the
+# one regressing combination (+70-110 ms — its strided flat-layout K/V
+# re-streaming is context-sensitive; device-trace evidence in
+# scripts/trace_fused_geoada.py), so geoada programs fuse only where the
+# dispatch will run resident (resident_kv_available: fits VMEM at <=~37k
+# tokens; 720p's 75,600 falls back to unfused). GEOADA_FUSED_QK=True
+# force-fuses geoada even in streaming mode, for experiments.
 FUSED_QK_ATTENTION = True
 GEOADA_FUSED_QK = False
 
@@ -65,8 +69,10 @@ FUSED_CROSS_ATTENTION = True
 
 # Inference geoada hint schedule: False = interleaved superstep (O(1) hint
 # memory, also the training path), True = reference-order stacked hints
-# (two plain single-block scans; +~27 ms/step measured unfused, built for
-# the fused kernel's plain-scan preference — see FUSED_QK_ATTENTION).
+# (two plain single-block scans; +~27 ms/step measured). Built while
+# chasing the fused-kernel regression — the trace diagnosis showed scan
+# structure was never the cause (the resident-KV kernel mode was the fix),
+# so the interleaved superstep stays the default everywhere.
 GEOADA_STACKED_HINTS = False
 
 
@@ -539,6 +545,14 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
         x, _ = jax.lax.scan(body, x, block_params)
         return x
 
+    # geoada programs fuse self-attention only where the kernel dispatch
+    # will run its resident-KV flavor (see the FUSED_QK_ATTENTION note):
+    # the streaming flavor measured +70-110 ms/step in geoada programs,
+    # the resident one -419 ms.
+    geo_fuse = FUSED_QK_ATTENTION and (
+        GEOADA_FUSED_QK
+        or resident_kv_available(x.shape[1], cfg.head_dim, cfg.window_size))
+
     glayers = cfg.resolved_geoada_layers
     stride = glayers[1] - glayers[0] if len(glayers) > 1 else L
     uniform = (
@@ -571,13 +585,13 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
             gp, bps = layer_params
             gp = deq(gp)
             cc = blk(gp, cfg, cc, e0, cos, sin, context, attn_impl, None,
-                     rope_i, FUSED_QK_ATTENTION and GEOADA_FUSED_QK)
+                     rope_i, geo_fuse)
             hint = _linear(gp["after_proj"], cc)
             for j in range(stride):
                 bp = deq(jax.tree.map(lambda a: a[j], bps))
                 xx = blk(bp, cfg, xx, e0, cos, sin, context,
                          attn_impl, context_img, rope_i,
-                         FUSED_QK_ATTENTION and GEOADA_FUSED_QK)
+                         geo_fuse)
                 if j == 0:
                     xx = xx + (hint * jnp.asarray(geoada_scale, hint.dtype)
                                ).astype(xx.dtype)
@@ -597,7 +611,7 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     def hint_step(cc, gp):
         gp = deq(gp)
         cc = blk(gp, cfg, cc, e0, cos, sin, context, attn_impl, None,
-                 rope_i, FUSED_QK_ATTENTION and GEOADA_FUSED_QK)
+                 rope_i, geo_fuse)
         return cc, _linear(gp["after_proj"], cc)
 
     _, hints = jax.lax.scan(hint_step, c, geo_params)  # [G, B, S, D]
@@ -607,7 +621,7 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
         bp, layer_idx = xs
         xx = blk(deq(bp), cfg, carry, e0, cos, sin, context,
                  attn_impl, context_img, rope_i,
-                 FUSED_QK_ATTENTION and GEOADA_FUSED_QK)
+                 geo_fuse)
         # hint after every `stride`-th block (reference adds hints[idx]
         # right after block i for i in geoada_layers)
         is_hinted = layer_idx % stride == 0

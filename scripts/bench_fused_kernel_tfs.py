@@ -1,0 +1,75 @@
+"""TF/s of the fused qk-RMS+RoPE attention kernel, resident vs streaming.
+
+Chains the kernel through a lax.scan (each iteration's output feeds the
+next q) so per-call time amortizes the axon dispatch overhead and XLA can
+neither CSE nor DCE the calls. Reports ms/call and TF/s (4*B*N*S^2*D
+flops) at the 480p x 81f point for: resident-KV mode (production default),
+streaming mode (RESIDENT_KV_VMEM_BUDGET=0), and the unfused [B,N,S,D]
+kernel via the separate-passes path for reference.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_fused_kernel_tfs.py
+"""
+
+import importlib
+import json
+import time
+
+
+def main():
+    import jax
+
+    from versecrafter_tpu.utils.cache import setup_runtime
+    setup_runtime()
+    import jax.numpy as jnp
+
+    fa = importlib.import_module("versecrafter_tpu.kernels.flash_attention")
+    from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
+
+    B, S, N, HD = 2, 32760, 12, 128
+    D = N * HD
+    LOOP = 8
+    ks = jax.random.split(jax.random.key(0), 5)
+    q = jax.random.normal(ks[0], (B, S, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, S, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, S, D), jnp.bfloat16)
+    gq = 1.0 + 0.1 * jax.random.normal(ks[3], (D,), jnp.float32)
+    gk = 1.0 + 0.1 * jax.random.normal(ks[4], (D,), jnp.float32)
+    ang = tuple(jnp.asarray(a) for a in rope_3d_angles(HD))
+    cos, sin = grid_cos_sin(ang, 21, 30, 52)
+    flops_per_call = 4 * B * N * S * S * HD
+
+    def run(tag, fn, iters=3):
+        def chain(q0):
+            def body(qc, _):
+                return fn(qc), None
+            return jax.lax.scan(body, q0, None, length=LOOP)[0]
+
+        f = jax.jit(chain)
+        out = f(q)
+        _ = float(jnp.abs(out).astype(jnp.float32).sum())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(q)
+        _ = float(jnp.abs(out).astype(jnp.float32).sum())
+        ms = (time.perf_counter() - t0) / (iters * LOOP) * 1e3
+        print(json.dumps({"variant": tag, "ms_per_call": round(ms, 2),
+                          "tf_s": round(flops_per_call / ms / 1e9, 1)}),
+              flush=True)
+
+    fused = lambda qc: fa.fused_rope_rms_attention(
+        qc, k, v, cos, sin, gq, gk, num_heads=N, impl="pallas")
+    unfused = lambda qc: fa._unfused_rope_rms_attention(
+        qc, k, v, cos, sin, gq, gk, N, 1e-6, HD ** -0.5, (-1, -1), "pallas")
+
+    run("fused_resident", fused)
+    old = fa.RESIDENT_KV_VMEM_BUDGET
+    fa.RESIDENT_KV_VMEM_BUDGET = 0
+    try:
+        run("fused_streaming", fused)
+    finally:
+        fa.RESIDENT_KV_VMEM_BUDGET = old
+    run("unfused_ref(separate passes incl. rope/rms)", unfused)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,9 +83,17 @@ def main():
     thresh = float(np.median(pred) * (run_len + 0.5))
     skip_start = 3 if args.tiny else 5
 
+    # Warm both program variants before timing: the plain and the
+    # TeaCache (lax.cond) denoise loops are different compiled programs,
+    # and a cold first call folds 1-2 min of compile into the wall time
+    # (an earlier run reported speedup 0.146 for exactly this reason).
+    warm_kw = dict(kw)
+    warm_kw["num_inference_steps"] = 2
+
     print(f"== timed run WITHOUT TeaCache ==", flush=True)
-    t0 = time.perf_counter()
     pipe.disable_teacache()
+    pipe("a cinematic scene", output_type="latent", **warm_kw)
+    t0 = time.perf_counter()
     pipe("a cinematic scene", output_type="latent", **kw)
     t_off = time.perf_counter() - t0
 
@@ -94,6 +102,7 @@ def main():
     pipe.enable_teacache(max(thresh, 1e-6), skip_start=skip_start,
                          coefficients=coeffs)
     pipe.teacache_debug = True
+    pipe("a cinematic scene", output_type="latent", **warm_kw)
     pipe.teacache_accum_history = []
     t0 = time.perf_counter()
     pipe("a cinematic scene", output_type="latent", **kw)

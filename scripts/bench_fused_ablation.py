@@ -34,6 +34,9 @@ def main():
                     help="ablate FUSED_CROSS_ATTENTION (norm-only cross-attn "
                          "kernel) instead of the self-attn rope+rms fusion")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--res", type=int, default=480, choices=(480, 720),
+                    help="operating point: 480 -> 32,760 tok (832x480x81f), "
+                         "720 -> 75,600 tok (1280x720x81f)")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +53,7 @@ def main():
         WAN21_1_3B,
         geoada_layers=() if args.geoada else None,
         geoada_in_dim=128)
-    f_lat, h_lat, w_lat = 21, 60, 104
+    f_lat, h_lat, w_lat = (21, 60, 104) if args.res == 480 else (21, 90, 160)
     grid = (f_lat, h_lat // 2, w_lat // 2)
     seq = grid[0] * grid[1] * grid[2]
 

@@ -10,12 +10,26 @@ kernel via the separate-passes path for reference.
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_fused_kernel_tfs.py
 """
 
+import argparse
 import importlib
 import json
 import time
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=480, choices=(480, 720),
+                    help="480 -> 32,760 tok (resident, full tables); "
+                         "720 -> 75,600 tok (resident, blocked tables)")
+    ap.add_argument("--bq", type=int, default=None,
+                    help="override RESIDENT_BLOCK_Q_CANDIDATES to this "
+                         "single value (geometry sweep)")
+    ap.add_argument("--budget_mib", type=int, default=None,
+                    help="override RESIDENT_KV_VMEM_BUDGET (MiB)")
+    ap.add_argument("--only", choices=("resident", "streaming", "unfused"),
+                    default=None, help="run a single variant")
+    args = ap.parse_args()
+
     import jax
 
     from versecrafter_tpu.utils.cache import setup_runtime
@@ -25,7 +39,8 @@ def main():
     fa = importlib.import_module("versecrafter_tpu.kernels.flash_attention")
     from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
 
-    B, S, N, HD = 2, 32760, 12, 128
+    grid = (21, 30, 52) if args.res == 480 else (21, 45, 80)
+    B, S, N, HD = 2, grid[0] * grid[1] * grid[2], 12, 128
     D = N * HD
     LOOP = 8
     ks = jax.random.split(jax.random.key(0), 5)
@@ -35,7 +50,7 @@ def main():
     gq = 1.0 + 0.1 * jax.random.normal(ks[3], (D,), jnp.float32)
     gk = 1.0 + 0.1 * jax.random.normal(ks[4], (D,), jnp.float32)
     ang = tuple(jnp.asarray(a) for a in rope_3d_angles(HD))
-    cos, sin = grid_cos_sin(ang, 21, 30, 52)
+    cos, sin = grid_cos_sin(ang, *grid)
     flops_per_call = 4 * B * N * S * S * HD
 
     def run(tag, fn, iters=3):
@@ -61,14 +76,26 @@ def main():
     unfused = lambda qc: fa._unfused_rope_rms_attention(
         qc, k, v, cos, sin, gq, gk, N, 1e-6, HD ** -0.5, (-1, -1), "pallas")
 
-    run("fused_resident", fused)
-    old = fa.RESIDENT_KV_VMEM_BUDGET
-    fa.RESIDENT_KV_VMEM_BUDGET = 0
-    try:
-        run("fused_streaming", fused)
-    finally:
-        fa.RESIDENT_KV_VMEM_BUDGET = old
-    run("unfused_ref(separate passes incl. rope/rms)", unfused)
+    if args.bq is not None:
+        fa.RESIDENT_BLOCK_Q_CANDIDATES = (args.bq,)
+    if args.budget_mib is not None:
+        fa.RESIDENT_KV_VMEM_BUDGET = args.budget_mib * 1024 * 1024
+    geo = fa._fused_block_geometry(S, HD)
+    print(json.dumps({"geometry": {"block_q": geo[0], "block_kv": geo[1],
+                                   "resident": geo[2],
+                                   "blocked_tables": geo[3]}}), flush=True)
+
+    if args.only in (None, "resident"):
+        run("fused_resident", fused)
+    if args.only in (None, "streaming"):
+        old = fa.RESIDENT_KV_VMEM_BUDGET
+        fa.RESIDENT_KV_VMEM_BUDGET = 0
+        try:
+            run("fused_streaming", fused)
+        finally:
+            fa.RESIDENT_KV_VMEM_BUDGET = old
+    if args.only in (None, "unfused"):
+        run("unfused_ref(separate passes incl. rope/rms)", unfused)
 
 
 if __name__ == "__main__":

@@ -13,11 +13,18 @@ Round-3 measured result (v5e): max_abs_diff 4.88e-4 at output magnitude
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/check_fused_parity_chip.py
 """
 
+import argparse
 import json
 
 
 def main():
     import importlib
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=480, choices=(480, 720),
+                    help="480 -> 32,760 tok (resident, full tables); "
+                         "720 -> 75,600 tok (resident, blocked tables)")
+    args = ap.parse_args()
 
     import jax
 
@@ -28,7 +35,8 @@ def main():
     fa = importlib.import_module("versecrafter_tpu.kernels.flash_attention")
     from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
 
-    B, S, N, HD = 2, 32760, 12, 128
+    grid = (21, 30, 52) if args.res == 480 else (21, 45, 80)
+    B, S, N, HD = 2, grid[0] * grid[1] * grid[2], 12, 128
     D = N * HD
     ks = jax.random.split(jax.random.key(0), 5)
     q = jax.random.normal(ks[0], (B, S, D), jnp.bfloat16)
@@ -37,7 +45,7 @@ def main():
     gq = 1.0 + 0.1 * jax.random.normal(ks[3], (D,), jnp.float32)
     gk = 1.0 + 0.1 * jax.random.normal(ks[4], (D,), jnp.float32)
     ang = tuple(jnp.asarray(a) for a in rope_3d_angles(HD))
-    cos, sin = grid_cos_sin(ang, 21, 30, 52)
+    cos, sin = grid_cos_sin(ang, *grid)
 
     fused = jax.jit(lambda q, k, v: fa.fused_rope_rms_attention(
         q, k, v, cos, sin, gq, gk, num_heads=N, impl="pallas"))(q, k, v)

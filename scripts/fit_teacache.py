@@ -85,16 +85,25 @@ def main():
 
     # Warm both program variants before timing: the plain and the
     # TeaCache (lax.cond) denoise loops are different compiled programs,
-    # and a cold first call folds 1-2 min of compile into the wall time
-    # (an earlier run reported speedup 0.146 for exactly this reason).
+    # and a cold first call folds 1-2 min of XLA compile into the wall time
+    # (an earlier run reported speedup 0.146 for exactly this reason). Each
+    # run must also end with a HOST READ of the latent: on the axon backend
+    # dispatch is asynchronous and block_until_ready can return early, so
+    # without it the OFF run "finishes" in dispatch time (11 s) while its
+    # ~145 s of device work drains into the ON run's wall clock.
+    import jax.numpy as jnp
     warm_kw = dict(kw)
     warm_kw["num_inference_steps"] = 2
 
+    def run_drained(**kwargs):
+        lat = pipe("a cinematic scene", output_type="latent", **kwargs)
+        float(jnp.abs(lat).astype(jnp.float32).sum())
+
     print(f"== timed run WITHOUT TeaCache ==", flush=True)
     pipe.disable_teacache()
-    pipe("a cinematic scene", output_type="latent", **warm_kw)
+    run_drained(**warm_kw)
     t0 = time.perf_counter()
-    pipe("a cinematic scene", output_type="latent", **kw)
+    run_drained(**kw)
     t_off = time.perf_counter() - t0
 
     print(f"== timed run WITH fitted TeaCache (threshold {thresh:.4f}) ==",
@@ -102,10 +111,10 @@ def main():
     pipe.enable_teacache(max(thresh, 1e-6), skip_start=skip_start,
                          coefficients=coeffs)
     pipe.teacache_debug = True
-    pipe("a cinematic scene", output_type="latent", **warm_kw)
+    run_drained(**warm_kw)
     pipe.teacache_accum_history = []
     t0 = time.perf_counter()
-    pipe("a cinematic scene", output_type="latent", **kw)
+    run_drained(**kw)
     t_on = time.perf_counter() - t0
 
     accums = np.stack(pipe.teacache_accum_history)

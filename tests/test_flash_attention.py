@@ -262,6 +262,58 @@ class TestFusedRopeRmsAttention:
             "pallas")
         assert float(jnp.max(jnp.abs(ref - got))) == 0.0
 
+    def test_blocked_tables_matches_streaming_multiblock(self):
+        """Long-sequence resident mode delivers the rope tables as
+        tile-mapped blocks (q-row tile keyed on iq, k-row tile following
+        the rotate-once map) instead of full-array residents. Must match
+        the streaming kernel on a multi-q-block, multi-kv-block grid with
+        a ragged tail."""
+        import importlib
+
+        import jax
+        fa = importlib.import_module(
+            "versecrafter_tpu.kernels.flash_attention")
+        q, k, v, cos, sin, gq, gk, N, HD = self._setup(S=460)
+        from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
+        ang = rope_3d_angles(HD, max_pos=64)
+        cos, sin = grid_cos_sin(tuple(jnp.asarray(a) for a in ang), 10, 2, 23)
+        b, s, d = q.shape
+        eps, sm_scale = 1e-6, HD ** -0.5
+        scale_q = sm_scale * fa.LOG2E
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        rq = jax.lax.rsqrt(
+            jnp.mean(qf * qf, axis=-1, keepdims=True) + eps) * scale_q
+        rk = jax.lax.rsqrt(jnp.mean(kf * kf, axis=-1, keepdims=True) + eps)
+        gq_h = gq.astype(jnp.float32).reshape(N, 1, HD)
+        gk_h = gk.astype(jnp.float32).reshape(N, 1, HD)
+        cos_i, sin_i = fa.prepare_fused_rope_tables(cos, sin, block_kv=128)
+        k_lens = jnp.full((b,), s, jnp.int32)
+        outs = [
+            fa._flash_attention_fused_pallas(
+                q, k, v, k_lens, rq, rk, cos_i, sin_i, gq_h, gk_h,
+                head_dim=HD, block_q=128, block_kv=128, interpret=True,
+                masked=True, resident_kv=res, blocked_tables=blk)
+            for res, blk in ((False, False), (True, True))
+        ]
+        assert float(jnp.max(jnp.abs(outs[0] - outs[1]))) < 1e-6
+
+    def test_block_geometry_modes(self):
+        """Pin the production operating points: 480p x 81f (32,760 tok)
+        keeps the measured resident config with FULL-resident tables;
+        720p x 81f (75,600 tok) now runs resident with BLOCKED tables
+        (the full tables alone are 38.7 MiB there)."""
+        import importlib
+        fa = importlib.import_module(
+            "versecrafter_tpu.kernels.flash_attention")
+        bq, bkv, res, blocked = fa._fused_block_geometry(32760, 128)
+        assert (bq, bkv, res, blocked) == (4096, 1024, True, False)
+        bq, bkv, res, blocked = fa._fused_block_geometry(75600, 128)
+        assert (bkv, res, blocked) == (1024, True, True)
+        assert bq in (2048, 4096)
+        # windowed attention never runs resident (rotate-once skips tiles)
+        _, _, res, _ = fa._fused_block_geometry(32760, 128, window=(512, 512))
+        assert not res
+
 
 class TestFusedCrossAttention:
     """Norm-only fused kernel (fused_rms_cross_attention): cross-attention

@@ -87,7 +87,8 @@ def _qk_transform(x, rstat, g, cos, sin, interpret: bool):
 def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
                block_kv: int, num_kv_blocks: int, window: tuple,
                masked: bool, stats: bool, fused: bool, interpret: bool,
-               rope: bool = True, resident_kv: bool = False):
+               rope: bool = True, resident_kv: bool = False,
+               blocked_tables: bool = False):
     """sm_scale is pre-folded into q by the caller (one [B,N,S,D] multiply
     instead of a per-tile [bq,bkv] one — every elementwise op on the score
     tile costs real VPU time).
@@ -124,7 +125,15 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
       layout's DMA the kernel's weak spot inside large programs.
     """
     krot_ref = None
-    if fused and rope and resident_kv:
+    cosq_ref = sinq_ref = cosk_ref = sink_ref = None
+    if fused and rope and resident_kv and blocked_tables:
+        # tile-mapped tables (long-sequence resident mode): cos/sin arrive
+        # as the CURRENT q-row / k-row tile, not the full table
+        (qs_ref, ks_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref,
+         gq_ref, gk_ref,
+         o_ref, m_ref, l_ref, acc_ref, qrot_ref, krot_ref) = rest
+        cos_ref = sin_ref = None
+    elif fused and rope and resident_kv:
         (qs_ref, ks_ref, cos_ref, sin_ref, gq_ref, gk_ref,
          o_ref, m_ref, l_ref, acc_ref, qrot_ref, krot_ref) = rest
     elif fused and rope:
@@ -151,12 +160,15 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
         if fused:
+            if blocked_tables:
+                ct, st = cosq_ref[...], sinq_ref[...]
+            elif cos_ref is None:
+                ct = st = None
+            else:
+                ct = cos_ref[pl.ds(iq * block_q, block_q), :]
+                st = sin_ref[pl.ds(iq * block_q, block_q), :]
             qrot_ref[...] = _qk_transform(
-                q_ref[0], qs_ref[0], gq_ref[0],
-                None if cos_ref is None
-                else cos_ref[pl.ds(iq * block_q, block_q), :],
-                None if sin_ref is None
-                else sin_ref[pl.ds(iq * block_q, block_q), :], interpret)
+                q_ref[0], qs_ref[0], gq_ref[0], ct, st, interpret)
 
     # Skip KV tiles entirely past this batch element's true KV length, and
     # (for sliding-window attention) tiles fully outside the window of every
@@ -180,10 +192,16 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
         @pl.when(jnp.logical_and(iq == 0, run))
         def _krot():
             kv_slice = pl.ds(ikv * block_kv, block_kv)
+            if blocked_tables:
+                ct, st = cosk_ref[...], sink_ref[...]
+            elif cos_ref is None:
+                ct = st = None
+            else:
+                ct, st = cos_ref[kv_slice, :], sin_ref[kv_slice, :]
+            # ks_ref is tile-mapped with k's rotate-once map: ks_ref[0] IS
+            # the current kv tile's row stats
             krot_ref[kv_slice, :] = _qk_transform(
-                k_ref[0], ks_ref[0, kv_slice, :], gk_ref[0],
-                None if cos_ref is None else cos_ref[kv_slice, :],
-                None if sin_ref is None else sin_ref[kv_slice, :], interpret)
+                k_ref[0], ks_ref[0], gk_ref[0], ct, st, interpret)
 
     def _body(apply_mask: bool):
         if fused and resident_kv:
@@ -575,24 +593,43 @@ MAX_TABLE_BYTES = 48 * 1024 * 1024
 # headroom inside the 110 MiB scoped-VMEM cap (v5e has 128 MiB)
 RESIDENT_KV_VMEM_BUDGET = 100 * 1024 * 1024
 
+# q-block candidates for the resident-KV mode, tried in order against the
+# VMEM budget (module-level so geometry probes can sweep alternatives).
+# 4096 measured faster than the pad-free divisor 3,640 at 32,760 tokens;
+# larger candidates became feasible when the k-stat window went from
+# full-resident to tile-mapped (-33 MiB at 480p) but are unmeasured.
+RESIDENT_BLOCK_Q_CANDIDATES = (4096, 2048)
+
 
 def _fused_block_geometry(seq: int, head_dim: int, window: tuple = (-1, -1),
                           block_kv_cap: int = 1024):
-    """The (block_q, block_kv, resident_kv) the fused SELF-attention
-    dispatch uses at this sequence length — one source of truth shared by
-    _fused_qk_diff, prepare_fused_rope_tables and resident_kv_available so
-    table padding and the mode gate can't drift from the kernel call.
+    """The (block_q, block_kv, resident_kv, blocked_tables) the fused
+    SELF-attention dispatch uses at this sequence length — one source of
+    truth shared by _fused_qk_diff, prepare_fused_rope_tables and
+    resident_kv_available so table padding and the mode gate can't drift
+    from the kernel call.
 
     Divisor-of-S blocks that avoid the pad copies were MEASURED SLOWER than
     flat aligned blocks on the geoada step (bq 3,640 vs 4,096: +100 ms;
     bkv 936 vs 1,024: +273 ms) — block alignment beats pad avoidance, so
-    both dims keep the flat picks and the ~0.6 ms/call pad copies stay."""
+    both dims keep the flat picks and the ~0.6 ms/call pad copies stay.
+
+    blocked_tables: at 32,760 tokens the full [S_pad, D] cos/sin residents
+    fit next to the resident V + rotated-K scratch, and that measured
+    config is preserved exactly. At 75,600 (720p) they don't (~135 MiB
+    working set) — there the tables switch to block-mapped tiles keyed on
+    the q/k grid indices (~5 MiB streamed instead of 38.8 MiB resident),
+    which brings resident-KV mode in budget at block_q 4096/2048."""
+    window = (int(window[0]), int(window[1]))
     block_q = _pick_block_q(seq)
     block_kv = min(block_kv_cap, _ceil_to(seq, 128))
-    block_q_res = min(block_q, 4096)
-    resident = _use_resident_kv(seq, seq, block_q_res, block_kv, head_dim,
-                                (int(window[0]), int(window[1])))
-    return (block_q_res if resident else block_q), block_kv, resident
+    for bq_res in RESIDENT_BLOCK_Q_CANDIDATES:
+        bq_res = min(block_q, bq_res)
+        for blocked in (False, True):
+            if _use_resident_kv(seq, seq, bq_res, block_kv, head_dim,
+                                window, blocked_tables=blocked):
+                return bq_res, block_kv, True, blocked
+    return block_q, block_kv, False, False
 
 
 def resident_kv_available(seq: int, head_dim: int,
@@ -607,7 +644,8 @@ def resident_kv_available(seq: int, head_dim: int,
 
 
 def _use_resident_kv(sq: int, skv: int, block_q: int, block_kv: int,
-                     d: int, window: tuple) -> bool:
+                     d: int, window: tuple,
+                     blocked_tables: bool = False) -> bool:
     """Gate for the fused kernel's resident-KV mode: unwindowed only (the
     rotate-once pass skips KV tiles a later q block's window would need) and
     the working set must fit the VMEM budget. Module-level budget so tests
@@ -616,36 +654,47 @@ def _use_resident_kv(sq: int, skv: int, block_q: int, block_kv: int,
         return False
     sq_pad = _ceil_to(sq, block_q)
     skv_pad = _ceil_to(skv, block_kv)
-    return (_resident_kv_vmem_bytes(sq_pad, skv_pad, block_q, block_kv, d)
+    return (_resident_kv_vmem_bytes(sq_pad, skv_pad, block_q, block_kv, d,
+                                    blocked_tables)
             <= RESIDENT_KV_VMEM_BUDGET)
 
 
 def _resident_kv_vmem_bytes(sq_pad: int, skv_pad: int, block_q: int,
-                            block_kv: int, d: int) -> int:
+                            block_kv: int, d: int,
+                            blocked_tables: bool = False) -> int:
     """Upper-bound VMEM working set of the fused kernel's resident-KV mode
     (residents counted twice where Mosaic double-buffers across the
     (b, h)-boundary prefetch). At the 480p x 81f point (32,768 pad) this is
-    ~85 MiB -> resident; at 720p (75,776) ~135 MiB -> streaming fallback."""
+    ~85 MiB with full-resident tables -> resident; at 720p (75,776)
+    ~135 MiB -> the tables switch to block-mapped tiles (~96 MiB total)."""
     bf16 = 2
     v_res = 2 * skv_pad * d * bf16           # resident V, double-buffered
     krot = skv_pad * d * bf16                # rotated-K scratch
-    tables = 2 * max(sq_pad, skv_pad) * d * bf16
+    if blocked_tables:                       # cos+sin x (q tile + k tile),
+        tables = 2 * 2 * (block_q + block_kv) * d * bf16  # double-buffered
+    else:
+        tables = 2 * max(sq_pad, skv_pad) * d * bf16
     score = block_q * block_kv * (4 + bf16)  # fp32 s tile + bf16 p
     q_io = 2 * 2 * block_q * d * bf16        # q in + out, double-buffered
     k_stream = 2 * block_kv * d * bf16
+    # [rows, 1] f32 rstat windows lane-pad to [rows, LANES] in VMEM (a
+    # full-resident k-stat would be 74 MiB at 75,776 rows — both are
+    # tile-mapped, but the padded tiles still cost real bytes)
+    rstat = 2 * (block_q + block_kv) * LANES * 4
     softmax = block_q * (2 * LANES * 4 + d * 4 + d * bf16)
-    return v_res + krot + tables + score + q_io + k_stream + softmax
+    return v_res + krot + tables + score + q_io + k_stream + rstat + softmax
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("head_dim", "block_q", "block_kv", "interpret", "window",
-                     "masked", "resident_kv"),
+                     "masked", "resident_kv", "blocked_tables"),
 )
 def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
                                   cos_i, sin_i, gq, gk, *, head_dim, block_q,
                                   block_kv, interpret, window=(-1, -1),
-                                  masked=True, resident_kv=False):
+                                  masked=True, resident_kv=False,
+                                  blocked_tables=False):
     """q/k/v [B, S, N*head_dim] RAW projection outputs (native layout — the
     per-head slice is selected by the LANE-dim block index, so no relayout
     ever materializes); rstat_[qk] [B, S, 1] fp32 per-row rsqrt stats
@@ -685,22 +734,41 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
     # one DMA weakness, so cutting their volume matters more here than it
     # did for the [B,N,S,D] kernel).
     resident_kv = resident_kv and rope
+    blocked_tables = blocked_tables and resident_kv
 
     kernel = functools.partial(
         _fa_kernel, block_q=block_q, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, window=window, masked=masked,
         stats=False, fused=True, interpret=interpret, rope=rope,
-        resident_kv=resident_kv,
+        resident_kv=resident_kv, blocked_tables=blocked_tables,
     )
 
     const2 = lambda *_: (0, 0)
-    table_in = ([q, k, v, rstat_q, rstat_k, cos_i, sin_i, gq, gk] if rope
-                else [q, k, v, rstat_q, rstat_k, gq, gk])
-    table_specs = ([
-        # full-array residents: constant index map -> fetched once
-        pl.BlockSpec((s_pad, D), const2),
-        pl.BlockSpec((s_pad, D), const2),
-    ] if rope else [])
+    if blocked_tables:
+        # Long-sequence resident mode: the full [s_pad, D] cos/sin residents
+        # don't fit next to resident V + rotated-K, so each table is passed
+        # TWICE with tile-sized block maps instead — a q-row tile keyed on
+        # iq (the q transform only runs at ikv == 0, exactly when a fresh iq
+        # tile has arrived) and a k-row tile following k's rotate-once map
+        # (fresh tiles while iq == 0, pinned afterwards: the rotated-K
+        # scratch makes the k tables dead for iq > 0).
+        table_in = [q, k, v, rstat_q, rstat_k, cos_i, sin_i, cos_i, sin_i,
+                    gq, gk]
+        q_table = pl.BlockSpec((block_q, D), lambda b, h, iq, ikv, *_: (iq, 0))
+        k_table = pl.BlockSpec(
+            (block_kv, D),
+            lambda b, h, iq, ikv, *_: (jnp.where(iq == 0, ikv, 0), 0))
+        table_specs = [q_table, q_table, k_table, k_table]
+    elif rope:
+        table_in = [q, k, v, rstat_q, rstat_k, cos_i, sin_i, gq, gk]
+        table_specs = [
+            # full-array residents: constant index map -> fetched once
+            pl.BlockSpec((s_pad, D), const2),
+            pl.BlockSpec((s_pad, D), const2),
+        ]
+    else:
+        table_in = [q, k, v, rstat_q, rstat_k, gq, gk]
+        table_specs = []
     if resident_kv:
         # K streams fresh tiles only while iq == 0 (the rotate-once pass);
         # for iq > 0 the index map pins tile 0 — same block index between
@@ -711,8 +779,13 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
             lambda b, h, iq, ikv, *_: (b, jnp.where(iq == 0, ikv, 0), h))
         v_spec = pl.BlockSpec((1, skv_pad, D),
                               lambda b, h, iq, ikv, *_: (b, 0, h))
-        ks_spec = pl.BlockSpec((1, skv_pad, 1),
-                               lambda b, h, iq, ikv, *_: (b, 0, 0))
+        # k's row stats follow k's rotate-once map: only the CURRENT kv
+        # tile is needed while rotating, and a full-resident [skv_pad, 1]
+        # f32 window lane-pads 128x in VMEM (74 MiB at 75,776 rows — the
+        # single biggest allocation of the first 720p compile attempt).
+        ks_spec = pl.BlockSpec(
+            (1, block_kv, 1),
+            lambda b, h, iq, ikv, *_: (b, jnp.where(iq == 0, ikv, 0), 0))
         extra_scratch = [pltpu.VMEM((skv_pad, D), q.dtype)]  # rotated K
     else:
         k_spec = pl.BlockSpec((1, block_kv, D),
@@ -809,8 +882,8 @@ def prepare_fused_rope_tables(cos, sin, block_kv: int = 1024):
 
     s = cos.shape[0]
     # interleaved tables are full-width: head_dim = 2 x half-width
-    bq, bkv, _ = _fused_block_geometry(s, 2 * cos.shape[1],
-                                       block_kv_cap=block_kv)
+    bq, bkv, _, _ = _fused_block_geometry(s, 2 * cos.shape[1],
+                                          block_kv_cap=block_kv)
     s_pad = max(_ceil_to(s, bq), _ceil_to(s, bkv))
     ci, si = interleave_rope_tables(cos, sin)
     ci = ci.astype(jnp.bfloat16)
@@ -853,14 +926,15 @@ def _fused_qk_diff(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads, eps,
     # pick 3,640 despite 3,640 removing the q-pad and output-slice copies
     # (5,227.8 vs 5,327.9 ms on the geoada step), so the flat power-of-two
     # block wins over pad-avoidance here.
-    block_q, block_kv, resident_kv = _fused_block_geometry(s, hd, window)
+    block_q, block_kv, resident_kv, blocked_tables = \
+        _fused_block_geometry(s, hd, window)
     k_lens = jnp.full((b,), s, jnp.int32)
 
     return _flash_attention_fused_pallas(
         q, k, v, k_lens, rq, rk, cos_i, sin_i, gq_heads, gk_heads,
         head_dim=hd, block_q=block_q, block_kv=block_kv,
         interpret=interpret, window=window, masked=False,
-        resident_kv=resident_kv)
+        resident_kv=resident_kv, blocked_tables=blocked_tables)
 
 
 def _fused_qk_diff_fwd(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads,

@@ -52,8 +52,10 @@ Params = Dict[str, Any]
 # one regressing combination (+70-110 ms — its strided flat-layout K/V
 # re-streaming is context-sensitive; device-trace evidence in
 # scripts/trace_fused_geoada.py), so geoada programs fuse only where the
-# dispatch will run resident (resident_kv_available: fits VMEM at <=~37k
-# tokens; 720p's 75,600 falls back to unfused). GEOADA_FUSED_QK=True
+# dispatch will run resident (resident_kv_available). With the
+# blocked-rope-tables + tile-mapped-k-stats variant the resident mode now
+# also covers 720p's 75,600 tokens (block_q 2048; chip parity 3.7e-4,
+# scripts/check_fused_parity_chip.py --res 720). GEOADA_FUSED_QK=True
 # force-fuses geoada even in streaming mode, for experiments.
 FUSED_QK_ATTENTION = True
 GEOADA_FUSED_QK = False

@@ -118,7 +118,10 @@ def main():
     t_on = time.perf_counter() - t0
 
     accums = np.stack(pipe.teacache_accum_history)
-    skipped = (accums > 0).all(axis=1)  # all CFG rows skipped -> step skipped
+    # a computed step resets its accumulator to exactly 0.0; a skipped one
+    # adds the rescale polynomial (which can be negative at small rel-L1),
+    # so nonzero — not positive — marks a skip
+    skipped = (accums != 0).all(axis=1)  # all CFG rows skipped -> step skipped
     print(json.dumps({
         "metric": "teacache_e2e",
         "steps": int(accums.shape[0]),

@@ -172,3 +172,41 @@ def test_pipeline_clip_image_e2e():
     without = pipe("x", **kw)
     assert np.isfinite(with_img).all()
     assert np.abs(with_img - without).max() > 1e-6
+
+
+def test_default_heads_for_standard_widths():
+    """The no-heads-given default must produce valid head counts for the
+    standard CLIP towers (d//80 broke every width not divisible by 80:
+    1024 -> 12 heads -> 1024/12 reshape error)."""
+    from versecrafter_tpu.models.clip import convert_clip_vision
+
+    rng = np.random.default_rng(0)
+    d, p, img = 1024, 14, 56  # ViT-L width, tiny image
+    n_tok = (img // p) ** 2 + 1
+    sd = {
+        "visual.conv1.weight": rng.standard_normal((d, 3, p, p)).astype(np.float32),
+        "visual.class_embedding": rng.standard_normal((d,)).astype(np.float32),
+        "visual.positional_embedding": rng.standard_normal((n_tok, d)).astype(np.float32),
+    }
+    for name in ("ln_pre", "ln_post"):
+        sd[f"visual.{name}.weight"] = np.ones((d,), np.float32)
+        sd[f"visual.{name}.bias"] = np.zeros((d,), np.float32)
+    b = "visual.transformer.resblocks.0."
+    for name, shape in (("ln_1.weight", (d,)), ("ln_1.bias", (d,)),
+                        ("ln_2.weight", (d,)), ("ln_2.bias", (d,)),
+                        ("attn.in_proj_weight", (3 * d, d)),
+                        ("attn.in_proj_bias", (3 * d,)),
+                        ("attn.out_proj.weight", (d, d)),
+                        ("attn.out_proj.bias", (d,)),
+                        ("mlp.c_fc.weight", (4 * d, d)),
+                        ("mlp.c_fc.bias", (4 * d,)),
+                        ("mlp.c_proj.weight", (d, 4 * d)),
+                        ("mlp.c_proj.bias", (d,))):
+        sd[b + name] = (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    params, cfg = convert_clip_vision(sd)
+    assert cfg["heads"] == 16 and cfg["dim"] % cfg["heads"] == 0
+    from versecrafter_tpu.models.clip import clip_vision_forward
+    px = jnp.asarray(rng.standard_normal((1, img, img, 3)), jnp.float32)
+    out = clip_vision_forward(params, cfg, px)
+    assert out.shape == (1, n_tok, d) and np.isfinite(np.asarray(out)).all()

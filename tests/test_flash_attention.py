@@ -398,3 +398,69 @@ class TestFusedCrossAttention:
         finally:
             wan_dit.FUSED_CROSS_ATTENTION = old
         assert float(jnp.max(jnp.abs(a - b))) < 2e-3
+
+
+class TestFusedTablePadding:
+    def test_oversized_tables_sliced_not_crashed(self):
+        """Tables pre-padded for a LARGER geometry than the dispatch's
+        (e.g. hoisted unwindowed-resident tables reaching a windowed
+        dispatch with a smaller pad) must be sliced down, not jnp.pad with
+        a negative width."""
+        import importlib
+
+        import jax
+        fa = importlib.import_module(
+            "versecrafter_tpu.kernels.flash_attention")
+        from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
+        B, N, HD = 1, 2, 64
+        S = 300  # pads to 384 at bq 128
+        ks = jax.random.split(jax.random.key(3), 5)
+        q = jax.random.normal(ks[0], (B, S, N * HD), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (B, S, N * HD), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (B, S, N * HD), jnp.bfloat16)
+        gq = 1.0 + 0.1 * jax.random.normal(ks[3], (N * HD,), jnp.float32)
+        gk = 1.0 + 0.1 * jax.random.normal(ks[4], (N * HD,), jnp.float32)
+        ang = tuple(jnp.asarray(a) for a in rope_3d_angles(HD, max_pos=32))
+        cos, sin = grid_cos_sin(ang, 3, 10, 10)
+        eps, sm = 1e-6, HD ** -0.5
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        rq = jax.lax.rsqrt(
+            jnp.mean(qf * qf, -1, keepdims=True) + eps) * sm * fa.LOG2E
+        rk = jax.lax.rsqrt(jnp.mean(kf * kf, -1, keepdims=True) + eps)
+        gqh = gq.reshape(N, 1, HD)
+        gkh = gk.reshape(N, 1, HD)
+        klens = jnp.full((B,), S, jnp.int32)
+        from versecrafter_tpu.kernels.rope import interleave_rope_tables
+        ci, si = interleave_rope_tables(cos, sin)
+        ci, si = ci.astype(jnp.bfloat16), si.astype(jnp.bfloat16)
+        exact = jnp.pad(ci, ((0, 384 - S), (0, 0)))
+        exact_s = jnp.pad(si, ((0, 384 - S), (0, 0)))
+        over = jnp.pad(ci, ((0, 512 - S), (0, 0)))   # padded for bq 256+
+        over_s = jnp.pad(si, ((0, 512 - S), (0, 0)))
+        kw = dict(head_dim=HD, block_q=128, block_kv=128, interpret=True,
+                  masked=True)
+        a = fa._flash_attention_fused_pallas(
+            q, k, v, klens, rq, rk, exact, exact_s, gqh, gkh, **kw)
+        b = fa._flash_attention_fused_pallas(
+            q, k, v, klens, rq, rk, over, over_s, gqh, gkh, **kw)
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+    def test_prepare_tables_window_aware(self):
+        """prepare_fused_rope_tables pads with the geometry the dispatch
+        will pick for the SAME window — windowed programs never run
+        resident, which changes block_q and hence the pad."""
+        import importlib
+        fa = importlib.import_module(
+            "versecrafter_tpu.kernels.flash_attention")
+        import numpy as np
+
+        hd = 128
+        half = hd // 2
+        for s in (32760, 35000, 50000):
+            cos = jnp.asarray(np.random.default_rng(0).random((s, half)),
+                              jnp.float32)
+            for window in ((-1, -1), (512, 512)):
+                bq, bkv, _, _ = fa._fused_block_geometry(s, hd, window=window)
+                want = max(fa._ceil_to(s, bq), fa._ceil_to(s, bkv))
+                ci, _ = fa.prepare_fused_rope_tables(cos, cos, window=window)
+                assert ci.shape[0] == want, (s, window, ci.shape[0], want)

@@ -89,3 +89,26 @@ def test_quantized_forward_close():
     o2 = wan_dit_forward(dq, CFG, x, t, ctx, cos, sin)
     assert np.abs(np.asarray(o1) - np.asarray(o2)).max() < 0.1
     assert np.corrcoef(np.asarray(o1).ravel(), np.asarray(o2).ravel())[0, 1] > 0.99
+
+
+def test_stacked_bias_and_norm_leaves_never_quantize():
+    """Stacked per-layer [L, d] biases/norm scales must NOT quantize even
+    above MIN_SIZE: axis -2 there is the LAYER axis (wrong scales, and the
+    [1, d] qscales would break the per-layer scan). Only matmul kernels
+    quantize. This is the production pipeline.quantize_weights case — a
+    stacked 14B tree has [40, 5120] biases above the size threshold."""
+    import versecrafter_tpu.utils.quantize as qz
+
+    tree = {
+        "blocks": {
+            "ffn_in": {"kernel": jnp.ones((4, 512, 256), jnp.float32),
+                       "bias": jnp.ones((4, 70000), jnp.float32)},
+            "norm3": {"scale": jnp.ones((4, 70000), jnp.float32)},
+        }
+    }
+    q = qz.quantize_tree(tree)
+    assert isinstance(q["blocks"]["ffn_in"]["kernel"], dict)      # quantized
+    assert not isinstance(q["blocks"]["ffn_in"]["bias"], dict)    # untouched
+    assert not isinstance(q["blocks"]["norm3"]["scale"], dict)    # untouched
+    # scales reduce the true input axis, giving per-output-channel columns
+    assert q["blocks"]["ffn_in"]["kernel"]["qscales"].shape == (4, 1, 256)

@@ -245,3 +245,24 @@ def test_callback_on_step_end(pipe):
     base = _run(pipe)
     # zeroing the latents after step 0 must change the trajectory
     assert np.abs(out - base).max() > 1e-6
+
+
+def test_prompt_embeds_default_negative_matches_encoded_empty(pipe):
+    """prompt_embeds WITHOUT negative_prompt_embeds must behave like the
+    prompt-string path: the uncond branch is the T5 encoding of the empty
+    negative prompt, not a zeros context."""
+    ctx = pipe.encode_prompt("a car drives left")  # default negative ""
+    neg, pos = np.split(np.asarray(ctx), 2, axis=0)
+    kw = dict(control_videos=_controls(), mask_video=_mask(),
+              height=8, width=8, num_frames=5, num_inference_steps=4,
+              guidance_scale=2.0, shift=3.0, seed=7, dtype=jnp.float32)
+    a = pipe(prompt_embeds=jnp.asarray(pos),
+             negative_prompt_embeds=jnp.asarray(neg), **kw)
+    b = pipe(prompt_embeds=jnp.asarray(pos), **kw)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_missing_prompt_raises(pipe):
+    with pytest.raises(ValueError, match="prompt"):
+        pipe(control_videos=_controls(), mask_video=_mask(),
+             height=8, width=8, num_frames=5, num_inference_steps=2)

@@ -403,6 +403,12 @@ def test_generate_acceleration_params(api):
     maps = os.path.join(server.workdir, "maps")
     if not os.path.exists(os.path.join(maps, "merged_mask.mp4")):
         pytest.skip("maps not prepared by earlier test")
+    # a resident host may carry FITTED coefficients (scripts/fit_teacache) —
+    # a request toggling teacache must run with and then restore them
+    fitted = (0.1, -0.2, 0.3, -0.4, 0.5)
+    if server._pipeline is None:
+        server._load_pipeline_locked()
+    server._pipeline.teacache_coefficients = fitted
     _, resp = _post(f"{base}/api/generate", payload={
         "rendering_maps_path": "maps", "prompt": "fast",
         "height": 8, "width": 8, "num_frames": 5,
@@ -415,3 +421,4 @@ def test_generate_acceleration_params(api):
     pipe = server._pipeline
     assert pipe.teacache_threshold == 0.0  # restored
     assert pipe.cfg_skip_ratio == 0.0
+    assert pipe.teacache_coefficients == fitted  # not reset to defaults

@@ -146,4 +146,4 @@ def test_record_fit_fire_end_to_end():
     out = pipe("a car", **kw)
     assert np.isfinite(out).all()
     accums = np.stack(pipe.teacache_accum_history)  # [steps, rows]
-    assert (accums > 0).any(), "no step ever skipped with fitted coefficients"
+    assert (accums != 0).any(), "no step ever skipped with fitted coefficients"

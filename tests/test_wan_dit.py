@@ -258,3 +258,43 @@ def test_geoada_stacked_matches_interleaved():
                                attn_impl="xla", remat=True)
     np.testing.assert_allclose(np.asarray(out_inf), np.asarray(out_train),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_geoada_only_quantized_forward():
+    """A quantized geoada subtree next to UNQUANTIZED base blocks (adapter-
+    only int8) must still dequantize — deq is chosen per leaf, not from the
+    base blocks' quantization state."""
+    import versecrafter_tpu.utils.quantize as qz
+    from versecrafter_tpu.models.wan_dit import wan_dit_blocks
+
+    cfg = dataclasses.replace(TINY, geoada_layers=(), geoada_in_dim=8)
+    params = init_wan_dit(jax.random.key(5), cfg, dtype=jnp.float32)
+    params["geoada_blocks"]["after_proj"]["kernel"] = jax.random.normal(
+        jax.random.key(6),
+        params["geoada_blocks"]["after_proj"]["kernel"].shape) * 0.1
+
+    b, s, d = 1, 3 * 4 * 4, cfg.dim
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    gtok = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    e0 = jnp.asarray(rng.standard_normal((b, 6, d)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, cfg.text_len, d)), jnp.float32)
+    cos, sin = _rope(cfg, 3, 4, 4)
+
+    ref = wan_dit_blocks(params, cfg, x, e0, cos, sin, ctx,
+                         geoada_tokens=gtok, geoada_scale=0.7,
+                         attn_impl="xla", remat=False)
+
+    old = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 6  # tiny model: let its small leaves quantize
+    try:
+        qparams = dict(params)
+        qparams["geoada_blocks"] = qz.quantize_tree(params["geoada_blocks"])
+    finally:
+        qz.MIN_SIZE = old
+    got = wan_dit_blocks(qparams, cfg, x, e0, cos, sin, ctx,
+                         geoada_tokens=gtok, geoada_scale=0.7,
+                         attn_impl="xla", remat=False)
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    assert np.isfinite(np.asarray(got)).all()
+    assert 0 < err < 0.5, err  # int8-close, and actually quantized

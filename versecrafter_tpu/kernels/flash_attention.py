@@ -33,21 +33,22 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_block_q(sq: int, cap: int = 5456) -> int:
+def _pick_block_q(sq: int) -> int:
     """Large q blocks amortize the m/l/acc bookkeeping across more MXU work
     (measured on v5e: bq~4-5k at bkv=1024 runs ~152-167 TF/s vs ~128 at the
     round-1 1024/1024 default — scripts/bench_kernel_variants.py). Prefer a
     divisor of the sequence so no padded q rows are computed at all
-    (32,760 -> 4,680; 75,600 -> 5,400); `cap` bounds the block so the fp32
-    score tile + vreg spills stay inside scoped VMEM (the resident-KV fused
-    mode passes 4096, whose 32,760-divisor is 3,640 — q stays pad-free
-    there too). When no divisor exists (e.g. ring shards: 75,600/8 = 9,450),
-    pick the block that balances the q rows over ceil(sq/4096) blocks
-    instead of a flat 4096 (which would compute up to ~30-50% padded
-    rows)."""
+    (32,760 -> 4,680; 75,600 -> 5,400), bounded at 5,456 so the fp32 score
+    tile + vreg spills stay inside scoped VMEM. The resident-KV fused mode
+    does NOT route through this cap — its q block comes from
+    RESIDENT_BLOCK_Q_CANDIDATES in _fused_block_geometry (flat aligned
+    blocks measured faster than pad-free divisors there). When no divisor
+    exists (e.g. ring shards: 75,600/8 = 9,450), pick the block that
+    balances the q rows over ceil(sq/4096) blocks instead of a flat 4096
+    (which would compute up to ~30-50% padded rows)."""
     if sq <= 4096:
         return _ceil_to(sq, 128)
-    for d in range(min(sq, cap), 3583, -8):
+    for d in range(min(sq, 5456), 3583, -8):
         if sq % d == 0:
             return d
     nblocks = -(-sq // 4096)
@@ -720,8 +721,14 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
         rstat_k = jnp.pad(rstat_k, ((0, 0), (0, skv_pad - Skv), (0, 0)))
         masked = True  # padded keys must not contribute
     if rope and cos_i.shape[0] != s_pad:
-        cos_i = jnp.pad(cos_i, ((0, s_pad - cos_i.shape[0]), (0, 0)))
-        sin_i = jnp.pad(sin_i, ((0, s_pad - sin_i.shape[0]), (0, 0)))
+        if cos_i.shape[0] > s_pad:
+            # pre-padded with a different geometry (e.g. tables hoisted
+            # without the window the dispatch later applied) — rows past
+            # s_pad are padding either way, so slicing is always safe
+            cos_i, sin_i = cos_i[:s_pad], sin_i[:s_pad]
+        else:
+            cos_i = jnp.pad(cos_i, ((0, s_pad - cos_i.shape[0]), (0, 0)))
+            sin_i = jnp.pad(sin_i, ((0, s_pad - sin_i.shape[0]), (0, 0)))
 
     num_kv_blocks = skv_pad // block_kv
     grid = (B, N, sq_pad // block_q, num_kv_blocks)
@@ -872,17 +879,20 @@ def _unfused_rope_rms_attention(q, k, v, cos, sin, gq, gk, num_heads, eps,
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
 
 
-def prepare_fused_rope_tables(cos, sin, block_kv: int = 1024):
+def prepare_fused_rope_tables(cos, sin, block_kv: int = 1024,
+                              window: tuple = (-1, -1)):
     """Interleave + cast + pad the rope tables ONCE per forward (wan_dit
     hoists this out of the scanned blocks; rebuilding the [S_pad, D] bf16
     pair inside every layer is redundant work and extra per-iteration
     buffers in the XLA while loop). Uses the same block geometry the fused
-    dispatch picks, so the kernel call sees already-final tables."""
+    dispatch picks — pass the model's window_size so windowed programs pad
+    with the geometry the dispatch will actually choose (windowed never
+    runs resident, which changes block_q and hence the pad)."""
     from versecrafter_tpu.kernels.rope import interleave_rope_tables
 
     s = cos.shape[0]
     # interleaved tables are full-width: head_dim = 2 x half-width
-    bq, bkv, _, _ = _fused_block_geometry(s, 2 * cos.shape[1],
+    bq, bkv, _, _ = _fused_block_geometry(s, 2 * cos.shape[1], window=window,
                                           block_kv_cap=block_kv)
     s_pad = max(_ceil_to(s, bq), _ceil_to(s, bkv))
     ci, si = interleave_rope_tables(cos, sin)

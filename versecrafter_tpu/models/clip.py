@@ -157,8 +157,10 @@ def convert_clip_vision(state_dict, cfg: dict = None, dtype=jnp.float32,
       visual.transformer.resblocks.{i}.ln_1/ln_2, attn.in_proj_* (packed
       qkv), attn.out_proj, mlp.c_fc/c_proj.
 
-    Returns (params, cfg). `heads` (not recoverable from weights) defaults
-    to dim/80 — ViT-Huge-14's 16 heads at 1280."""
+    Returns (params, cfg). `heads` is not recoverable from weights; the
+    default covers the standard CLIP vision towers (ViT-B 768->12,
+    ViT-L 1024->16, ViT-H 1280->16, ViT-G 1664->16), falling back to
+    64-dim heads — pass `heads=` explicitly for exotic widths."""
     sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
     hf = any(k.startswith("vision_model.") for k in sd)
 
@@ -184,8 +186,13 @@ def convert_clip_vision(state_dict, cfg: dict = None, dtype=jnp.float32,
     d, _, p, _ = conv.shape
     n_tok = pos.shape[0]
     img = int(round((n_tok - 1) ** 0.5)) * p
+    # standard CLIP towers: ViT-B 768/12, ViT-L 1024/16, ViT-H 1280/16,
+    # ViT-G 1664/16; otherwise 64-dim heads (d//80 broke every d not
+    # divisible by 80: 1024 -> 12 heads -> 1024/12 reshape error)
+    default_heads = {768: 12, 1024: 16, 1280: 16, 1664: 16}.get(
+        d, max(1, d // 64))
     cfg = cfg or dict(patch=p, dim=d, depth=nblk,
-                      heads=heads or max(1, d // 80), img_size=img)
+                      heads=heads or default_heads, img_size=img)
 
     def ln(name):
         return {"scale": jnp.asarray(_np(sd[name + ".weight"]), jnp.float32),

@@ -526,9 +526,10 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     block_params = params["blocks"]
     if has_quantized(block_params):
         block_params = strip_dtype_tokens(block_params)
-        deq = functools.partial(dequantize_tree, dtype=x.dtype)
-    else:
-        deq = lambda t: t
+    # identity on unquantized leaves, so one deq serves every subtree —
+    # including a quantized geoada tree next to unquantized base blocks
+    # (adapter-only quantization) or vice versa
+    deq = functools.partial(dequantize_tree, dtype=x.dtype)
 
     # interleaved/padded rope tables for the fused attention kernel, built
     # ONCE per forward instead of inside every scanned layer (unused and
@@ -537,7 +538,8 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     if attn_impl != "sp":
         from versecrafter_tpu.kernels.flash_attention import (
             prepare_fused_rope_tables)
-        rope_i = prepare_fused_rope_tables(cos, sin)
+        rope_i = prepare_fused_rope_tables(cos, sin,
+                                           window=cfg.window_size)
 
     if not cfg.has_geoadapter or geoada_tokens is None:
         def body(carry, bp):

@@ -97,9 +97,11 @@ class VerseCrafterPipeline:
     teacache_coefficients: Tuple[float, ...] = tc.VERSECRAFTER_COEFFS
     cfg_skip_ratio: float = 0.0
     # TeaCache observability: when True, per-step accumulator snapshots are
-    # collected into teacache_accum_history (accum > 0 after a step == that
-    # CFG row skipped). record_teacache_stats() uses teacache_record
-    # internally to collect coefficient-fitting trajectories.
+    # collected into teacache_accum_history, reset at each __call__ (accum
+    # != 0 after a step == that CFG row skipped — a computed step resets its
+    # accumulator to exactly 0.0, while a skip adds the rescale polynomial,
+    # which may be NEGATIVE at small rel-L1). record_teacache_stats() uses
+    # teacache_record internally to collect coefficient-fitting trajectories.
     teacache_debug: bool = False
     teacache_record: Any = None
 
@@ -482,9 +484,21 @@ class VerseCrafterPipeline:
         if prompt_embeds is not None:
             batch = prompt_embeds.shape[0]
             if negative_prompt_embeds is None:
-                negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+                if self.t5_params is not None:
+                    # match the prompt-string path: the uncond branch is the
+                    # T5 encoding of the (default-empty) negative prompt,
+                    # NOT a zeros context (very different cross-attn K/V)
+                    negative_prompt_embeds = self.encode_prompt(
+                        [negative_prompt or ""] * int(batch))[batch:]
+                else:
+                    raise ValueError(
+                        "prompt_embeds without negative_prompt_embeds needs "
+                        "a T5 encoder on the pipeline to encode the negative"
+                        " prompt; pass both embeds to skip T5 entirely")
             context = jnp.concatenate(
                 [negative_prompt_embeds, prompt_embeds], axis=0).astype(dtype)
+        elif prompt is None:
+            raise ValueError("provide `prompt` or `prompt_embeds`")
         else:
             batch = 1 if isinstance(prompt, str) else len(prompt)
             context = self.encode_prompt(prompt, negative_prompt).astype(dtype)
@@ -562,6 +576,10 @@ class VerseCrafterPipeline:
         tea_batch = 2 * batch if do_cfg else batch
         tea_state = tc.init_state(tea_batch, seq_len, self.dit_cfg.dim, dtype)
         tea_state = self._shard_tea_state(tea_state)
+        if self.teacache_debug:
+            # per-generation snapshots — without the reset a resident server
+            # pipeline accumulates stale cross-request history unboundedly
+            self.teacache_accum_history = []
         skip_from = num_inference_steps * (1.0 - self.cfg_skip_ratio)
 
         guidance = jnp.asarray(guidance_scale, jnp.float32)

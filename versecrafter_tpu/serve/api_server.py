@@ -47,7 +47,7 @@ class ApiServer:
     def __init__(self, workdir: str = "outputs/api",
                  model_server_url: Optional[str] = None,
                  pipeline_factory=None,
-                 model_server_stall_timeout: float = 600.0,
+                 model_server_stall_timeout: float = 1800.0,
                  unload_after_generate: bool = False):
         # unload_after_generate mirrors the reference's single-GPU memory
         # management: free the model after each generation so render/VAE
@@ -244,7 +244,10 @@ class ApiServer:
         1013-1050): transient poll errors are retried a few times, and a
         remote that stays RUNNING with no progress/message change for
         `model_server_stall_timeout` seconds fails the task instead of
-        polling forever."""
+        polling forever. The default is generous (30 min) because a cold
+        XLA cache legitimately goes silent for many minutes compiling the
+        first denoise step at production shapes — the per-step progress
+        callback only ticks between steps."""
         import time
         import urllib.request
 

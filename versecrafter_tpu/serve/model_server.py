@@ -68,10 +68,15 @@ def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
     # (cli/inference.py:48-57); teacache/cfg-skip are per-request (restored
     # after), int8 quantization is sticky for the resident pipeline
     saved = (pipe.teacache_threshold, pipe.teacache_skip_start,
-             pipe.cfg_skip_ratio)
+             pipe.teacache_coefficients, pipe.cfg_skip_ratio)
     if "teacache_threshold" in params:
+        # default to the pipeline's CURRENT coefficients (a host may carry
+        # fitted ones — scripts/fit_teacache.py); requests may override
+        coeffs = params.get("teacache_coefficients",
+                            pipe.teacache_coefficients)
         pipe.enable_teacache(float(params["teacache_threshold"]),
-                             int(params.get("teacache_skip_start", 5)))
+                             int(params.get("teacache_skip_start", 5)),
+                             coefficients=coeffs)
     if "cfg_skip_ratio" in params:
         pipe.enable_cfg_skip(float(params["cfg_skip_ratio"]))
     if params.get("quantize_int8") and not getattr(pipe, "_quantized", False):
@@ -82,7 +87,7 @@ def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
         return _call_pipe(pipe, params, controls, mask, h, w, n, progress)
     finally:
         (pipe.teacache_threshold, pipe.teacache_skip_start,
-         pipe.cfg_skip_ratio) = saved
+         pipe.teacache_coefficients, pipe.cfg_skip_ratio) = saved
 
 
 def _call_pipe(pipe, params, controls, mask, h, w, n, progress):

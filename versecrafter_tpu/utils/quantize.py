@@ -44,7 +44,11 @@ def quantize_tree(params: Dict[str, Any]) -> Dict[str, Any]:
 
     def quant(path, leaf):
         names = "/".join(str(getattr(p, "key", p)) for p in path)
-        if (leaf.ndim < 2 or leaf.size < MIN_SIZE
+        # matmul kernels ONLY: biases and norm scales stacked per layer are
+        # [L, d] — quantizing those would reduce over axis -2 = the LAYER
+        # axis (wrong scales, and [1, d] qscales break the per-layer scan)
+        if (not names.endswith("kernel")
+                or leaf.ndim < 2 or leaf.size < MIN_SIZE
                 or any(e in names for e in EXCLUDE)
                 or not jnp.issubdtype(leaf.dtype, jnp.floating)):
             return leaf

@@ -97,80 +97,112 @@ def render_control_maps(
     Kj = jnp.asarray(K)
     pts = jnp.asarray(bg_points)
     cols = jnp.asarray(bg_colors, jnp.float32)
+    ocols = jnp.asarray(obj_colors)
 
-    # splat runs per-frame (sort+unique-scatter vmaps poorly; a single frame
-    # is already one fast fused program)
-    splat_one = jax.jit(lambda w2c: splat_points(
-        pts, cols, Kj, w2c, H, W, radius_px=radius_px, footprint=footprint))
+    # Everything stays DEVICE-RESIDENT until the final uint8 frames: the
+    # first version of this function round-tripped every f32 intermediate
+    # through the host (~10 GB at 720p x 81f) and the composite math ran as
+    # dozens of eager dispatches — through the axon tunnel that was ~750 s
+    # of wall for ~5 s of device work. Now only the depth streams (for the
+    # host-exact percentile range) and the 6 uint8 outputs ever leave the
+    # device. The splat stays sequential per frame (sort+unique-scatter
+    # vmaps poorly) but runs under lax.map so a whole frame batch is ONE
+    # dispatch instead of frame_batch round trips.
+    splat_batch = jax.jit(lambda w2c_b: jax.lax.map(
+        lambda w2c: splat_points(pts, cols, Kj, w2c, H, W,
+                                 radius_px=radius_px, footprint=footprint),
+        w2c_b))
     ell_batch = jax.jit(jax.vmap(
         lambda m, c, p, w2c: raster_ellipsoids(
-            m, c, jnp.asarray(obj_colors), p, Kj, w2c, H, W,
-            scale_factor=ellipsoid_scale)))
+            m, c, ocols, p, Kj, w2c, H, W, scale_factor=ellipsoid_scale)))
     proj_batch = jax.jit(jax.vmap(
         lambda m, c, p, w2c: composite_gaussian_projections(
-            m, c, jnp.asarray(obj_colors), p, Kj, w2c, H, W,
-            threshold=gaussian_threshold)))
+            m, c, ocols, p, Kj, w2c, H, W, threshold=gaussian_threshold)))
 
-    bg_rgb = np.zeros((T, H, W, 3), np.float32)
-    bg_depth = np.zeros((T, H, W), np.float32)
-    bg_mask = np.zeros((T, H, W), bool)
-    fg_rgb = np.zeros_like(bg_rgb)
-    fg_depth = np.zeros_like(bg_depth)
-    fg_mask = np.zeros_like(bg_mask)
-    g_rgb = np.zeros_like(bg_rgb)
-    g_alpha = np.zeros_like(bg_depth)
-
-    for i in range(T):
-        r, d, m = splat_one(jnp.asarray(w2cs[i]))
-        bg_rgb[i], bg_depth[i], bg_mask[i] = map(np.asarray, (r, d, m))
-
+    chunks = {k: [] for k in ("bg_rgb", "bg_depth", "bg_mask", "fg_rgb",
+                              "fg_depth", "fg_mask", "g_rgb", "g_alpha")}
     for s in range(0, T, frame_batch):
         e = min(s + frame_batch, T)
-        w2c_b = jnp.asarray(w2cs[s:e])
-        r, d, m = ell_batch(jnp.asarray(means[s:e]), jnp.asarray(covs[s:e]),
-                            jnp.asarray(present[s:e]), w2c_b)
-        fg_rgb[s:e], fg_depth[s:e], fg_mask[s:e] = map(np.asarray, (r, d, m))
-        r, a = proj_batch(jnp.asarray(means[s:e]), jnp.asarray(covs[s:e]),
-                          jnp.asarray(present[s:e]), w2c_b)
-        g_rgb[s:e], g_alpha[s:e] = np.asarray(r), np.asarray(a)
+        pad = frame_batch - (e - s)  # pad the tail so every batch compiles once
+
+        def pb(a):
+            a = np.asarray(a[s:e])
+            if pad:
+                a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+            return jnp.asarray(a)
+
+        n = e - s
+        r, d, m = splat_batch(pb(w2cs))
+        chunks["bg_rgb"].append(r[:n])
+        chunks["bg_depth"].append(d[:n])
+        chunks["bg_mask"].append(m[:n])
+        m_b, c_b, p_b, w_b = pb(means), pb(covs), pb(present), pb(w2cs)
+        r, d, m = ell_batch(m_b, c_b, p_b, w_b)
+        chunks["fg_rgb"].append(r[:n])
+        chunks["fg_depth"].append(d[:n])
+        chunks["fg_mask"].append(m[:n])
+        r, a = proj_batch(m_b, c_b, p_b, w_b)
+        chunks["g_rgb"].append(r[:n])
+        chunks["g_alpha"].append(a[:n])
+
+    dev = {k: (v[0] if len(v) == 1 else jnp.concatenate(v))
+           for k, v in chunks.items()}
+    del chunks
 
     # composites & visualizations (reference main steps 7-10)
-    comp_rgb, comp_depth = composite_by_depth(
-        jnp.asarray(bg_rgb), jnp.asarray(bg_depth), jnp.asarray(fg_rgb),
-        jnp.asarray(fg_depth), jnp.asarray(fg_mask))
+    _, comp_depth = jax.jit(composite_by_depth)(
+        dev["bg_rgb"], dev["bg_depth"], dev["fg_rgb"], dev["fg_depth"],
+        dev["fg_mask"])
+    # the percentile range stays host-exact (the reference subsamples with a
+    # host rng) — the depth streams are the one f32 transfer that remains
     dmin, dmax = global_depth_range(
-        np.concatenate([bg_depth.ravel(), fg_depth.ravel(),
+        np.concatenate([np.asarray(dev["bg_depth"]).ravel(),
+                        np.asarray(dev["fg_depth"]).ravel(),
                         np.asarray(comp_depth).ravel()]))
+    del comp_depth
 
-    bg_gray = np.asarray(depth_to_grayscale(jnp.asarray(bg_depth), dmin, dmax))
-    fg_gray = np.asarray(depth_to_grayscale(jnp.asarray(fg_depth), dmin, dmax))
-    merged = np.asarray(merge_masks(
-        jnp.asarray(bg_depth), jnp.asarray(fg_depth),
-        jnp.asarray(bg_mask), jnp.asarray(fg_mask)))
+    @jax.jit
+    def finalize(bg_rgb, bg_depth, bg_mask, fg_rgb, fg_depth, fg_mask,
+                 g_rgb, g_alpha, dmin, dmax):
+        def gray(depth):
+            # depth_to_grayscale with a TRACED range (the helper's python
+            # `if` would bake dmin/dmax in as constants -> recompile per clip)
+            disp = jnp.where(depth > 0, 1.0 / jnp.maximum(depth, 1e-9), 0.0)
+            min_disp = 1.0 / jnp.maximum(dmax, 1e-9)
+            max_disp = 1.0 / jnp.maximum(dmin, 1e-9)
+            norm = (disp - min_disp) / (max_disp - min_disp + 1e-8)
+            disp = jnp.where((dmax > 0) & (dmin > 0), norm, disp)
+            return jnp.clip(disp, 0, 1) * 255.0
 
-    gauss_rgb = (g_rgb * g_alpha[..., None] * 255.0)
+        def u8(x):
+            return jnp.clip(x, 0, 255).astype(jnp.uint8)
 
-    # background + gaussian preview (blend, then depth-composite vs bg)
-    blend = g_rgb * 255.0 * g_alpha[..., None] + bg_rgb * (1 - g_alpha[..., None])
-    gvis = g_alpha > 0.001
-    prev_rgb, _ = composite_by_depth(
-        jnp.asarray(bg_rgb), jnp.asarray(bg_depth), jnp.asarray(blend),
-        jnp.asarray(fg_depth), jnp.asarray(gvis))
+        def gray3(x):
+            return jnp.repeat(u8(x)[..., None], 3, -1)
 
-    def u8(x):
-        return np.clip(np.asarray(x), 0, 255).astype(np.uint8)
+        merged = merge_masks(bg_depth, fg_depth, bg_mask, fg_mask)
+        gauss_rgb = g_rgb * g_alpha[..., None] * 255.0
+        # background + gaussian preview (blend, then depth-composite vs bg)
+        blend = (g_rgb * 255.0 * g_alpha[..., None]
+                 + bg_rgb * (1 - g_alpha[..., None]))
+        gvis = g_alpha > 0.001
+        prev_rgb, _ = composite_by_depth(bg_rgb, bg_depth, blend, fg_depth,
+                                         gvis)
+        return {
+            "background_RGB": u8(bg_rgb),
+            "background_depth": gray3(gray(bg_depth)),
+            "3D_gaussian_RGB": u8(gauss_rgb),
+            "3D_gaussian_depth": gray3(gray(fg_depth)),
+            "merged_mask": jnp.repeat(
+                (merged[..., None] * 255).astype(jnp.uint8), 3, -1),
+            "background_and_3D_gaussian": u8(prev_rgb),
+        }
 
-    def gray3(x):
-        return np.repeat(u8(x)[..., None], 3, -1)
-
-    return {
-        "background_RGB": u8(bg_rgb),
-        "background_depth": gray3(bg_gray),
-        "3D_gaussian_RGB": u8(gauss_rgb),
-        "3D_gaussian_depth": gray3(fg_gray),
-        "merged_mask": np.repeat((merged[..., None] * 255).astype(np.uint8), 3, -1),
-        "background_and_3D_gaussian": u8(prev_rgb),
-    }
+    out = finalize(dev["bg_rgb"], dev["bg_depth"], dev["bg_mask"],
+                   dev["fg_rgb"], dev["fg_depth"], dev["fg_mask"],
+                   dev["g_rgb"], dev["g_alpha"],
+                   jnp.float32(dmin), jnp.float32(dmax))
+    return {k: np.asarray(v) for k, v in out.items()}
 
 
 def render_from_files(

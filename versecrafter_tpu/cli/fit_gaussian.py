@@ -19,6 +19,9 @@ def main(argv=None):
     p.add_argument("--disable_visualization", action="store_true")
     args = p.parse_args(argv)
 
+    from versecrafter_tpu.utils.cache import setup_runtime
+    setup_runtime()
+
     from versecrafter_tpu.geometry.gaussians import process_single_image
 
     out = process_single_image(args.npz_path, args.masks_dir, args.output_dir,

@@ -34,6 +34,9 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    from versecrafter_tpu.utils.cache import setup_runtime
+    setup_runtime()
+
     from versecrafter_tpu.perception import moge
 
     raw = cv2.imread(args.input_path)

@@ -26,6 +26,9 @@ def main(argv=None):
     import cv2
     import numpy as np
 
+    from versecrafter_tpu.utils.cache import setup_runtime
+    setup_runtime()
+
     from versecrafter_tpu.perception.segmenter import ImageSegmenter
 
     img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)

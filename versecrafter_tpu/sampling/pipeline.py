@@ -643,4 +643,10 @@ class VerseCrafterPipeline:
                 self._jit_cache[key] = jax.jit(lambda p, z: jnp.clip(
                     vae_decode(p, vcfg, z).astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0))
             video = self._jit_cache[key](self.vae_params, latents)
+        if output_type == "uint8":
+            # quantize ON DEVICE: the final video is the largest host
+            # transfer of the whole generation (900 MB f32 at 720p x 81f
+            # through a remote-device tunnel) — same truncation semantics
+            # as utils.video.save_video's float path
+            video = (jnp.clip(video, 0.0, 1.0) * 255.0).astype(jnp.uint8)
         return np.asarray(video.transpose(0, 2, 3, 4, 1))

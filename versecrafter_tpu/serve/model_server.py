@@ -102,6 +102,9 @@ def _call_pipe(pipe, params, controls, mask, h, w, n, progress):
         shift=float(params.get("shift", 16.0)),
         seed=int(params.get("seed", 2025)),
         progress=progress,
+        # quantize to uint8 on device — the video is the biggest host
+        # transfer of a generation and mp4 encoding wants uint8 anyway
+        output_type="uint8",
     )
 
 

@@ -92,7 +92,8 @@ def save_video(video: np.ndarray, path: str, fps: int = 16) -> None:
         video = video[0].transpose(1, 2, 3, 0)
     t, h, w, _ = video.shape
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    frames = (np.clip(video, 0, 1) * 255).astype(np.uint8)
+    frames = (video if video.dtype == np.uint8
+              else (np.clip(video, 0, 1) * 255).astype(np.uint8))
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     if not writer.isOpened():
         writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"avc1"), fps, (w, h))

@@ -604,9 +604,11 @@ class VerseCrafterPipeline:
                 use_high = (self.dit_params_high is not None
                             and sigma >= self.moe_boundary)
                 dit_params = self.dit_params_high if use_high else self.dit_params
+                # np scalars ride the jit call's own transfer — an eager
+                # jnp.asarray would be one extra device round trip per step
                 noise_pred, tea_state = fn(
-                    dit_params, latents, jnp.asarray(float(t), jnp.float32),
-                    jnp.asarray(i, jnp.int32), context, geoada_context, cos, sin,
+                    dit_params, latents, np.float32(float(t)),
+                    np.int32(i), context, geoada_context, cos, sin,
                     tea_state, guidance, gscale, extras)
                 if self.teacache_record is not None:
                     self.teacache_record.append(

@@ -19,6 +19,7 @@ Cache rules (derived from the causal pad-2 / stride geometry):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -166,6 +167,21 @@ def _decode_chunk(params: Params, cfg: VAEConfig, z: jnp.ndarray,
 # chunked drivers
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _encode_fns(cfg: VAEConfig):
+    # cfg is a frozen dataclass — cache the jit wrappers so repeat
+    # generations don't re-trace the conv graphs (seconds of host work;
+    # fresh jax.jit objects never reuse their trace cache)
+    return (jax.jit(lambda p, c: _encode_chunk(p, cfg, c, None)),
+            jax.jit(lambda p, c, cs: _encode_chunk(p, cfg, c, cs)))
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_fns(cfg: VAEConfig):
+    return (jax.jit(lambda p, c: _decode_chunk(p, cfg, c, None, True)),
+            jax.jit(lambda p, c, cs: _decode_chunk(p, cfg, c, cs, False)))
+
+
 def vae_encode_chunked(params: Params, cfg: VAEConfig, x: jnp.ndarray,
                        frame_chunk: int = 4) -> jnp.ndarray:
     """Exact streaming encode: [B,3,T,H,W] (T = 1+4k) -> latents.
@@ -173,8 +189,7 @@ def vae_encode_chunked(params: Params, cfg: VAEConfig, x: jnp.ndarray,
     T = x.shape[2]
     tc = cfg.temporal_compression_ratio
     assert frame_chunk % tc == 0, "chunk must be a multiple of temporal ratio"
-    first = jax.jit(lambda p, c: _encode_chunk(p, cfg, c, None))
-    steady = jax.jit(lambda p, c, cs: _encode_chunk(p, cfg, c, cs))
+    first, steady = _encode_fns(cfg)
 
     z0, caches = first(params, x[:, :, :1])
     outs = [z0]
@@ -188,8 +203,7 @@ def vae_decode_chunked(params: Params, cfg: VAEConfig, z: jnp.ndarray,
                        latent_chunk: int = 1) -> jnp.ndarray:
     """Exact streaming decode: latents [B,z,T',h,w] -> video [B,3,4(T'-1)+1,H,W]."""
     T = z.shape[2]
-    first = jax.jit(lambda p, c: _decode_chunk(p, cfg, c, None, True))
-    steady = jax.jit(lambda p, c, cs: _decode_chunk(p, cfg, c, cs, False))
+    first, steady = _decode_fns(cfg)
 
     y0, caches = first(params, z[:, :, :1])
     outs = [y0]

@@ -27,6 +27,7 @@ MOGE_CHECKPOINT (tests/test_perception.py).
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import Any, Dict, Optional, Tuple
@@ -245,6 +246,15 @@ def convert_moge_checkpoint(state_dict, dtype=jnp.float32,
                     "backbone_depth": depth}
 
 
+@functools.lru_cache(maxsize=None)
+def _moge_fwd_jit(static_items: tuple):
+    """Jitted forward cached by the (hashable) static config, so repeat
+    infer() calls (serving preprocess, multi-image CLIs) don't re-trace the
+    ViT-L graph — a fresh jax.jit wrapper never reuses its trace cache."""
+    st = dict(static_items)
+    return jax.jit(lambda p, im: moge_forward({**p, "_static": st}, im))
+
+
 def infer(params: Params, image: np.ndarray, fov_x: Optional[float] = None) -> dict:
     """Reference `model.infer` contract: image [H,W,3] float 0..1 ->
     dict(points, depth, mask, intrinsics) in numpy; intrinsics normalized."""
@@ -252,7 +262,9 @@ def infer(params: Params, image: np.ndarray, fov_x: Optional[float] = None) -> d
     # keep the static config out of the traced pytree (ints would become tracers)
     st = params["_static"]
     net = {k: v for k, v in params.items() if k != "_static"}
-    fwd = jax.jit(lambda p, im: moge_forward({**p, "_static": st}, im))
+    fwd = _moge_fwd_jit(tuple(sorted(
+        (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+        for k, v in st.items())))
     pts, mlogit = fwd(net, jnp.asarray(image)[None])
     pts = np.asarray(pts[0], np.float32)
     mask = np.asarray(mlogit[0]) > 0

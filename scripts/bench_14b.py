@@ -28,6 +28,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true",
                     help="wiring smoke at toy scale on CPU")
+    ap.add_argument("--int8_compute", action="store_true",
+                    help="tag block matmuls for W8A8 int8 MXU compute "
+                         "(utils.quantize.tag_int8_compute) instead of "
+                         "weight-only storage")
     args = ap.parse_args()
 
     import jax
@@ -81,8 +85,11 @@ def main():
 
     params = jax.jit(small)(jax.random.key(7))
     params["blocks"] = stacked
+    if args.int8_compute:
+        params["blocks"] = qz.tag_int8_compute(params["blocks"])
     wbytes = qz.tree_bytes(params)
-    print(json.dumps({"metric": "14b_int8_weight_bytes", "value": wbytes,
+    mode = "w8a8" if args.int8_compute else "int8"
+    print(json.dumps({"metric": f"14b_{mode}_weight_bytes", "value": wbytes,
                       "build_s": round(time.time() - t0, 1)}), flush=True)
 
     angles = tuple(jnp.asarray(a) for a in rope_3d_angles(cfg.head_dim))
@@ -124,7 +131,7 @@ def main():
         try:
             ms, seq = step_ms(f_lat, h, w, B)
             print(json.dumps({
-                "metric": f"denoise_step_ms_wan14b_int8_{tag}_seq{seq}",
+                "metric": f"denoise_step_ms_wan14b_{mode}_{tag}_seq{seq}",
                 "value": round(ms, 1), "unit": "ms", "seq": seq, "cfg_batch": B,
             }), flush=True)
             if tag == "480p21f_cfg2":
@@ -134,7 +141,7 @@ def main():
                 r = 32760 / seq
                 est = ms * (0.60 * r * r + 0.40 * r)
                 print(json.dumps({
-                    "metric": "EXTRAPOLATED_step_ms_wan14b_int8_480p81f",
+                    "metric": f"EXTRAPOLATED_step_ms_wan14b_{mode}_480p81f",
                     "value": round(est, 1), "unit": "ms",
                     "note": "measured 14B step scaled to 32,760 tok "
                             "(60% quadratic attn / 40% linear): the "

@@ -1,0 +1,190 @@
+"""W8A8 int8 COMPUTE path (utils.quantize.tag_int8_compute).
+
+Beyond the reference's weight-only fp8 storage analogue, tagged block
+matmuls run s8 x s8 -> s32 on the MXU with per-tensor activation scales.
+Covers: dot numerics, site selection, scan compatibility (stacked leaves +
+markers), static calibrated scales, geoada trees, and the full pipeline
+single-device + mesh paths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import versecrafter_tpu.utils.quantize as qz
+from versecrafter_tpu.core.config import WanDiTConfig
+from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
+from versecrafter_tpu.models.wan_dit import init_wan_dit, wan_dit_forward
+
+CFG = WanDiTConfig(in_dim=4, dim=48, ffn_dim=96, freq_dim=32, text_dim=24,
+                   out_dim=4, num_heads=4, num_layers=2, text_len=8)
+
+
+def _quantize_tagged(tree, act_scales=None, stacked=True):
+    old = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 10
+    try:
+        return qz.tag_int8_compute(qz.quantize_tree(tree),
+                                   act_scales=act_scales, stacked=stacked)
+    finally:
+        qz.MIN_SIZE = old
+
+
+def _fwd_inputs():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 4, 2, 8, 8)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 24)), jnp.float32)
+    ang = tuple(jnp.asarray(a) for a in rope_3d_angles(12, max_pos=32))
+    cos, sin = grid_cos_sin(ang, 2, 4, 4)
+    t = jnp.asarray([500.0])
+    return x, t, ctx, cos, sin
+
+
+def test_int8_compute_dot_accuracy():
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 32, 256)), jnp.float32)
+    tree = _quantize_tagged({"self_attn": {"q": {"kernel": W}}},
+                            stacked=False)
+    leaf = tree["self_attn"]["q"]["kernel"]
+    assert "a_dyn" in leaf and leaf["a_dyn"].shape == ()
+    got = np.asarray(qz.int8_compute_dot(leaf, x))
+    want = np.asarray(x @ W)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.03
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
+    # int8 result must also beat trivial alternatives: not all-zero/constant
+    assert np.abs(got).max() > 0.1
+
+
+def test_int8_compute_dot_static_scale_matches_dynamic():
+    rng = np.random.default_rng(2)
+    W = jnp.asarray(rng.standard_normal((256, 64)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    absmax = float(jnp.abs(x).max())
+    tree = _quantize_tagged(
+        {"ffn_in": {"kernel": W}},
+        act_scales={"ffn_in/kernel": absmax / 127.0}, stacked=False)
+    leaf = tree["ffn_in"]["kernel"]
+    assert "a_scale" in leaf and "a_dyn" not in leaf
+    got_static = np.asarray(qz.int8_compute_dot(leaf, x))
+    dyn = {k: v for k, v in leaf.items() if k != "a_scale"}
+    dyn["a_dyn"] = jnp.zeros((), jnp.float32)
+    got_dyn = np.asarray(qz.int8_compute_dot(dyn, x))
+    # the calibrated scale here IS the dynamic absmax -> identical results
+    np.testing.assert_array_equal(got_static, got_dyn)
+
+
+def test_tag_selects_compute_sites_only():
+    params = init_wan_dit(jax.random.key(0), CFG, jnp.float32)
+    # make the text embedding big enough to quantize (storage-only site)
+    params["text_embedding"]["fc1"]["kernel"] = jax.random.normal(
+        jax.random.key(1), (512, 512), jnp.float32)
+    q = _quantize_tagged(params)
+    blocks = q["blocks"]
+    for site in ("q", "k", "v", "o"):
+        assert "a_dyn" in blocks["self_attn"][site]["kernel"]
+        assert "a_dyn" in blocks["cross_attn"][site]["kernel"]
+    assert "a_dyn" in blocks["ffn_in"]["kernel"]
+    assert "a_dyn" in blocks["ffn_out"]["kernel"]
+    # markers carry the stacked layer axis so lax.scan can slice them
+    assert blocks["ffn_in"]["kernel"]["a_dyn"].shape == (CFG.num_layers,)
+    # non-block sites stay storage-only (dequantized in-graph)
+    te = q["text_embedding"]["fc1"]["kernel"]
+    assert qz._is_quantized(te) and not qz.is_compute_tagged(te)
+    # dequantize_tree leaves tagged leaves alone, force dequantizes all
+    deq = qz.dequantize_tree(q, dtype=jnp.float32)
+    assert qz.is_compute_tagged(deq["blocks"]["ffn_in"]["kernel"])
+    assert not isinstance(deq["text_embedding"]["fc1"]["kernel"], dict)
+    forced = qz.dequantize_tree(q, dtype=jnp.float32, force=True)
+    assert not isinstance(forced["blocks"]["ffn_in"]["kernel"], dict)
+
+
+def test_int8_compute_forward_close():
+    params = init_wan_dit(jax.random.key(3), CFG, jnp.float32)
+    params["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.key(4),
+                          params["head"]["head"]["kernel"].shape) * 0.05)
+    x, t, ctx, cos, sin = _fwd_inputs()
+    q = _quantize_tagged(params)
+    o1 = np.asarray(wan_dit_forward(params, CFG, x, t, ctx, cos, sin))
+    o2 = np.asarray(wan_dit_forward(q, CFG, x, t, ctx, cos, sin))
+    assert np.isfinite(o2).all()
+    assert np.abs(o1 - o2).max() < 0.15
+    assert np.corrcoef(o1.ravel(), o2.ravel())[0, 1] > 0.99
+    # and the jitted/scanned path (stacked leaves + [L] markers through scan)
+    o3 = np.asarray(jax.jit(
+        lambda p, xx: wan_dit_forward(p, CFG, xx, t, ctx, cos, sin))(q, x))
+    np.testing.assert_allclose(o3, o2, atol=1e-5)
+
+
+def test_int8_compute_geoada_forward():
+    cfg = WanDiTConfig(in_dim=4, dim=48, ffn_dim=96, freq_dim=32,
+                       text_dim=24, out_dim=4, num_heads=4, num_layers=2,
+                       text_len=8, geoada_layers=(0,), geoada_in_dim=8)
+    params = init_wan_dit(jax.random.key(5), cfg, jnp.float32)
+    params["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.key(6),
+                          params["head"]["head"]["kernel"].shape) * 0.05)
+    x, t, ctx, cos, sin = _fwd_inputs()
+    geo = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (1, 8, 2, 8, 8)), jnp.float32)
+    q = _quantize_tagged(params)
+    # geoada block matmuls tagged; the zero-init projections stay untagged
+    assert "a_dyn" in q["geoada_blocks"]["ffn_in"]["kernel"]
+    assert not qz.is_compute_tagged(q["geoada_blocks"].get(
+        "after_proj", {}).get("kernel", 0.0))
+    o1 = np.asarray(wan_dit_forward(params, cfg, x, t, ctx, cos, sin,
+                                    geoada_context=geo))
+    o2 = np.asarray(wan_dit_forward(q, cfg, x, t, ctx, cos, sin,
+                                    geoada_context=geo))
+    assert np.isfinite(o2).all()
+    assert np.corrcoef(o1.ravel(), o2.ravel())[0, 1] > 0.99
+
+
+def test_pipeline_int8_compute_end_to_end():
+    from tests.test_sharded_pipeline import (VerseCrafterPipeline,
+                                             _components, _run)
+    ref = _run(VerseCrafterPipeline(**_components()))
+    pipe = VerseCrafterPipeline(**_components())
+    old = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 10
+    try:
+        pipe.quantize_weights(int8_compute=True)
+    finally:
+        qz.MIN_SIZE = old
+    assert qz.is_compute_tagged(
+        pipe.dit_params["blocks"]["ffn_in"]["kernel"])
+    video = _run(pipe)
+    assert np.isfinite(video).all()
+    np.testing.assert_allclose(np.asarray(video), np.asarray(ref), atol=0.1)
+
+
+def test_pipeline_int8_compute_under_mesh():
+    """quantize_weights(int8_compute=True) AFTER set_mesh: markers
+    replicated, qvalues keep their shardings, sharded W8A8 forward matches
+    the single-device unquantized output within int8 tolerance."""
+    from jax.sharding import NamedSharding
+    from versecrafter_tpu.core.mesh import MeshSpec, make_mesh
+    from tests.test_sharded_pipeline import (VerseCrafterPipeline,
+                                             _components, _run)
+    ref = _run(VerseCrafterPipeline(**_components()))
+    mesh = make_mesh(MeshSpec(sp=2, tp=2), devices=jax.devices()[:4])
+    pipe = VerseCrafterPipeline(**_components())
+    pipe.set_mesh(mesh)
+    orig_spec = pipe.dit_params["blocks"]["ffn_in"]["kernel"].sharding.spec
+    old = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 10
+    try:
+        pipe.quantize_weights(int8_compute=True)
+    finally:
+        qz.MIN_SIZE = old
+    leaf = pipe.dit_params["blocks"]["ffn_in"]["kernel"]
+    assert "a_dyn" in leaf
+    assert isinstance(leaf["qvalues"].sharding, NamedSharding)
+    assert leaf["qvalues"].sharding.spec == orig_spec
+    assert isinstance(leaf["a_dyn"].sharding, NamedSharding)
+    video = _run(pipe)
+    assert np.isfinite(video).all()
+    np.testing.assert_allclose(np.asarray(video), np.asarray(ref), atol=0.12)

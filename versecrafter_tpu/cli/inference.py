@@ -55,6 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--lora_path", type=str, default=None)
     p.add_argument("--lora_weight", type=float, default=0.55)
     p.add_argument("--quantize_int8", action="store_true")
+    p.add_argument("--int8_compute", action="store_true",
+                   help="with --quantize_int8 (implied): run block matmuls "
+                        "as W8A8 int8 MXU dots (~2x bf16 throughput)")
     p.add_argument("--auto_parallel", action="store_true",
                    help="shard over ALL visible devices (auto (sp,tp) "
                         "factorization, reference model_server.py:149-191)")
@@ -118,8 +121,8 @@ def main(argv=None):
     if args.lora_path:
         from versecrafter_tpu.core.convert import load_torch_state_dict
         pipe.merge_lora(load_torch_state_dict(args.lora_path), args.lora_weight)
-    if args.quantize_int8:
-        pipe.quantize_weights()
+    if args.quantize_int8 or args.int8_compute:
+        pipe.quantize_weights(int8_compute=args.int8_compute)
 
     def progress(i, n):
         print(f"denoise {i} / {n}", flush=True)

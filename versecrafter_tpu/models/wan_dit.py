@@ -83,7 +83,14 @@ GEOADA_STACKED_HINTS = False
 # ---------------------------------------------------------------------------
 
 def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, p["kernel"].astype(x.dtype))
+    k = p["kernel"]
+    if isinstance(k, dict):
+        # W8A8 compute-tagged kernel (utils.quantize.tag_int8_compute):
+        # s8 x s8 -> s32 on the MXU at ~2x bf16 throughput
+        from versecrafter_tpu.utils.quantize import int8_compute_dot
+        y = int8_compute_dot(k, x)
+    else:
+        y = jnp.dot(x, k.astype(x.dtype))
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
     return y

@@ -79,8 +79,9 @@ def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
                              coefficients=coeffs)
     if "cfg_skip_ratio" in params:
         pipe.enable_cfg_skip(float(params["cfg_skip_ratio"]))
-    if params.get("quantize_int8") and not getattr(pipe, "_quantized", False):
-        pipe.quantize_weights()
+    if ((params.get("quantize_int8") or params.get("int8_compute"))
+            and not getattr(pipe, "_quantized", False)):
+        pipe.quantize_weights(int8_compute=bool(params.get("int8_compute")))
         pipe._quantized = True
 
     try:

@@ -7,11 +7,19 @@ scales; "modulation" params are excluded (same exclusion list as the
 reference). Dequantization happens inside the jitted step
 (`dequantize_tree`), so HBM holds int8 (~2x less weight traffic than bf16)
 and XLA fuses the scale-multiply into the consumer matmul.
+
+Beyond the reference's storage-only mode, `tag_int8_compute` upgrades
+selected block matmuls to W8A8 COMPUTE: activations are quantized to int8
+(per-tensor scale — dynamic absmax by default, or a calibrated static
+scale) and the dot runs s8 x s8 -> s32 on the MXU, which executes int8 at
+~2x bf16 throughput on v5e. Tagged leaves carry an extra marker key and are
+skipped by `dequantize_tree`; the model's `_linear` dispatches on the leaf
+structure (models/wan_dit.py).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,10 +27,32 @@ import jax.numpy as jnp
 EXCLUDE = ("modulation",)
 MIN_SIZE = 1 << 16  # don't quantize tiny leaves
 
+_QKEYS = {"qvalues", "qscales", "qdtype", "a_dyn", "a_scale"}
+
+# Block-matmul sites eligible for W8A8 compute (path suffixes under
+# blocks/geoada_blocks). Embeddings, head, and the geoada before/after
+# projections stay weight-only (standard practice: keep the model's in/out
+# boundaries and the zero-init hint projections at full activation
+# precision).
+COMPUTE_SITES = (
+    "self_attn/q/kernel", "self_attn/k/kernel", "self_attn/v/kernel",
+    "self_attn/o/kernel",
+    "cross_attn/q/kernel", "cross_attn/k/kernel", "cross_attn/v/kernel",
+    "cross_attn/o/kernel", "cross_attn/k_img/kernel",
+    "cross_attn/v_img/kernel",
+    "ffn_in/kernel", "ffn_out/kernel",
+)
+
 
 def _is_quantized(leaf) -> bool:
-    return isinstance(leaf, dict) and set(leaf) in (
-        {"qvalues", "qscales", "qdtype"}, {"qvalues", "qscales"})
+    return (isinstance(leaf, dict) and "qvalues" in leaf
+            and "qscales" in leaf and set(leaf) <= _QKEYS)
+
+
+def is_compute_tagged(leaf) -> bool:
+    """True for quantized leaves that run W8A8 int8 compute (skipped by
+    dequantize_tree; consumed directly by the model's _linear)."""
+    return _is_quantized(leaf) and ("a_dyn" in leaf or "a_scale" in leaf)
 
 
 def _dtype_token(dtype) -> "jnp.ndarray":
@@ -70,16 +100,20 @@ def quantize_tree(params: Dict[str, Any]) -> Dict[str, Any]:
     return jax.tree_util.tree_map_with_path(quant, params)
 
 
-def dequantize_tree(params: Dict[str, Any], dtype=None) -> Dict[str, Any]:
+def dequantize_tree(params: Dict[str, Any], dtype=None,
+                    force: bool = False) -> Dict[str, Any]:
     """Inverse of quantize_tree; call inside the jitted step so the int8
     buffers stay resident and dequant fuses into consumers. `dtype`
     overrides the recorded original dtype (required for trees that went
     through strip_dtype_tokens; harmless otherwise — every quantized leaf
     is a matmul kernel that the consumer casts to the activation dtype
-    anyway)."""
+    anyway). Compute-tagged leaves (tag_int8_compute) are left quantized —
+    the model's _linear runs them as int8 MXU dots — unless `force`."""
 
     def dequant(leaf):
         if _is_quantized(leaf):
+            if is_compute_tagged(leaf) and not force:
+                return leaf
             out_dtype = dtype if dtype is not None else leaf["qdtype"].dtype
             return (leaf["qvalues"].astype(jnp.float32)
                     * leaf["qscales"]).astype(out_dtype)
@@ -96,12 +130,81 @@ def strip_dtype_tokens(tree):
     Pass an explicit dtype to dequantize_tree afterwards."""
     def fix(leaf):
         if _is_quantized(leaf):
-            return {"qvalues": leaf["qvalues"], "qscales": leaf["qscales"]}
+            return {k: v for k, v in leaf.items() if k != "qdtype"}
         return leaf
 
     return jax.tree.map(
         fix, tree,
         is_leaf=lambda x: _is_quantized(x) or not isinstance(x, (dict, list)))
+
+
+def tag_int8_compute(params: Dict[str, Any],
+                     act_scales: Optional[Dict[str, Any]] = None,
+                     stacked: bool = True) -> Dict[str, Any]:
+    """Upgrade quantized COMPUTE_SITES leaves to W8A8 int8 compute.
+
+    Call on a tree that already went through quantize_tree. Tagged leaves
+    gain a marker key and are then consumed directly by the model's
+    _linear as s8 x s8 -> s32 MXU dots (~2x bf16 matmul throughput on
+    v5e) instead of being dequantized per layer.
+
+    act_scales: optional {site_suffix: array} of calibrated per-tensor
+    activation scales (absmax/127), each [L] for stacked block trees
+    ([] unstacked) — recorded e.g. over a few denoise steps. Sites without
+    an entry use DYNAMIC per-tensor scales (absmax computed on the fly:
+    one extra full read of the activation; a calibrated static scale makes
+    the quantize op pure-elementwise so XLA fuses it into the producer).
+
+    stacked: whether block leaves carry a leading [num_layers] axis (the
+    pipeline's scanned trees do; pass False for single-block test trees).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+    act_scales = act_scales or {}
+
+    flat = jax.tree_util.tree_flatten_with_path(
+        params, is_leaf=_is_quantized)[0]
+    treedef = jax.tree_util.tree_structure(params, is_leaf=_is_quantized)
+    out = []
+    for path, leaf in flat:
+        names = "/".join(str(getattr(p, "key", p)) for p in path)
+        site = next((s for s in COMPUTE_SITES if names.endswith(s)), None)
+        if site is None or not _is_quantized(leaf) or is_compute_tagged(leaf):
+            out.append(leaf)
+            continue
+        nlayers = leaf["qvalues"].shape[0] if stacked else None
+        if site in act_scales:
+            a = jnp.asarray(act_scales[site], jnp.float32)
+        else:
+            # zero-size-free dynamic marker: [L] (or scalar) so lax.scan can
+            # slice it with the rest of the stacked block leaves; the VALUE
+            # is never read — presence of the key selects the dynamic path
+            a = jnp.zeros((nlayers,) if stacked else (), jnp.float32)
+        key = "a_scale" if site in act_scales else "a_dyn"
+        sh = getattr(leaf["qvalues"], "sharding", None)
+        if isinstance(sh, NamedSharding):
+            a = jax.device_put(a, NamedSharding(
+                sh.mesh, PartitionSpec(*([None] * a.ndim))))
+        out.append({**leaf, key: a})
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def int8_compute_dot(leaf: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 matmul: quantize x per-tensor, run the dot in int8 on the MXU,
+    rescale by (act_scale * per-output-channel weight scale).
+
+    leaf: compute-tagged quantized kernel (2-D [d_in, d_out] after any scan
+    slicing; qscales [1, d_out]). x: [..., d_in] activations."""
+    xf = x.astype(jnp.float32)
+    if "a_scale" in leaf:
+        a = jnp.maximum(leaf["a_scale"].astype(jnp.float32), 1e-8)
+    else:
+        a = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / a), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, leaf["qvalues"],
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (a * leaf["qscales"])).astype(x.dtype)
 
 
 def has_quantized(tree) -> bool:

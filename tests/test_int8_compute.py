@@ -143,6 +143,65 @@ def test_int8_compute_geoada_forward():
     assert np.corrcoef(o1.ravel(), o2.ravel())[0, 1] > 0.99
 
 
+def test_calibrate_and_static_scales_forward():
+    """wan_dit_forward(calibrate=True) -> fit_act_scales -> static W8A8:
+    stats have per-layer shapes, static forward stays close to fp32, and
+    with the scales calibrated on the SAME input the static path quantizes
+    at least as tightly as dynamic (same absmax per site up to layer
+    granularity)."""
+    params = init_wan_dit(jax.random.key(3), CFG, jnp.float32)
+    params["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.key(4),
+                          params["head"]["head"]["kernel"].shape) * 0.05)
+    x, t, ctx, cos, sin = _fwd_inputs()
+
+    out, stats = wan_dit_forward(params, CFG, x, t, ctx, cos, sin,
+                                 calibrate=True)
+    assert set(stats) == {"blocks"}
+    for site in ("self_attn/q/kernel", "self_attn/o/kernel",
+                 "cross_attn/q/kernel", "cross_attn/k/kernel",
+                 "cross_attn/o/kernel", "ffn_in/kernel", "ffn_out/kernel"):
+        assert stats["blocks"][site].shape == (CFG.num_layers,), site
+        assert (np.asarray(stats["blocks"][site]) > 0).all(), site
+    # calibrate must not perturb the forward itself
+    plain = wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain), atol=1e-6)
+
+    scales = qz.fit_act_scales([stats])
+    assert "blocks/ffn_in/kernel" in scales
+    q = _quantize_tagged(params, act_scales=scales)
+    leaf = q["blocks"]["ffn_in"]["kernel"]
+    assert "a_scale" in leaf and leaf["a_scale"].shape == (CFG.num_layers,)
+    o_static = np.asarray(wan_dit_forward(q, CFG, x, t, ctx, cos, sin))
+    o_fp32 = np.asarray(plain)
+    assert np.isfinite(o_static).all()
+    assert np.abs(o_fp32 - o_static).max() < 0.15
+    assert np.corrcoef(o_fp32.ravel(), o_static.ravel())[0, 1] > 0.99
+
+
+def test_calibrate_geoada_stats():
+    cfg = WanDiTConfig(in_dim=4, dim=48, ffn_dim=96, freq_dim=32,
+                       text_dim=24, out_dim=4, num_heads=4, num_layers=2,
+                       text_len=8, geoada_layers=(0,), geoada_in_dim=8)
+    params = init_wan_dit(jax.random.key(5), cfg, jnp.float32)
+    x, t, ctx, cos, sin = _fwd_inputs()
+    geo = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (1, 8, 2, 8, 8)), jnp.float32)
+    _, stats = wan_dit_forward(params, cfg, x, t, ctx, cos, sin,
+                               geoada_context=geo, calibrate=True)
+    assert set(stats) == {"blocks", "geoada_blocks"}
+    assert stats["blocks"]["ffn_in/kernel"].shape == (2,)
+    assert stats["geoada_blocks"]["ffn_in/kernel"].shape == (1,)
+    scales = qz.fit_act_scales([stats, stats])  # multi-step reduce
+    q = _quantize_tagged(params, act_scales=scales)
+    # geoada scales keyed by the geoada_blocks prefix, not the base ones
+    assert "a_scale" in q["geoada_blocks"]["ffn_in"]["kernel"]
+    assert q["geoada_blocks"]["ffn_in"]["kernel"]["a_scale"].shape == (1,)
+    assert "a_scale" in q["blocks"]["ffn_in"]["kernel"]
+    o = wan_dit_forward(q, cfg, x, t, ctx, cos, sin, geoada_context=geo)
+    assert np.isfinite(np.asarray(o)).all()
+
+
 def test_pipeline_int8_compute_end_to_end():
     from tests.test_sharded_pipeline import (VerseCrafterPipeline,
                                              _components, _run)

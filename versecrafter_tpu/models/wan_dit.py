@@ -100,6 +100,12 @@ def _gelu_tanh(x):
     return jax.nn.gelu(x, approximate=True)
 
 
+def _amax(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-tensor activation absmax (fp32 scalar) — the statistic behind
+    calibrated static W8A8 scales (utils.quantize.fit_act_scales)."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
 def sinusoidal_embedding_1d(dim: int, position: jnp.ndarray) -> jnp.ndarray:
     """[cos | sin] sinusoid table (wan_transformer3d.py:39-49), fp32."""
     assert dim % 2 == 0
@@ -268,10 +274,15 @@ def init_wan_dit(key: jax.Array, cfg: WanDiTConfig,
 def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
                     qk_norm: bool, eps: float, attn_impl: str,
                     window_size: tuple = (-1, -1),
-                    rope_i=None, fuse_qk: bool = True) -> jnp.ndarray:
+                    rope_i=None, fuse_qk: bool = True,
+                    calib: Optional[dict] = None) -> jnp.ndarray:
     b, s, d = x.shape
     n = num_heads
     hd = d // n
+    if calib is not None:
+        calib["self_attn/q/kernel"] = _amax(x)
+        calib["self_attn/k/kernel"] = calib["self_attn/q/kernel"]
+        calib["self_attn/v/kernel"] = calib["self_attn/q/kernel"]
     q = _linear(p["q"], x)
     k = _linear(p["k"], x)
     v = _linear(p["v"], x)
@@ -285,6 +296,8 @@ def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
             p["norm_k"]["scale"] if qk_norm else None,
             num_heads=n, eps=eps, window_size=window_size, impl=attn_impl,
             tables_i=rope_i)
+        if calib is not None:
+            calib["self_attn/o/kernel"] = _amax(out)
         return _linear(p["o"], out)
     # sequence-parallel path (rope needs the LOCAL table slice before the
     # all_to_all redistributes heads/sequence) and the fuse_qk=False
@@ -304,6 +317,8 @@ def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
         out = flash_attention(q, k, v, impl=attn_impl,
                               window_size=window_size)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+    if calib is not None:
+        calib["self_attn/o/kernel"] = _amax(out)
     return _linear(p["o"], out)
 
 
@@ -311,10 +326,15 @@ def _cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
                      num_heads: int, qk_norm: bool, eps: float,
                      attn_impl: str,
                      context_img: Optional[jnp.ndarray] = None,
-                     fuse_qk: bool = False) -> jnp.ndarray:
+                     fuse_qk: bool = False,
+                     calib: Optional[dict] = None) -> jnp.ndarray:
     b, s, d = x.shape
     n = num_heads
     hd = d // n
+    if calib is not None:
+        calib["cross_attn/q/kernel"] = _amax(x)
+        calib["cross_attn/k/kernel"] = _amax(context)
+        calib["cross_attn/v/kernel"] = calib["cross_attn/k/kernel"]
     q = _linear(p["q"], x)
     k = _linear(p["k"], context)
     v = _linear(p["v"], context)
@@ -327,6 +347,8 @@ def _cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
             p["norm_q"]["scale"] if qk_norm else None,
             p["norm_k"]["scale"] if qk_norm else None,
             num_heads=n, eps=eps, impl=attn_impl)
+        if calib is not None:
+            calib["cross_attn/o/kernel"] = _amax(out)
         return _linear(p["o"], out)
     if qk_norm:
         q = rms_norm(q, p["norm_q"]["scale"], eps)
@@ -343,6 +365,9 @@ def _cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
     if context_img is not None:
         # i2v: separate K/V over the 257 CLIP tokens, added to the text path
         # (WanI2VCrossAttention, wan_transformer3d.py:439-493)
+        if calib is not None:
+            calib["cross_attn/k_img/kernel"] = _amax(context_img)
+            calib["cross_attn/v_img/kernel"] = calib["cross_attn/k_img/kernel"]
         k_img = _linear(p["k_img"], context_img)
         if qk_norm:
             k_img = rms_norm(k_img, p["norm_k_img"]["scale"], eps)
@@ -351,6 +376,8 @@ def _cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
         v_img = v_img.reshape(b, -1, n, hd).transpose(0, 2, 1, 3)
         out = out + _xattn(q, k_img, v_img)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+    if calib is not None:
+        calib["cross_attn/o/kernel"] = _amax(out)
     return _linear(p["o"], out)
 
 
@@ -358,10 +385,15 @@ def wan_block_forward(p: Params, cfg: WanDiTConfig, x: jnp.ndarray,
                       e0: jnp.ndarray, cos, sin, context: jnp.ndarray,
                       attn_impl: str = "auto",
                       context_img: Optional[jnp.ndarray] = None,
-                      rope_i=None, fuse_qk: bool = True) -> jnp.ndarray:
+                      rope_i=None, fuse_qk: bool = True,
+                      calib: Optional[dict] = None) -> jnp.ndarray:
     """One WanAttentionBlock (wan_transformer3d.py:564-611).
 
     x: [B, S, D] (bf16); e0: [B, 6, D] fp32 time modulation.
+    calib: when a dict, per-tensor activation absmaxes are recorded into it
+    (keys = utils.quantize.COMPUTE_SITES suffixes) for static W8A8
+    calibration — incompatible with remat (recorded tracers would escape
+    jax.checkpoint).
     """
     dtype = x.dtype
     e = (p["modulation"][None].astype(jnp.float32) + e0)  # [B, 6, D]
@@ -371,7 +403,7 @@ def wan_block_forward(p: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     y = _self_attention(p["self_attn"], tmp, cos, sin, cfg.num_heads,
                         cfg.qk_norm, cfg.eps, attn_impl,
                         window_size=cfg.window_size, rope_i=rope_i,
-                        fuse_qk=fuse_qk)
+                        fuse_qk=fuse_qk, calib=calib)
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e[:, 2][:, None]).astype(dtype)
 
     if cfg.cross_attn_norm:
@@ -384,11 +416,15 @@ def wan_block_forward(p: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     x = x + _cross_attention(p["cross_attn"], xn, context, cfg.num_heads,
                              cfg.qk_norm, cfg.eps, attn_impl,
                              context_img=context_img,
-                             fuse_qk=FUSED_CROSS_ATTENTION)
+                             fuse_qk=FUSED_CROSS_ATTENTION, calib=calib)
 
     tmp = layer_norm(x, eps=cfg.eps).astype(jnp.float32)
     tmp = (tmp * (1.0 + e[:, 4][:, None]) + e[:, 3][:, None]).astype(dtype)
-    y = _linear(p["ffn_out"], _gelu_tanh(_linear(p["ffn_in"], tmp)))
+    h = _gelu_tanh(_linear(p["ffn_in"], tmp))
+    if calib is not None:
+        calib["ffn_in/kernel"] = _amax(tmp)
+        calib["ffn_out/kernel"] = _amax(h)
+    y = _linear(p["ffn_out"], h)
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e[:, 5][:, None]).astype(dtype)
     return x
 
@@ -504,7 +540,8 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
                    geoada_scale: float = 1.0,
                    attn_impl: str = "auto",
                    context_img: Optional[jnp.ndarray] = None,
-                   remat: bool = False) -> jnp.ndarray:
+                   remat: bool = False,
+                   calibrate: bool = False):
     """Run all transformer blocks (the TeaCache-skippable section).
 
     Without a GeoAdapter: lax.scan over `num_layers` stacked blocks.
@@ -513,8 +550,14 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     the reference's compute-all-hints-first order because the geoada chain
     only depends on the *initial* tokens (wan_transformer3d_versecrafter.py:
     254-292, 379).
+
+    calibrate=True additionally returns per-layer activation absmax stats
+    ({"blocks": {site: [L]}, "geoada_blocks": {site: [G]}} — feed to
+    utils.quantize.fit_act_scales for static W8A8 scales).
     """
     L = cfg.num_layers
+    if calibrate and remat:
+        raise ValueError("calibrate is inference-only (stats escape remat)")
 
     # gradient checkpointing: rematerialize each block in the backward pass
     # (the TPU replacement for the reference's torch.utils.checkpoint +
@@ -550,11 +593,13 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
 
     if not cfg.has_geoadapter or geoada_tokens is None:
         def body(carry, bp):
-            return blk(deq(bp), cfg, carry, e0, cos, sin, context,
-                       attn_impl, context_img, rope_i,
-                       FUSED_QK_ATTENTION), None
-        x, _ = jax.lax.scan(body, x, block_params)
-        return x
+            cal = {} if calibrate else None
+            out = blk(deq(bp), cfg, carry, e0, cos, sin, context,
+                      attn_impl, context_img, rope_i,
+                      FUSED_QK_ATTENTION, cal)
+            return out, cal
+        x, stats = jax.lax.scan(body, x, block_params)
+        return (x, {"blocks": stats}) if calibrate else x
 
     # geoada programs fuse self-attention only where the kernel dispatch
     # will run its resident-KV flavor (see the FUSED_QK_ATTENTION note):
@@ -595,21 +640,35 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
             xx, cc = carry
             gp, bps = layer_params
             gp = deq(gp)
+            gcal = {} if calibrate else None
             cc = blk(gp, cfg, cc, e0, cos, sin, context, attn_impl, None,
-                     rope_i, geo_fuse)
+                     rope_i, geo_fuse, gcal)
             hint = _linear(gp["after_proj"], cc)
+            bcals = []
             for j in range(stride):
                 bp = deq(jax.tree.map(lambda a: a[j], bps))
+                bcal = {} if calibrate else None
                 xx = blk(bp, cfg, xx, e0, cos, sin, context,
                          attn_impl, context_img, rope_i,
-                         geo_fuse)
+                         geo_fuse, bcal)
+                bcals.append(bcal)
                 if j == 0:
                     xx = xx + (hint * jnp.asarray(geoada_scale, hint.dtype)
                                ).astype(xx.dtype)
-            return (xx, cc), None
+            stats = None
+            if calibrate:
+                stats = {"geoada_blocks": gcal,
+                         "blocks": jax.tree.map(
+                             lambda *a: jnp.stack(a), *bcals)}
+            return (xx, cc), stats
 
-        (x, _), _ = jax.lax.scan(superstep, (x, c),
-                                 (geo_params, base_stacked))
+        (x, _), stats = jax.lax.scan(superstep, (x, c),
+                                     (geo_params, base_stacked))
+        if calibrate:
+            # blocks stats come out [G, stride] -> flatten to [L]
+            return x, {"blocks": jax.tree.map(
+                lambda a: a.reshape(L, *a.shape[2:]), stats["blocks"]),
+                "geoada_blocks": stats["geoada_blocks"]}
         return x
 
     # INFERENCE: the reference's order — all hints first, then the base
@@ -619,6 +678,11 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     # while plain scans keep it. Costs len(glayers) stacked hints
     # (~1.5 GB bf16 at 1.3B/32k tokens; sp-sharded under a mesh) — fine for
     # inference, which doesn't hold optimizer/grad state.
+    if calibrate:
+        raise NotImplementedError(
+            "calibrate uses the interleaved-superstep schedule "
+            "(GEOADA_STACKED_HINTS=False) — identical numerics")
+
     def hint_step(cc, gp):
         gp = deq(gp)
         cc = blk(gp, cfg, cc, e0, cos, sin, context, attn_impl, None,
@@ -672,7 +736,8 @@ def wan_dit_forward(
     clip_fea: Optional[jnp.ndarray] = None,
     y_camera: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
-) -> jnp.ndarray:
+    calibrate: bool = False,
+):
     """Full denoiser forward.
 
     x: [B, C_in, F_lat, H_lat, W_lat] noisy latents
@@ -684,7 +749,9 @@ def wan_dit_forward(
        wan_transformer3d.py:969-970)
     y_camera: camera-pose control maps for the SimpleAdapter (see
        wan_dit_embed)
-    Returns [B, C_out, F_lat, H_lat, W_lat] velocity prediction.
+    Returns [B, C_out, F_lat, H_lat, W_lat] velocity prediction; with
+    calibrate=True returns (prediction, activation-absmax stats) for
+    static W8A8 calibration (utils.quantize.fit_act_scales).
     """
     if y is not None:
         x = jnp.concatenate([x, y], axis=1)
@@ -704,5 +771,9 @@ def wan_dit_forward(
 
     tokens = wan_dit_blocks(params, cfg, tokens, e0, cos, sin, ctx,
                             geoada_tokens=gtokens, geoada_scale=geoada_scale,
-                            attn_impl=attn_impl, context_img=ctx_img)
+                            attn_impl=attn_impl, context_img=ctx_img,
+                            calibrate=calibrate)
+    if calibrate:
+        tokens, stats = tokens
+        return wan_dit_head(params, cfg, tokens, e, grid), stats
     return wan_dit_head(params, cfg, tokens, e, grid)

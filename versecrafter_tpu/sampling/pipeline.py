@@ -158,23 +158,25 @@ class VerseCrafterPipeline:
     def enable_cfg_skip(self, ratio: float):
         self.cfg_skip_ratio = ratio
 
-    def quantize_weights(self, int8_compute: bool = False):
+    def quantize_weights(self, int8_compute: bool = False, act_scales=None):
         """int8 weight-only storage for the DiT (fp8-mode analogue,
         versecrafter_inference.py:288-301); dequant happens in-graph.
 
         int8_compute=True additionally runs the block matmuls (qkv/o,
-        cross-attn, FFN) as W8A8 int8 MXU dots with dynamic per-tensor
-        activation scales (~2x bf16 matmul throughput on v5e) — see
-        utils.quantize.tag_int8_compute."""
+        cross-attn, FFN) as W8A8 int8 MXU dots (~2x bf16 matmul throughput
+        on v5e) with dynamic per-tensor activation scales — or calibrated
+        static ones when `act_scales` is given (utils.quantize:
+        wan_dit_forward(calibrate=True) -> fit_act_scales)."""
         from versecrafter_tpu.utils.quantize import (quantize_tree,
                                                      tag_int8_compute)
         self.dit_params = quantize_tree(self.dit_params)
         if int8_compute:
-            self.dit_params = tag_int8_compute(self.dit_params)
+            self.dit_params = tag_int8_compute(self.dit_params, act_scales)
         if self.dit_params_high is not None:
             self.dit_params_high = quantize_tree(self.dit_params_high)
             if int8_compute:
-                self.dit_params_high = tag_int8_compute(self.dit_params_high)
+                self.dit_params_high = tag_int8_compute(
+                    self.dit_params_high, act_scales)
         self._jit_cache.clear()
 
     def merge_lora(self, lora_sd, weight: float = 1.0):

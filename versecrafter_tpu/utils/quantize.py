@@ -148,9 +148,12 @@ def tag_int8_compute(params: Dict[str, Any],
     _linear as s8 x s8 -> s32 MXU dots (~2x bf16 matmul throughput on
     v5e) instead of being dequantized per layer.
 
-    act_scales: optional {site_suffix: array} of calibrated per-tensor
+    act_scales: optional {path_suffix: array} of calibrated per-tensor
     activation scales (absmax/127), each [L] for stacked block trees
-    ([] unstacked) — recorded e.g. over a few denoise steps. Sites without
+    ([] unstacked) — produced by fit_act_scales from
+    wan_dit_forward(calibrate=True) stats. Keys match on whole path
+    components from the right ("blocks/ffn_in/kernel" does NOT match
+    geoada_blocks leaves), relative to the tree passed in. Sites without
     an entry use DYNAMIC per-tensor scales (absmax computed on the fly:
     one extra full read of the activation; a calibrated static scale makes
     the quantize op pure-elementwise so XLA fuses it into the producer).
@@ -172,20 +175,39 @@ def tag_int8_compute(params: Dict[str, Any],
             out.append(leaf)
             continue
         nlayers = leaf["qvalues"].shape[0] if stacked else None
-        if site in act_scales:
-            a = jnp.asarray(act_scales[site], jnp.float32)
+        akey = next((k for k in act_scales
+                     if names == k or names.endswith("/" + k)), None)
+        if akey is not None:
+            a = jnp.asarray(act_scales[akey], jnp.float32)
         else:
             # zero-size-free dynamic marker: [L] (or scalar) so lax.scan can
             # slice it with the rest of the stacked block leaves; the VALUE
             # is never read — presence of the key selects the dynamic path
             a = jnp.zeros((nlayers,) if stacked else (), jnp.float32)
-        key = "a_scale" if site in act_scales else "a_dyn"
+        key = "a_scale" if akey is not None else "a_dyn"
         sh = getattr(leaf["qvalues"], "sharding", None)
         if isinstance(sh, NamedSharding):
             a = jax.device_put(a, NamedSharding(
                 sh.mesh, PartitionSpec(*([None] * a.ndim))))
         out.append({**leaf, key: a})
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def fit_act_scales(stats_list, margin: float = 1.0) -> Dict[str, Any]:
+    """Reduce calibration stats into tag_int8_compute's act_scales mapping.
+
+    stats_list: one stats pytree per recorded forward
+    (wan_dit_forward(calibrate=True): {"blocks": {site: [L] absmax},
+    "geoada_blocks": {site: [G] absmax}}). Running max over the recorded
+    steps, then absmax/127 (times `margin` slack — activations exceeding
+    the calibrated range saturate at the int8 clip)."""
+    acc = jax.tree.map(lambda *a: jnp.max(jnp.stack(a), axis=0), *stats_list)
+    out = {}
+    for grp, sites in acc.items():
+        for site, v in sites.items():
+            out[f"{grp}/{site}"] = (jnp.asarray(v, jnp.float32)
+                                    * (margin / 127.0))
+    return out
 
 
 def int8_compute_dot(leaf: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:

@@ -32,6 +32,10 @@ def main():
                     help="tag block matmuls for W8A8 int8 MXU compute "
                          "(utils.quantize.tag_int8_compute) instead of "
                          "weight-only storage")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="with --int8_compute: fit static activation "
+                         "scales from one calibrate forward at the bench "
+                         "shape (vs dynamic per-tensor absmax)")
     args = ap.parse_args()
 
     import jax
@@ -85,14 +89,33 @@ def main():
 
     params = jax.jit(small)(jax.random.key(7))
     params["blocks"] = stacked
+
+    angles0 = tuple(jnp.asarray(a) for a in rope_3d_angles(cfg.head_dim))
     if args.int8_compute:
-        params["blocks"] = qz.tag_int8_compute(params["blocks"])
+        scales = None
+        if args.calibrate:
+            # one calibrate forward on the storage-mode tree at the first
+            # bench shape -> static per-layer activation scales
+            f_lat, h_lat, w_lat = (2, 8, 8) if args.tiny else (6, 60, 104)
+            grid0 = (f_lat, h_lat // 2, w_lat // 2)
+            cos0, sin0 = grid_cos_sin(angles0, *grid0)
+            kc = jax.random.split(jax.random.key(3), 2)
+            xc = jax.random.normal(
+                kc[0], (2, cfg.in_dim, f_lat, h_lat, w_lat), jnp.bfloat16)
+            cc = jax.random.normal(
+                kc[1], (2, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+            _, stats = jax.jit(lambda p, x, t, c: wan_dit.wan_dit_forward(
+                p, cfg, x, t, c, cos0, sin0, calibrate=True))(
+                    params, xc, jnp.full((2,), 500.0, jnp.float32), cc)
+            scales = qz.fit_act_scales([stats])
+        params = qz.tag_int8_compute(params, act_scales=scales)
     wbytes = qz.tree_bytes(params)
-    mode = "w8a8" if args.int8_compute else "int8"
+    mode = ("w8a8s" if args.calibrate else "w8a8") if args.int8_compute \
+        else "int8"
     print(json.dumps({"metric": f"14b_{mode}_weight_bytes", "value": wbytes,
                       "build_s": round(time.time() - t0, 1)}), flush=True)
 
-    angles = tuple(jnp.asarray(a) for a in rope_3d_angles(cfg.head_dim))
+    angles = angles0
 
     def step_ms(f_lat, h_lat, w_lat, B, iters=3):
         grid = (f_lat, h_lat // 2, w_lat // 2)

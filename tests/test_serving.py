@@ -422,3 +422,32 @@ def test_generate_acceleration_params(api):
     assert pipe.teacache_threshold == 0.0  # restored
     assert pipe.cfg_skip_ratio == 0.0
     assert pipe.teacache_coefficients == fitted  # not reset to defaults
+
+
+def test_generate_int8_compute_param(api):
+    """int8_compute rides the generate params: the resident pipeline is
+    quantized with W8A8 compute-tagged block matmuls (sticky) and the
+    request completes."""
+    import versecrafter_tpu.utils.quantize as qz
+
+    base, server = api
+    maps = os.path.join(server.workdir, "maps")
+    if not os.path.exists(os.path.join(maps, "merged_mask.mp4")):
+        pytest.skip("maps not prepared by earlier test")
+    if server._pipeline is None:
+        server._load_pipeline_locked()
+    old_min = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 10  # tiny test leaves must still quantize
+    try:
+        _, resp = _post(f"{base}/api/generate", payload={
+            "rendering_maps_path": "maps", "prompt": "quantized",
+            "height": 8, "width": 8, "num_frames": 5,
+            "num_inference_steps": 1, "guidance_scale": 1.0, "fps": 5,
+            "int8_compute": True,
+        })
+        st = _wait_task(base, resp["task_id"])
+    finally:
+        qz.MIN_SIZE = old_min
+    assert st["status"] == "COMPLETED", st
+    assert qz.is_compute_tagged(
+        server._pipeline.dit_params["blocks"]["ffn_in"]["kernel"])

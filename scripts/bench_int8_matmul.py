@@ -41,6 +41,7 @@ def main():
         (65520, 1536, 8960, "1p3b_ffn_in_32760tok_cfg2"),
     ]
     for M, K, N, tag in shapes:
+      try:
         kx, kw = jax.random.split(jax.random.key(0))
         x = jax.random.normal(kx, (M, K), jnp.bfloat16)
         w = jax.random.normal(kw, (K, N), jnp.bfloat16)
@@ -72,6 +73,9 @@ def main():
             "int8_ms": round(t_i8 * 1e3, 3),
             "w8a8_ms": round(t_w8a8 * 1e3, 3),
         }), flush=True)
+      except Exception as e:  # noqa: BLE001 — unattended queue run
+        print(json.dumps({"metric": f"matmul_{tag}",
+                          "error": str(e)[:300]}), flush=True)
 
 
 if __name__ == "__main__":

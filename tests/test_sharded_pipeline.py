@@ -158,6 +158,34 @@ def test_sharded_vae_decode_matches_single_device():
     np.testing.assert_allclose(got_stream, want, atol=2e-4, rtol=1e-4)
 
 
+def test_t5_fsdp_sharding_matches_replicated():
+    """T5 FSDP sharding (the reference's fsdp_text_encoder=True default):
+    big kernels actually sharded over the mesh, encode numerically equal to
+    the unsharded forward."""
+    from jax.sharding import PartitionSpec as P
+    from versecrafter_tpu.models.t5 import t5_encode
+    from versecrafter_tpu.parallel.sharding import shard_t5_params
+
+    cfg = T5Config(vocab=1024, dim=64, dim_attn=64, dim_ffn=128, num_heads=4,
+                   num_layers=2, num_buckets=8, text_length=16)
+    params = init_t5(jax.random.key(0), cfg, jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 1024, (2, 16)))
+    mask = jnp.ones_like(ids)
+    ref = np.asarray(t5_encode(params, cfg, ids, mask))
+
+    mesh = make_mesh(MeshSpec(dp=2, sp=2, tp=2), devices=jax.devices()[:8])
+    sharded = shard_t5_params(params, mesh)
+    # the [1024, 64] embedding crosses T5_SHARD_MIN -> sharded over ALL axes
+    assert sharded["embed"].sharding.spec != P()
+    assert sharded["embed"].sharding.spec[0] is not None
+    # norms / rel-bias stay replicated
+    assert sharded["final_norm"].sharding.spec == P()
+    assert sharded["blocks"][0]["attn"]["rel_bias"].sharding.spec == P()
+
+    out = jax.jit(lambda p, i, m: t5_encode(p, cfg, i, m))(sharded, ids, mask)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
 def test_quantize_after_set_mesh_preserves_shardings(single_device_video):
     """int8 quantization AFTER set_mesh (VERDICT r2 weak #5): quantized
     leaves must keep the original NamedShardings (a 14B tree silently

@@ -109,6 +109,33 @@ def replicate(tree, mesh: Mesh):
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
 
 
+T5_SHARD_MIN = 1 << 16  # leaves below this stay replicated
+
+
+def shard_t5_params(params, mesh: Mesh):
+    """FSDP-style sharding for the text encoder — the reference FSDPs it BY
+    DEFAULT (fsdp_text_encoder=True -> shard_model(text_encoder),
+    /root/reference/inference/versecrafter_inference.py:96-98,271-281).
+
+    Each big 2-D kernel (and the [vocab, d] embedding) is sharded on one
+    dimension over ALL mesh axes, so umT5-xxl's ~11 GB bf16 costs ~11/N GB
+    per chip; XLA all-gathers each weight at use inside the jitted encode
+    (ZeRO-3-for-inference semantics — the encode runs once per request, so
+    gather cost is negligible next to resident memory). Norms, relative-
+    bias tables, and non-divisible leaves stay replicated."""
+    axes = tuple(mesh.axis_names)
+
+    def placed(leaf):
+        if leaf.ndim == 2 and leaf.size >= T5_SHARD_MIN:
+            for d in (0, 1):
+                spec = P(*(axes if i == d else None for i in range(2)))
+                if _divisible(leaf, spec, mesh):
+                    return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree.map(placed, params)
+
+
 def shard_vae_io(x, mesh: Mesh):
     """Place a [B, C, T, H, W] video/latent tensor with the WIDTH axis
     sharded over (sp, tp) — spatial parallelism for the VAE. GSPMD then

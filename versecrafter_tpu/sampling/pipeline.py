@@ -119,11 +119,13 @@ class VerseCrafterPipeline:
 
     def set_mesh(self, mesh):
         """Shard the pipeline onto a device mesh: DiT params over (fsdp, tp),
-        text/VAE weights replicated, attention switched to the
+        T5 FSDP-sharded over all axes (the reference's fsdp_text_encoder=True
+        default — umT5-xxl is ~11 GB bf16, replication would dominate a
+        16 GB chip), VAE/CLIP weights replicated, attention switched to the
         sequence-parallel collectives. Idempotent (device_put of an already
         correctly-sharded tree is a no-op)."""
         from versecrafter_tpu.parallel.sharding import (
-            replicate, shard_dit_params)
+            replicate, shard_dit_params, shard_t5_params)
         self.mesh = mesh
         if mesh is None or mesh.size == 1:
             return
@@ -131,7 +133,7 @@ class VerseCrafterPipeline:
         if self.dit_params_high is not None:
             self.dit_params_high = shard_dit_params(self.dit_params_high, mesh)
         if self.t5_params is not None:
-            self.t5_params = replicate(self.t5_params, mesh)
+            self.t5_params = shard_t5_params(self.t5_params, mesh)
         if self.vae_params is not None:
             self.vae_params = replicate(self.vae_params, mesh)
         if self.clip_params is not None:

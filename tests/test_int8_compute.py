@@ -220,6 +220,25 @@ def test_pipeline_int8_compute_end_to_end():
     np.testing.assert_allclose(np.asarray(video), np.asarray(ref), atol=0.1)
 
 
+def test_pipeline_int8_compute_with_teacache_and_cfg_skip():
+    """W8A8 combined with the acceleration paths (serving requests can
+    toggle both): the TeaCache lax.cond and the cfg-skip shape switch must
+    carry compute-tagged leaves."""
+    from tests.test_sharded_pipeline import (VerseCrafterPipeline,
+                                             _components, _run)
+    pipe = VerseCrafterPipeline(**_components())
+    old = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 10
+    try:
+        pipe.quantize_weights(int8_compute=True)
+    finally:
+        qz.MIN_SIZE = old
+    pipe.enable_teacache(threshold=1e30, skip_start=1, coefficients=(0.0,))
+    pipe.enable_cfg_skip(0.5)
+    video = _run(pipe)
+    assert np.isfinite(video).all()
+
+
 def test_pipeline_int8_compute_under_mesh():
     """quantize_weights(int8_compute=True) AFTER set_mesh: markers
     replicated, qvalues keep their shardings, sharded W8A8 forward matches

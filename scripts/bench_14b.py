@@ -36,6 +36,11 @@ def main():
                     help="with --int8_compute: fit static activation "
                          "scales from one calibrate forward at the bench "
                          "shape (vs dynamic per-tensor absmax)")
+    ap.add_argument("--bits", type=int, default=8, choices=(8, 4),
+                    help="weight storage width; 4 = nibble-packed "
+                         "(~7.5 GB weights) which frees enough HBM to "
+                         "MEASURE the full canonical 480p x 81f point "
+                         "(32,760 tok) instead of extrapolating to it")
     args = ap.parse_args()
 
     import jax
@@ -64,8 +69,10 @@ def main():
 
     # ---- build the int8 model incrementally -----------------------------
     t0 = time.time()
+    if args.bits == 4 and args.int8_compute:
+        raise SystemExit("int8_compute requires --bits 8")
     init_one = jax.jit(lambda k: wan_dit._init_block(k, cfg, jnp.bfloat16))
-    quant_one = jax.jit(lambda p: qz.quantize_tree(p))
+    quant_one = jax.jit(lambda p: qz.quantize_tree(p, bits=args.bits))
 
     blk0 = quant_one(init_one(jax.random.key(0)))
     stacked = jax.tree.map(lambda a: jnp.zeros((L, *a.shape), a.dtype), blk0)
@@ -111,7 +118,7 @@ def main():
         params = qz.tag_int8_compute(params, act_scales=scales)
     wbytes = qz.tree_bytes(params)
     mode = ("w8a8s" if args.calibrate else "w8a8") if args.int8_compute \
-        else "int8"
+        else ("int4" if args.bits == 4 else "int8")
     print(json.dumps({"metric": f"14b_{mode}_weight_bytes", "value": wbytes,
                       "build_s": round(time.time() - t0, 1)}), flush=True)
 
@@ -142,12 +149,20 @@ def main():
         _ = float(jnp.abs(out).astype(jnp.float32).sum())
         return (time.perf_counter() - t0) / iters * 1e3, seq
 
-    # 480p x 21f: the largest canonical-width shape that fits beside the
-    # weights single-chip (attention seq 9,360)
+    # 480p x 21f: the largest canonical-width shape that fits beside int8
+    # weights single-chip (attention seq 9,360). int4 weights (~7.5 GB)
+    # free enough HBM for the FULL canonical 480p x 81f point — measure it
+    # directly (CFG-1 first: fits comfortably; CFG-2 is the real operating
+    # point and is attempted after).
     shapes = [
         (6, 60, 104, 2, "480p21f_cfg2"),
         (6, 60, 104, 1, "480p21f_cfg1"),
     ]
+    if args.bits == 4:
+        shapes = [
+            (21, 60, 104, 1, "480p81f_cfg1"),
+            (21, 60, 104, 2, "480p81f_cfg2"),
+        ] + shapes
     if args.tiny:
         shapes = [(2, 8, 8, 2, "tiny_cfg2")]
     for (f_lat, h, w, B, tag) in shapes:

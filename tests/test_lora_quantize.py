@@ -91,6 +91,60 @@ def test_quantized_forward_close():
     assert np.corrcoef(np.asarray(o1).ravel(), np.asarray(o2).ravel())[0, 1] > 0.99
 
 
+def test_int4_packed_roundtrip_and_size():
+    """bits=4: nibble-packed storage is HALF the int8 bytes and dequantizes
+    within the coarser per-channel bound (absmax/7); odd contracting dims
+    are left unquantized rather than mis-packed."""
+    import versecrafter_tpu.utils.quantize as qz
+
+    big = jax.random.normal(jax.random.key(5), (512, 256), jnp.float32)
+    tree = {"a": {"kernel": big},
+            "odd": {"kernel": jax.random.normal(jax.random.key(6),
+                                                (511, 256), jnp.float32)}}
+    q8 = qz.quantize_tree(tree)
+    q4 = qz.quantize_tree(tree, bits=4)
+    leaf = q4["a"]["kernel"]
+    assert "q4values" in leaf and leaf["q4values"].dtype == jnp.uint8
+    assert leaf["q4values"].shape == (256, 256)
+    assert leaf["q4values"].nbytes * 2 == q8["a"]["kernel"]["qvalues"].nbytes
+    assert not isinstance(q4["odd"]["kernel"], dict)  # odd dim: untouched
+
+    got = np.asarray(qz.dequantize_tree(q4)["a"]["kernel"])
+    want = np.asarray(big)
+    err = np.abs(got - want).max(0)
+    bound = np.abs(want).max(0) / 7.0 + 1e-6
+    assert (err <= bound * 0.51).all()
+
+
+def test_int4_forward_close():
+    from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
+    import versecrafter_tpu.utils.quantize as qz
+
+    params = init_wan_dit(jax.random.key(3), CFG, jnp.float32)
+    params["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.key(4),
+                          params["head"]["head"]["kernel"].shape) * 0.05)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 4, 2, 8, 8)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 24)), jnp.float32)
+    ang = tuple(jnp.asarray(a) for a in rope_3d_angles(12, max_pos=32))
+    cos, sin = grid_cos_sin(ang, 2, 4, 4)
+    t = jnp.asarray([500.0])
+
+    old = qz.MIN_SIZE
+    qz.MIN_SIZE = 1024
+    try:
+        q4 = qz.quantize_tree(params, bits=4)
+    finally:
+        qz.MIN_SIZE = old
+    o1 = np.asarray(wan_dit_forward(params, CFG, x, t, ctx, cos, sin))
+    # jitted + scanned path: packed [L, K/2, N] leaves slice per layer
+    o2 = np.asarray(jax.jit(
+        lambda p, xx: wan_dit_forward(p, CFG, xx, t, ctx, cos, sin))(q4, x))
+    assert np.isfinite(o2).all()
+    assert np.corrcoef(o1.ravel(), o2.ravel())[0, 1] > 0.95
+
+
 def test_stacked_bias_and_norm_leaves_never_quantize():
     """Stacked per-layer [L, d] biases/norm scales must NOT quantize even
     above MIN_SIZE: axis -2 there is the LAYER axis (wrong scales, and the

@@ -451,3 +451,43 @@ def test_generate_int8_compute_param(api):
     assert st["status"] == "COMPLETED", st
     assert qz.is_compute_tagged(
         server._pipeline.dit_params["blocks"]["ffn_in"]["kernel"])
+
+
+def test_run_generate_request_quantize_bits4(tmp_path):
+    """quantize_bits=4 rides the generate params (model_server surface):
+    the resident DiT weights become nibble-packed int4 storage leaves and
+    the request still produces a video."""
+    import numpy as np
+
+    import versecrafter_tpu.utils.quantize as qz
+    from versecrafter_tpu.serve.model_server import (
+        default_pipeline_factory, run_generate_request)
+    from versecrafter_tpu.utils.video import save_image, save_video
+
+    rng = np.random.default_rng(0)
+    t, h, w = 5, 16, 16
+    maps = tmp_path / "maps"
+    maps.mkdir()
+    save_image(rng.random((h, w, 3)).astype(np.float32),
+               str(tmp_path / "0001.png"))
+    for name in ["background_RGB", "background_depth", "3D_gaussian_RGB",
+                 "3D_gaussian_depth", "merged_mask"]:
+        save_video(rng.random((t, h, w, 3)).astype(np.float32),
+                   str(maps / f"{name}.mp4"), fps=5)
+
+    pipe = default_pipeline_factory(scale="tiny")()
+    old_min = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 10  # tiny test leaves must still quantize
+    try:
+        video = run_generate_request(pipe, {
+            "rendering_maps_path": str(maps),
+            "input_image_path": str(tmp_path / "0001.png"),
+            "prompt": "packed", "height": h, "width": w, "num_frames": t,
+            "num_inference_steps": 1, "guidance_scale": 1.0, "fps": 5,
+            "quantize_int8": True, "quantize_bits": 4,
+        }, lambda i, n: None)
+    finally:
+        qz.MIN_SIZE = old_min
+    leaf = pipe.dit_params["blocks"]["ffn_in"]["kernel"]
+    assert isinstance(leaf, dict) and "q4values" in leaf
+    assert np.isfinite(np.asarray(video, np.float32)).all()

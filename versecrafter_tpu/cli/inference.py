@@ -58,6 +58,10 @@ def parse_args(argv=None):
     p.add_argument("--int8_compute", action="store_true",
                    help="with --quantize_int8 (implied): run block matmuls "
                         "as W8A8 int8 MXU dots (~2x bf16 throughput)")
+    p.add_argument("--quantize_bits", type=int, default=8, choices=(8, 4),
+                   help="with --quantize_int8: weight storage width; 4 = "
+                        "nibble-packed (half the HBM, coarser scales, "
+                        "storage-only — incompatible with --int8_compute)")
     p.add_argument("--auto_parallel", action="store_true",
                    help="shard over ALL visible devices (auto (sp,tp) "
                         "factorization, reference model_server.py:149-191)")
@@ -122,7 +126,8 @@ def main(argv=None):
         from versecrafter_tpu.core.convert import load_torch_state_dict
         pipe.merge_lora(load_torch_state_dict(args.lora_path), args.lora_weight)
     if args.quantize_int8 or args.int8_compute:
-        pipe.quantize_weights(int8_compute=args.int8_compute)
+        pipe.quantize_weights(int8_compute=args.int8_compute,
+                              bits=args.quantize_bits)
 
     def progress(i, n):
         print(f"denoise {i} / {n}", flush=True)

@@ -85,10 +85,16 @@ GEOADA_STACKED_HINTS = False
 def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     k = p["kernel"]
     if isinstance(k, dict):
-        # W8A8 compute-tagged kernel (utils.quantize.tag_int8_compute):
-        # s8 x s8 -> s32 on the MXU at ~2x bf16 throughput
-        from versecrafter_tpu.utils.quantize import int8_compute_dot
-        y = int8_compute_dot(k, x)
+        from versecrafter_tpu.utils.quantize import (
+            dequantize_leaf, int8_compute_dot, is_compute_tagged)
+        if is_compute_tagged(k):
+            # W8A8 compute-tagged kernel (utils.quantize.tag_int8_compute):
+            # s8 x s8 -> s32 on the MXU at ~2x bf16 throughput
+            y = int8_compute_dot(k, x)
+        else:
+            # storage-only leaf that a caller didn't pre-dequantize
+            # (int8 or nibble-packed int4): weight-only dequant in-graph
+            y = jnp.dot(x, dequantize_leaf(k, x.dtype))
     else:
         y = jnp.dot(x, k.astype(x.dtype))
     if "bias" in p:

@@ -160,7 +160,8 @@ class VerseCrafterPipeline:
     def enable_cfg_skip(self, ratio: float):
         self.cfg_skip_ratio = ratio
 
-    def quantize_weights(self, int8_compute: bool = False, act_scales=None):
+    def quantize_weights(self, int8_compute: bool = False, act_scales=None,
+                         bits: int = 8):
         """int8 weight-only storage for the DiT (fp8-mode analogue,
         versecrafter_inference.py:288-301); dequant happens in-graph.
 
@@ -168,14 +169,21 @@ class VerseCrafterPipeline:
         cross-attn, FFN) as W8A8 int8 MXU dots (~2x bf16 matmul throughput
         on v5e) with dynamic per-tensor activation scales — or calibrated
         static ones when `act_scales` is given (utils.quantize:
-        wan_dit_forward(calibrate=True) -> fit_act_scales)."""
+        wan_dit_forward(calibrate=True) -> fit_act_scales).
+
+        bits=4: nibble-packed weight storage (half the HBM of int8;
+        coarser quantization — per-channel absmax over 15 levels);
+        storage-only (no int4 compute path)."""
         from versecrafter_tpu.utils.quantize import (quantize_tree,
                                                      tag_int8_compute)
-        self.dit_params = quantize_tree(self.dit_params)
+        if bits == 4 and int8_compute:
+            raise ValueError("int8_compute requires bits=8 storage")
+        self.dit_params = quantize_tree(self.dit_params, bits=bits)
         if int8_compute:
             self.dit_params = tag_int8_compute(self.dit_params, act_scales)
         if self.dit_params_high is not None:
-            self.dit_params_high = quantize_tree(self.dit_params_high)
+            self.dit_params_high = quantize_tree(self.dit_params_high,
+                                                 bits=bits)
             if int8_compute:
                 self.dit_params_high = tag_int8_compute(
                     self.dit_params_high, act_scales)

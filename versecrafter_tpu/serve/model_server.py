@@ -81,7 +81,8 @@ def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
         pipe.enable_cfg_skip(float(params["cfg_skip_ratio"]))
     if ((params.get("quantize_int8") or params.get("int8_compute"))
             and not getattr(pipe, "_quantized", False)):
-        pipe.quantize_weights(int8_compute=bool(params.get("int8_compute")))
+        pipe.quantize_weights(int8_compute=bool(params.get("int8_compute")),
+                              bits=int(params.get("quantize_bits", 8)))
         pipe._quantized = True
 
     try:

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 EXCLUDE = ("modulation",)
 MIN_SIZE = 1 << 16  # don't quantize tiny leaves
 
-_QKEYS = {"qvalues", "qscales", "qdtype", "a_dyn", "a_scale"}
+_QKEYS = {"qvalues", "q4values", "qscales", "qdtype", "a_dyn", "a_scale"}
 
 # Block-matmul sites eligible for W8A8 compute (path suffixes under
 # blocks/geoada_blocks). Embeddings, head, and the geoada before/after
@@ -45,7 +45,8 @@ COMPUTE_SITES = (
 
 
 def _is_quantized(leaf) -> bool:
-    return (isinstance(leaf, dict) and "qvalues" in leaf
+    return (isinstance(leaf, dict)
+            and ("qvalues" in leaf or "q4values" in leaf)
             and "qscales" in leaf and set(leaf) <= _QKEYS)
 
 
@@ -62,8 +63,15 @@ def _dtype_token(dtype) -> "jnp.ndarray":
     return jnp.zeros((0,), dtype)
 
 
-def quantize_tree(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_tree(params: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
     """Replace big weight leaves with {'qvalues': int8, 'qscales': f32}.
+
+    bits=4 stores NIBBLE-PACKED weights instead ({'q4values': uint8 with
+    two signed 4-bit values per byte along the contracting axis}): half the
+    HBM of int8 (a 14B tree drops to ~7.5 GB, enough to measure the full
+    32,760-token step beside it on one 16 GB v5e). jnp.int4 is NOT packed
+    in memory (1 byte/element), hence the manual packing; dequantize_tree
+    unpacks in-graph where XLA fuses it with the scale-multiply.
 
     Sharding-preserving: when a leaf is sharded over a mesh (quantize after
     pipeline.set_mesh), qvalues keep the LEAF's sharding and qscales keep it
@@ -71,6 +79,7 @@ def quantize_tree(params: Dict[str, Any]) -> Dict[str, Any]:
     elementwise ops here would leave results on whatever sharding inference
     picked, plausibly gathering a 14B tree onto one chip."""
     from jax.sharding import NamedSharding, PartitionSpec
+    assert bits in (8, 4), bits
 
     def quant(path, leaf):
         names = "/".join(str(getattr(p, "key", p)) for p in path)
@@ -82,22 +91,43 @@ def quantize_tree(params: Dict[str, Any]) -> Dict[str, Any]:
                 or any(e in names for e in EXCLUDE)
                 or not jnp.issubdtype(leaf.dtype, jnp.floating)):
             return leaf
+        qmax = 127.0 if bits == 8 else 7.0
         absmax = jnp.max(jnp.abs(leaf.astype(jnp.float32)), axis=-2, keepdims=True)
-        scale = jnp.maximum(absmax, 1e-8) / 127.0
-        q = jnp.clip(jnp.round(leaf.astype(jnp.float32) / scale), -127, 127)
-        q = q.astype(jnp.int8)
+        scale = jnp.maximum(absmax, 1e-8) / qmax
+        q = jnp.clip(jnp.round(leaf.astype(jnp.float32) / scale), -qmax, qmax)
         scale = scale.astype(jnp.float32)
+        if bits == 4:
+            if leaf.shape[-2] % 2:
+                return leaf  # odd contracting dim: leave unquantized
+            qu = q.astype(jnp.int32) & 0xF  # two's-complement low nibble
+            vals = ((qu[..., 0::2, :] | (qu[..., 1::2, :] << 4))
+                    .astype(jnp.uint8))
+            key = "q4values"
+        else:
+            vals = q.astype(jnp.int8)
+            key = "qvalues"
         sh = getattr(leaf, "sharding", None)
         if isinstance(sh, NamedSharding):
-            q = jax.device_put(q, sh)
+            vals = jax.device_put(vals, sh)
             spec = list(sh.spec) + [None] * (leaf.ndim - len(sh.spec))
             spec[-2] = None  # reduced axis has size 1 now
             scale = jax.device_put(
                 scale, NamedSharding(sh.mesh, PartitionSpec(*spec)))
-        return {"qvalues": q, "qscales": scale,
+        return {key: vals, "qscales": scale,
                 "qdtype": _dtype_token(leaf.dtype)}
 
     return jax.tree_util.tree_map_with_path(quant, params)
+
+
+def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """[..., K/2, N] uint8 (two signed nibbles) -> [..., K, N] int8."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = ((packed >> 4) & 0xF).astype(jnp.int8)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    inter = jnp.stack([lo, hi], axis=-2)  # [..., K/2, 2, N]
+    return inter.reshape(*packed.shape[:-2], packed.shape[-2] * 2,
+                         packed.shape[-1])
 
 
 def dequantize_tree(params: Dict[str, Any], dtype=None,
@@ -114,13 +144,20 @@ def dequantize_tree(params: Dict[str, Any], dtype=None,
         if _is_quantized(leaf):
             if is_compute_tagged(leaf) and not force:
                 return leaf
-            out_dtype = dtype if dtype is not None else leaf["qdtype"].dtype
-            return (leaf["qvalues"].astype(jnp.float32)
-                    * leaf["qscales"]).astype(out_dtype)
+            return dequantize_leaf(leaf, dtype)
         return leaf
 
     return jax.tree.map(dequant, params,
                         is_leaf=lambda x: _is_quantized(x) or not isinstance(x, (dict, list)))
+
+
+def dequantize_leaf(leaf: Dict[str, Any], dtype=None) -> jnp.ndarray:
+    """Dequantize ONE quantized leaf (int8 or nibble-packed int4) to dtype
+    (falls back to the recorded qdtype token)."""
+    out_dtype = dtype if dtype is not None else leaf["qdtype"].dtype
+    q = (_unpack_int4(leaf["q4values"]) if "q4values" in leaf
+         else leaf["qvalues"])
+    return (q.astype(jnp.float32) * leaf["qscales"]).astype(out_dtype)
 
 
 def strip_dtype_tokens(tree):
@@ -171,7 +208,9 @@ def tag_int8_compute(params: Dict[str, Any],
     for path, leaf in flat:
         names = "/".join(str(getattr(p, "key", p)) for p in path)
         site = next((s for s in COMPUTE_SITES if names.endswith(s)), None)
-        if site is None or not _is_quantized(leaf) or is_compute_tagged(leaf):
+        if (site is None or not _is_quantized(leaf)
+                or is_compute_tagged(leaf)
+                or "qvalues" not in leaf):  # int4-packed: storage-only
             out.append(leaf)
             continue
         nlayers = leaf["qvalues"].shape[0] if stacked else None

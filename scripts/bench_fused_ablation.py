@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--cross", action="store_true",
                     help="ablate FUSED_CROSS_ATTENTION (norm-only cross-attn "
                          "kernel) instead of the self-attn rope+rms fusion")
+    ap.add_argument("--proj_stat", action="store_true",
+                    help="ablate PROJ_STAT_FUSION (row-RMS statistics "
+                         "emitted by the q/k projection matmul epilogues "
+                         "instead of standalone ~100 GB/s reduce passes)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--res", type=int, default=480, choices=(480, 720),
                     help="operating point: 480 -> 32,760 tok (832x480x81f), "
@@ -94,7 +98,15 @@ def main():
                           else "plain"}), flush=True)
         return out, ms
 
-    if args.cross:
+    if args.proj_stat:
+        # everything else at production defaults; toggle only the
+        # producer-fused statistics (geoada must fuse for them to apply)
+        wan_dit.GEOADA_FUSED_QK = True
+        wan_dit.PROJ_STAT_FUSION = False
+        out_u, ms_u = run("separate_stat")
+        wan_dit.PROJ_STAT_FUSION = True
+        out_f, ms_f = run("proj_stat")
+    elif args.cross:
         # self-attn fusion at its production default; toggle only cross
         wan_dit.FUSED_CROSS_ATTENTION = False
         out_u, ms_u = run("unfused_cross")

@@ -56,8 +56,42 @@ def main():
                                 - ref.astype(jnp.float32))))
     scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
     print(json.dumps({"metric": "resident_fused_parity_chip",
-                      "max_abs_diff": err, "ref_max": scale}))
+                      "max_abs_diff": err, "ref_max": scale}), flush=True)
     assert err <= 2e-3, err
+
+    # producer-supplied statistics (kernels/matmul_stat epilogue fusion):
+    # the same kernel fed externally-computed rstats must match the
+    # self-reducing dispatch at fp32-reduce-order noise
+    from versecrafter_tpu.kernels.matmul_stat import linear_rstat
+
+    w = 0.02 * jax.random.normal(ks[0], (D, D), jnp.bfloat16)
+    bias = 0.02 * jax.random.normal(ks[1], (D,), jnp.bfloat16)
+    x = jax.random.normal(ks[2], (B, S, D), jnp.bfloat16)
+
+    @jax.jit
+    def via_epilogue(x):
+        qp, rq = linear_rstat({"kernel": w, "bias": bias}, x)
+        kp, rk = linear_rstat({"kernel": w, "bias": bias}, x)
+        return fa.fused_rope_rms_attention(
+            qp, kp, v, cos, sin, gq, gk, num_heads=N, impl="pallas",
+            rstats=(rq, rk))
+
+    @jax.jit
+    def via_reduce(x):
+        qp = jnp.dot(x, w.astype(x.dtype)) + bias
+        kp = jnp.dot(x, w.astype(x.dtype)) + bias
+        return fa.fused_rope_rms_attention(
+            qp, kp, v, cos, sin, gq, gk, num_heads=N, impl="pallas")
+
+    a = via_epilogue(x)
+    b = via_reduce(x)
+    err2 = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                 - b.astype(jnp.float32))))
+    print(json.dumps({"metric": "proj_stat_fused_parity_chip",
+                      "max_abs_diff": err2,
+                      "ref_max": float(jnp.max(jnp.abs(
+                          b.astype(jnp.float32))))}), flush=True)
+    assert err2 <= 2e-3, err2
 
 
 if __name__ == "__main__":

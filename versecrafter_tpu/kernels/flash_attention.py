@@ -976,6 +976,91 @@ def _fused_qk_diff_bwd(num_heads, eps, sm_scale, window, interpret, res, do):
 _fused_qk_diff.defvjp(_fused_qk_diff_fwd, _fused_qk_diff_bwd)
 
 
+# --------------------------------------------------------------------------
+# producer-supplied-statistic flavor: the q/k projections computed their own
+# row-RMS statistics in the matmul epilogue (kernels/matmul_stat.py), so the
+# dispatch must not re-reduce over [B, S, D] — that standalone pass is the
+# ~2 ms/call, ~100 GB/s wall the epilogue fusion exists to remove.
+# --------------------------------------------------------------------------
+
+def _rms_apply(x, rstat, g):
+    """rms_norm with the row statistic supplied: identical math/rounding to
+    kernels.norms.rms_norm when rstat == rsqrt(mean(x^2, -1) + eps)."""
+    xf = x.astype(jnp.float32)
+    return (xf * rstat * g.astype(jnp.float32)).astype(x.dtype)
+
+
+def _unfused_rope_rms_attention_rs(q, k, v, rq, rk, cos, sin, gq, gk,
+                                   num_heads, eps, sm_scale, window, impl):
+    """Separate-passes reference math with producer-supplied statistics."""
+    from versecrafter_tpu.kernels.rope import apply_rope
+
+    b, s, d = q.shape
+    n = num_heads
+    hd = d // n
+    q = _rms_apply(q, rq, gq)
+    k = _rms_apply(k, rk, gk)
+    q = apply_rope(q.reshape(b, s, n, hd), cos, sin)
+    k = apply_rope(k.reshape(b, s, n, hd), cos, sin)
+    v = v.reshape(b, s, n, hd)
+    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    out = flash_attention(q, k, v, sm_scale=sm_scale, impl=impl,
+                          window_size=window)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
+def _fused_qk_rs_diff(q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i,
+                      num_heads, eps, sm_scale, window, interpret):
+    b, s, d = q.shape
+    n = num_heads
+    hd = d // n
+
+    scale_q = sm_scale * LOG2E
+    gq_heads = gq.astype(jnp.float32).reshape(n, 1, hd)
+    gk_heads = gk.astype(jnp.float32).reshape(n, 1, hd)
+
+    if cos_i is None:
+        cos_i, sin_i = prepare_fused_rope_tables(cos, sin)
+    block_q, block_kv, resident_kv, blocked_tables = \
+        _fused_block_geometry(s, hd, window)
+    k_lens = jnp.full((b,), s, jnp.int32)
+
+    return _flash_attention_fused_pallas(
+        q, k, v, k_lens, rq * scale_q, rk, cos_i, sin_i, gq_heads, gk_heads,
+        head_dim=hd, block_q=block_q, block_kv=block_kv,
+        interpret=interpret, window=window, masked=False,
+        resident_kv=resident_kv, blocked_tables=blocked_tables)
+
+
+def _fused_qk_rs_diff_fwd(q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i,
+                          num_heads, eps, sm_scale, window, interpret):
+    out = _unfused_rope_rms_attention_rs(q, k, v, rq, rk, cos, sin, gq, gk,
+                                         num_heads, eps, sm_scale, window,
+                                         "auto")
+    return out, (q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i)
+
+
+def _fused_qk_rs_diff_bwd(num_heads, eps, sm_scale, window, interpret, res,
+                          do):
+    q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i = res
+
+    def f(q, k, v, rq, rk, gq, gk):
+        return _unfused_rope_rms_attention_rs(
+            q, k, v, rq, rk, cos, sin, gq, gk, num_heads, eps, sm_scale,
+            window, "auto")
+
+    _, vjp = jax.vjp(f, q, k, v, rq, rk, gq, gk)
+    dq, dk, dv, drq, drk, dgq, dgk = vjp(do)
+    return (dq, dk, dv, drq, drk, jnp.zeros_like(cos), jnp.zeros_like(sin),
+            dgq, dgk,
+            None if cos_i is None else jnp.zeros_like(cos_i),
+            None if sin_i is None else jnp.zeros_like(sin_i))
+
+
+_fused_qk_rs_diff.defvjp(_fused_qk_rs_diff_fwd, _fused_qk_rs_diff_bwd)
+
+
 def fused_rope_rms_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -991,10 +1076,16 @@ def fused_rope_rms_attention(
     window_size: tuple = (-1, -1),
     impl: str = "auto",
     tables_i=None,
+    rstats=None,
 ) -> jnp.ndarray:
     """Self-attention over [B, S, D] RAW q/k/v projection outputs with
     qk-RMSNorm (scale gq/gk [D], optional) and RoPE (half-width tables
     cos/sin [S, D/num_heads/2]) fused into the attention kernel.
+
+    rstats: optional (rq, rk) [B, S, 1] fp32 raw row statistics
+    (rsqrt(mean(q^2, -1) + eps)) already computed by the projection matmul
+    epilogue (kernels.matmul_stat.linear_rstat) — the dispatch then skips
+    its own full-model-dim reduces. Requires gq/gk.
 
     Numerics: the inference primal rounds once to bf16 after the in-tile
     fp32 norm+rotate (vs the unfused path's two roundings) and uses bf16
@@ -1018,10 +1109,20 @@ def fused_rope_rms_attention(
     # head_dim is 128)
     bad_hd = jax.default_backend() == "tpu" and hd % 128 != 0
     if impl == "xla" or bad_hd or table_bytes > MAX_TABLE_BYTES:
+        if rstats is not None and gq is not None:
+            return _unfused_rope_rms_attention_rs(
+                q, k, v, rstats[0], rstats[1], cos, sin, gq, gk, num_heads,
+                eps, sm_scale, window_size, impl)
         return _unfused_rope_rms_attention(
             q, k, v, cos, sin, gq, gk, num_heads, eps, sm_scale,
             window_size, impl)
     cos_i, sin_i = tables_i if tables_i is not None else (None, None)
+    if rstats is not None and gq is not None:
+        return _fused_qk_rs_diff(
+            q, k, v, rstats[0], rstats[1], cos, sin, gq, gk, cos_i, sin_i,
+            num_heads, float(eps), float(sm_scale),
+            (int(window_size[0]), int(window_size[1])),
+            jax.default_backend() != "tpu")
     return _fused_qk_diff(
         q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads, float(eps),
         float(sm_scale), (int(window_size[0]), int(window_size[1])),
@@ -1103,6 +1204,69 @@ def _fused_cross_diff_bwd(num_heads, eps, sm_scale, interpret, res, do):
 _fused_cross_diff.defvjp(_fused_cross_diff_fwd, _fused_cross_diff_bwd)
 
 
+def _unfused_rms_cross_attention_rs(q, k, v, rq, gq, gk, num_heads, eps,
+                                    sm_scale, impl):
+    """Cross-attention reference math with a producer-supplied q statistic
+    (the k statistic spans only the short context axis and stays a plain
+    rms_norm)."""
+    from versecrafter_tpu.kernels.norms import rms_norm
+
+    b, s, d = q.shape
+    n = num_heads
+    hd = d // n
+    q = _rms_apply(q, rq, gq)
+    k = rms_norm(k, gk, eps)
+    q = q.reshape(b, s, n, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, -1, n, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, -1, n, hd).transpose(0, 2, 1, 3)
+    out = flash_attention(q, k, v, sm_scale=sm_scale, impl=impl)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused_cross_rs_diff(q, k, v, rq, gq, gk, num_heads, eps, sm_scale,
+                         interpret):
+    b, s, d = q.shape
+    n = num_heads
+    hd = d // n
+    skv = k.shape[1]
+
+    scale_q = sm_scale * LOG2E
+    kf = k.astype(jnp.float32)
+    # the k statistic spans [B, 512, D] — negligible next to the video axis
+    rk = jax.lax.rsqrt(jnp.mean(kf * kf, axis=-1, keepdims=True) + eps)
+    gq_heads = gq.astype(jnp.float32).reshape(n, 1, hd)
+    gk_heads = gk.astype(jnp.float32).reshape(n, 1, hd)
+
+    return _flash_attention_fused_pallas(
+        q, k, v, jnp.full((b,), skv, jnp.int32), rq * scale_q, rk, None,
+        None, gq_heads, gk_heads, head_dim=hd, block_q=_pick_block_q(s),
+        block_kv=min(1024, _ceil_to(skv, 128)), interpret=interpret,
+        masked=False)
+
+
+def _fused_cross_rs_diff_fwd(q, k, v, rq, gq, gk, num_heads, eps, sm_scale,
+                             interpret):
+    out = _unfused_rms_cross_attention_rs(q, k, v, rq, gq, gk, num_heads,
+                                          eps, sm_scale, "auto")
+    return out, (q, k, v, rq, gq, gk)
+
+
+def _fused_cross_rs_diff_bwd(num_heads, eps, sm_scale, interpret, res, do):
+    q, k, v, rq, gq, gk = res
+
+    def f(q, k, v, rq, gq, gk):
+        return _unfused_rms_cross_attention_rs(q, k, v, rq, gq, gk,
+                                               num_heads, eps, sm_scale,
+                                               "auto")
+
+    _, vjp = jax.vjp(f, q, k, v, rq, gq, gk)
+    return vjp(do)
+
+
+_fused_cross_rs_diff.defvjp(_fused_cross_rs_diff_fwd, _fused_cross_rs_diff_bwd)
+
+
 def fused_rms_cross_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -1114,6 +1278,7 @@ def fused_rms_cross_attention(
     eps: float = 1e-6,
     sm_scale: Optional[float] = None,
     impl: str = "auto",
+    rq: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Cross-attention over RAW projection outputs q [B, S, D] (video
     tokens) and k/v [B, Skv, D] (context tokens, e.g. 512 text tokens) with
@@ -1121,7 +1286,11 @@ def fused_rms_cross_attention(
     fused_rope_rms_attention: removes the separate q-RMS pass over the long
     video axis and both [B,S,D]<->[B,N,S,D] relayouts. Same numerics/grad
     contract: inference primal is the fused exp2 kernel, under jax.grad the
-    unfused path runs."""
+    unfused path runs.
+
+    rq: optional [B, S, 1] fp32 raw q row statistic from the projection
+    matmul epilogue (kernels.matmul_stat.linear_rstat) — skips the
+    dispatch's own video-axis reduce. Requires gq."""
     hd = q.shape[-1] // num_heads
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(hd)
@@ -1131,9 +1300,17 @@ def fused_rms_cross_attention(
     # tile the 128-lane register exactly on real hardware
     bad_hd = jax.default_backend() == "tpu" and hd % 128 != 0
     if impl == "xla" or bad_hd:
+        if rq is not None and gq is not None:
+            return _unfused_rms_cross_attention_rs(
+                q, k, v, rq, gq, gk, num_heads, eps, sm_scale,
+                "auto" if bad_hd else impl)
         return _unfused_rms_cross_attention(q, k, v, gq, gk, num_heads, eps,
                                             sm_scale, "auto" if bad_hd
                                             else impl)
+    if rq is not None and gq is not None:
+        return _fused_cross_rs_diff(q, k, v, rq, gq, gk, num_heads,
+                                    float(eps), float(sm_scale),
+                                    jax.default_backend() != "tpu")
     return _fused_cross_diff(q, k, v, gq, gk, num_heads, float(eps),
                              float(sm_scale),
                              jax.default_backend() != "tpu")

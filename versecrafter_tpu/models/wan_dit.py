@@ -38,6 +38,7 @@ from versecrafter_tpu.core.config import WanDiTConfig
 from versecrafter_tpu.kernels.flash_attention import (
     flash_attention, fused_rms_cross_attention, fused_rope_rms_attention,
     resident_kv_available)
+from versecrafter_tpu.kernels.matmul_stat import linear_rstat
 from versecrafter_tpu.kernels.norms import layer_norm, rms_norm
 from versecrafter_tpu.kernels.rope import apply_rope
 
@@ -76,6 +77,15 @@ FUSED_CROSS_ATTENTION = True
 # structure was never the cause (the resident-KV kernel mode was the fix),
 # so the interleaved superstep stays the default everywhere.
 GEOADA_STACKED_HINTS = False
+
+# Compute the qk-RMS row statistics in the q/k projection matmul epilogues
+# (kernels/matmul_stat.linear_rstat) instead of as standalone [B,S,D]->[B,S,1]
+# passes. The standalone statistic is stuck at ~100 GB/s however it is
+# computed (~2 ms/call, ~190 ms/step across a CFG-2 forward — round-3
+# /tmp/rowstat_* measurements); the epilogue emits it while the projection
+# output tile is still in VMEM. Only applies on the fused-attention path
+# with plain (unquantized) kernels.
+PROJ_STAT_FUSION = True
 
 
 # ---------------------------------------------------------------------------
@@ -289,10 +299,21 @@ def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
         calib["self_attn/q/kernel"] = _amax(x)
         calib["self_attn/k/kernel"] = calib["self_attn/q/kernel"]
         calib["self_attn/v/kernel"] = calib["self_attn/q/kernel"]
-    q = _linear(p["q"], x)
-    k = _linear(p["k"], x)
+    fused_path = attn_impl != "sp" and fuse_qk
+    rstats = None
+    if (fused_path and qk_norm and PROJ_STAT_FUSION
+            and not isinstance(p["q"]["kernel"], dict)
+            and not isinstance(p["k"]["kernel"], dict)):
+        # q/k projections emit their own row-RMS statistics in the matmul
+        # epilogue — no standalone [B,S,D] reduce passes
+        q, rq = linear_rstat(p["q"], x, eps)
+        k, rk = linear_rstat(p["k"], x, eps)
+        rstats = (rq, rk)
+    else:
+        q = _linear(p["q"], x)
+        k = _linear(p["k"], x)
     v = _linear(p["v"], x)
-    if attn_impl != "sp" and fuse_qk:
+    if fused_path:
         # norm + rope fused into the attention kernel (no separate
         # fp32-bandwidth passes; unfused reference math on non-pallas
         # backends — see kernels.flash_attention.fused_rope_rms_attention)
@@ -301,7 +322,7 @@ def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
             p["norm_q"]["scale"] if qk_norm else None,
             p["norm_k"]["scale"] if qk_norm else None,
             num_heads=n, eps=eps, window_size=window_size, impl=attn_impl,
-            tables_i=rope_i)
+            tables_i=rope_i, rstats=rstats)
         if calib is not None:
             calib["self_attn/o/kernel"] = _amax(out)
         return _linear(p["o"], out)
@@ -341,10 +362,18 @@ def _cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
         calib["cross_attn/q/kernel"] = _amax(x)
         calib["cross_attn/k/kernel"] = _amax(context)
         calib["cross_attn/v/kernel"] = calib["cross_attn/k/kernel"]
-    q = _linear(p["q"], x)
+    fused_path = attn_impl != "sp" and fuse_qk and context_img is None
+    rq = None
+    if (fused_path and qk_norm and PROJ_STAT_FUSION
+            and not isinstance(p["q"]["kernel"], dict)):
+        # q projection emits its own row-RMS statistic in the matmul
+        # epilogue (the k statistic spans only the 512 context tokens)
+        q, rq = linear_rstat(p["q"], x, eps)
+    else:
+        q = _linear(p["q"], x)
     k = _linear(p["k"], context)
     v = _linear(p["v"], context)
-    if attn_impl != "sp" and fuse_qk and context_img is None:
+    if fused_path:
         # norm fused into the kernel; removes the q-RMS pass over the long
         # video axis and the [B,S,D]<->[B,N,S,D] relayouts (the i2v img-KV
         # branch keeps the separate-passes path below)
@@ -352,7 +381,7 @@ def _cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
             q, k, v,
             p["norm_q"]["scale"] if qk_norm else None,
             p["norm_k"]["scale"] if qk_norm else None,
-            num_heads=n, eps=eps, impl=attn_impl)
+            num_heads=n, eps=eps, impl=attn_impl, rq=rq)
         if calib is not None:
             calib["cross_attn/o/kernel"] = _amax(out)
         return _linear(p["o"], out)

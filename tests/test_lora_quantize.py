@@ -166,3 +166,60 @@ def test_stacked_bias_and_norm_leaves_never_quantize():
     assert not isinstance(q["blocks"]["norm3"]["scale"], dict)    # untouched
     # scales reduce the true input axis, giving per-output-channel columns
     assert q["blocks"]["ffn_in"]["kernel"]["qscales"].shape == (4, 1, 256)
+
+
+def test_int4_groupwise_scales():
+    """bits=4 defaults to 128-row group scales when the contracting dim
+    allows: per-group error bound holds, and a leaf with an outlier row
+    quantizes strictly better than forced per-channel scales."""
+    import versecrafter_tpu.utils.quantize as qz
+
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((512, 256)).astype(np.float32)
+    w[3, :] *= 50.0  # outlier row poisons a per-channel scale
+    tree = {"a": {"kernel": jnp.asarray(w)}}
+
+    q4g = qz.quantize_tree(tree, bits=4)  # auto: grouped (512 % 128 == 0)
+    leaf = q4g["a"]["kernel"]
+    assert leaf["qscales"].shape == (4, 1, 256)
+    got = np.asarray(qz.dequantize_tree(q4g)["a"]["kernel"])
+    bound = np.abs(w.reshape(4, 128, 256)).max(1, keepdims=True) / 7.0 + 1e-6
+    assert (np.abs((got - w).reshape(4, 128, 256)) <= bound * 0.51).all()
+
+    q4c = qz.quantize_tree(tree, bits=4, group_size=0)  # force per-channel
+    assert q4c["a"]["kernel"]["qscales"].shape == (1, 256)
+    got_c = np.asarray(qz.dequantize_tree(q4c)["a"]["kernel"])
+    # error away from the outlier row: grouped must be much tighter
+    err_g = np.abs(got - w)[128:].max()
+    err_c = np.abs(got_c - w)[128:].max()
+    assert err_g < err_c / 4, (err_g, err_c)
+
+
+def test_int4_groupwise_stacked_scan_slicing():
+    """Stacked [L, K, N] leaves: grouped scales are [L, K/g, 1, N] and the
+    jitted per-layer path still dequantizes correctly."""
+    import versecrafter_tpu.utils.quantize as qz
+
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.standard_normal((3, 256, 128)), jnp.float32)
+    q = qz.quantize_tree({"k": {"kernel": w}}, bits=4)["k"]["kernel"]
+    assert q["qscales"].shape == (3, 2, 1, 128)
+    deq = jax.jit(qz.dequantize_leaf)(q)
+    assert deq.shape == w.shape
+    assert float(jnp.abs(deq - w).max()) < float(jnp.abs(w).max()) / 7.0 + 1e-5
+
+
+def test_int8_compute_tag_skips_groupwise():
+    """tag_int8_compute must not tag group-scaled int8 leaves (the MXU dot
+    epilogue folds one per-channel scale)."""
+    import versecrafter_tpu.utils.quantize as qz
+
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.standard_normal((512, 256)), jnp.float32)
+    tree = {"blocks": {"ffn_in": {"kernel": w}}}
+    qg = qz.quantize_tree(tree, bits=8, group_size=64)
+    tagged = qz.tag_int8_compute(qg)
+    assert not qz.is_compute_tagged(tagged["blocks"]["ffn_in"]["kernel"])
+    qc = qz.quantize_tree(tree, bits=8)
+    tagged_c = qz.tag_int8_compute(qc)
+    assert qz.is_compute_tagged(tagged_c["blocks"]["ffn_in"]["kernel"])

@@ -63,7 +63,8 @@ def _dtype_token(dtype) -> "jnp.ndarray":
     return jnp.zeros((0,), dtype)
 
 
-def quantize_tree(params: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
+def quantize_tree(params: Dict[str, Any], bits: int = 8,
+                  group_size: Optional[int] = None) -> Dict[str, Any]:
     """Replace big weight leaves with {'qvalues': int8, 'qscales': f32}.
 
     bits=4 stores NIBBLE-PACKED weights instead ({'q4values': uint8 with
@@ -72,6 +73,12 @@ def quantize_tree(params: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
     32,760-token step beside it on one 16 GB v5e). jnp.int4 is NOT packed
     in memory (1 byte/element), hence the manual packing; dequantize_tree
     unpacks in-graph where XLA fuses it with the scale-multiply.
+
+    group_size: contracting-axis scale granularity. None = auto: bits=8
+    keeps per-channel scales (int8 is fine-grained enough); bits=4 uses
+    128-row groups when the dim allows (15 quantization levels need the
+    finer granularity — halves the tail error for ~6% scale overhead,
+    qscales [..., K/g, 1, N] f32). Explicit 0 forces per-channel.
 
     Sharding-preserving: when a leaf is sharded over a mesh (quantize after
     pipeline.set_mesh), qvalues keep the LEAF's sharding and qscales keep it
@@ -92,9 +99,21 @@ def quantize_tree(params: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
                 or not jnp.issubdtype(leaf.dtype, jnp.floating)):
             return leaf
         qmax = 127.0 if bits == 8 else 7.0
-        absmax = jnp.max(jnp.abs(leaf.astype(jnp.float32)), axis=-2, keepdims=True)
-        scale = jnp.maximum(absmax, 1e-8) / qmax
-        q = jnp.clip(jnp.round(leaf.astype(jnp.float32) / scale), -qmax, qmax)
+        kdim = leaf.shape[-2]
+        g = group_size if group_size is not None else (
+            128 if bits == 4 else 0)
+        grouped = bool(g) and g < kdim and kdim % g == 0 and g % 2 == 0
+        lf = leaf.astype(jnp.float32)
+        if grouped:
+            lg = lf.reshape(*leaf.shape[:-2], kdim // g, g, leaf.shape[-1])
+            absmax = jnp.max(jnp.abs(lg), axis=-2, keepdims=True)
+            scale = jnp.maximum(absmax, 1e-8) / qmax  # [..., K/g, 1, N]
+            q = jnp.clip(jnp.round(lg / scale), -qmax, qmax)
+            q = q.reshape(lf.shape)
+        else:
+            absmax = jnp.max(jnp.abs(lf), axis=-2, keepdims=True)
+            scale = jnp.maximum(absmax, 1e-8) / qmax
+            q = jnp.clip(jnp.round(lf / scale), -qmax, qmax)
         scale = scale.astype(jnp.float32)
         if bits == 4:
             if leaf.shape[-2] % 2:
@@ -111,6 +130,9 @@ def quantize_tree(params: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
             vals = jax.device_put(vals, sh)
             spec = list(sh.spec) + [None] * (leaf.ndim - len(sh.spec))
             spec[-2] = None  # reduced axis has size 1 now
+            if grouped:
+                # [..., K/g, 1, N]: group + reduced axes both unsharded
+                spec = spec[:-2] + [None, None, spec[-1]]
             scale = jax.device_put(
                 scale, NamedSharding(sh.mesh, PartitionSpec(*spec)))
         return {key: vals, "qscales": scale,
@@ -152,12 +174,20 @@ def dequantize_tree(params: Dict[str, Any], dtype=None,
 
 
 def dequantize_leaf(leaf: Dict[str, Any], dtype=None) -> jnp.ndarray:
-    """Dequantize ONE quantized leaf (int8 or nibble-packed int4) to dtype
-    (falls back to the recorded qdtype token)."""
+    """Dequantize ONE quantized leaf (int8 or nibble-packed int4; per-channel
+    or group-wise scales) to dtype (falls back to the recorded qdtype
+    token)."""
     out_dtype = dtype if dtype is not None else leaf["qdtype"].dtype
     q = (_unpack_int4(leaf["q4values"]) if "q4values" in leaf
          else leaf["qvalues"])
-    return (q.astype(jnp.float32) * leaf["qscales"]).astype(out_dtype)
+    scale = leaf["qscales"]
+    if scale.ndim == q.ndim + 1:
+        # group-wise [..., K/g, 1, N] (quantize_tree group_size)
+        gct = scale.shape[-3]
+        qg = q.astype(jnp.float32).reshape(
+            *q.shape[:-2], gct, q.shape[-2] // gct, q.shape[-1])
+        return (qg * scale).reshape(q.shape).astype(out_dtype)
+    return (q.astype(jnp.float32) * scale).astype(out_dtype)
 
 
 def strip_dtype_tokens(tree):
@@ -210,7 +240,10 @@ def tag_int8_compute(params: Dict[str, Any],
         site = next((s for s in COMPUTE_SITES if names.endswith(s)), None)
         if (site is None or not _is_quantized(leaf)
                 or is_compute_tagged(leaf)
-                or "qvalues" not in leaf):  # int4-packed: storage-only
+                or "qvalues" not in leaf  # int4-packed: storage-only
+                or leaf["qscales"].ndim != leaf["qvalues"].ndim):
+            # (the last: group-wise scales — the s8xs8 MXU dot folds ONE
+            # per-channel scale into its epilogue, not K/g of them)
             out.append(leaf)
             continue
         nlayers = leaf["qvalues"].shape[0] if stacked else None

@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--cross", action="store_true",
                     help="ablate FUSED_CROSS_ATTENTION (norm-only cross-attn "
                          "kernel) instead of the self-attn rope+rms fusion")
+    ap.add_argument("--int8_attn", action="store_true",
+                    help="ablate INT8_QK_SCORE (s8 x s8 -> s32 QK^T inside "
+                         "the fused kernel, ~2x bf16 MXU rate; the "
+                         "max_abs_diff row doubles as the chip-scale "
+                         "accuracy envelope)")
     ap.add_argument("--proj_stat", action="store_true",
                     help="ablate PROJ_STAT_FUSION (row-RMS statistics "
                          "emitted by the q/k projection matmul epilogues "
@@ -98,7 +103,15 @@ def main():
                           else "plain"}), flush=True)
         return out, ms
 
-    if args.proj_stat:
+    if args.int8_attn:
+        # everything else at production defaults (fused attention on)
+        wan_dit.GEOADA_FUSED_QK = True
+        wan_dit.INT8_QK_SCORE = False
+        out_u, ms_u = run("bf16_score")
+        wan_dit.INT8_QK_SCORE = True
+        out_f, ms_f = run("int8_score")
+        wan_dit.INT8_QK_SCORE = False
+    elif args.proj_stat:
         # everything else at production defaults; toggle only the
         # producer-fused statistics (geoada must fuse for them to apply)
         wan_dit.GEOADA_FUSED_QK = True

@@ -491,3 +491,37 @@ def test_run_generate_request_quantize_bits4(tmp_path):
     leaf = pipe.dit_params["blocks"]["ffn_in"]["kernel"]
     assert isinstance(leaf, dict) and "q4values" in leaf
     assert np.isfinite(np.asarray(video, np.float32)).all()
+
+
+def test_run_generate_request_int8_attention_restored(tmp_path):
+    """int8_attention rides the generate params and is restored after the
+    request (module-global kernel toggle, teacache-style save/restore)."""
+    import numpy as np
+
+    from versecrafter_tpu.models import wan_dit
+    from versecrafter_tpu.serve.model_server import (
+        default_pipeline_factory, run_generate_request)
+    from versecrafter_tpu.utils.video import save_image, save_video
+
+    rng = np.random.default_rng(0)
+    t, h, w = 5, 16, 16
+    maps = tmp_path / "maps"
+    maps.mkdir()
+    save_image(rng.random((h, w, 3)).astype(np.float32),
+               str(tmp_path / "0001.png"))
+    for name in ["background_RGB", "background_depth", "3D_gaussian_RGB",
+                 "3D_gaussian_depth", "merged_mask"]:
+        save_video(rng.random((t, h, w, 3)).astype(np.float32),
+                   str(maps / f"{name}.mp4"), fps=5)
+
+    pipe = default_pipeline_factory(scale="tiny")()
+    assert not wan_dit.INT8_QK_SCORE
+    video = run_generate_request(pipe, {
+        "rendering_maps_path": str(maps),
+        "input_image_path": str(tmp_path / "0001.png"),
+        "prompt": "int8attn", "height": h, "width": w, "num_frames": t,
+        "num_inference_steps": 1, "guidance_scale": 1.0, "fps": 5,
+        "int8_attention": True,
+    }, lambda i, n: None)
+    assert not wan_dit.INT8_QK_SCORE  # restored
+    assert np.isfinite(np.asarray(video, np.float32)).all()

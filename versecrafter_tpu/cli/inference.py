@@ -58,6 +58,10 @@ def parse_args(argv=None):
     p.add_argument("--int8_compute", action="store_true",
                    help="with --quantize_int8 (implied): run block matmuls "
                         "as W8A8 int8 MXU dots (~2x bf16 throughput)")
+    p.add_argument("--int8_attention", action="store_true",
+                   help="int8 QK^T scoring inside the fused attention "
+                        "kernel (~2x bf16 MXU rate; inference-only "
+                        "approximation, per-row scales)")
     p.add_argument("--quantize_bits", type=int, default=8, choices=(8, 4),
                    help="with --quantize_int8: weight storage width; 4 = "
                         "nibble-packed (half the HBM, coarser scales, "
@@ -128,6 +132,8 @@ def main(argv=None):
     if args.quantize_int8 or args.int8_compute:
         pipe.quantize_weights(int8_compute=args.int8_compute,
                               bits=args.quantize_bits)
+    if args.int8_attention:
+        pipe.enable_int8_attention()
 
     def progress(i, n):
         print(f"denoise {i} / {n}", flush=True)

@@ -89,7 +89,7 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
                block_kv: int, num_kv_blocks: int, window: tuple,
                masked: bool, stats: bool, fused: bool, interpret: bool,
                rope: bool = True, resident_kv: bool = False,
-               blocked_tables: bool = False):
+               blocked_tables: bool = False, int8_score: bool = False):
     """sm_scale is pre-folded into q by the caller (one [B,N,S,D] multiply
     instead of a per-tile [bq,bkv] one — every elementwise op on the score
     tile costs real VPU time).
@@ -124,22 +124,31 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
       transformed) once per (b,h) instead of once per q block — removes the
       (n_q - 1)x redundant strided re-streaming of K/V that makes the flat
       layout's DMA the kernel's weak spot inside large programs.
+    - int8_score=True (fused rope flavors, inference): the transformed q/k
+      tiles are quantized PER ROW to int8 (q once per q block, k once per
+      (b,h) in resident mode — the resident K scratch is then int8, half
+      the VMEM) and QK^T runs as an s8 x s8 -> s32 MXU dot (v5e rates int8
+      at ~2x bf16); the per-row scales multiply back into the fp32 score
+      tile before the softmax. sm_scale*log2e stays folded (it rides the
+      q scales). PV stays bf16. SageAttention-style, but with per-row
+      rather than per-tile granularity.
     """
     krot_ref = None
     cosq_ref = sinq_ref = cosk_ref = sink_ref = None
+    qk8 = ()
     if fused and rope and resident_kv and blocked_tables:
         # tile-mapped tables (long-sequence resident mode): cos/sin arrive
         # as the CURRENT q-row / k-row tile, not the full table
         (qs_ref, ks_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref,
          gq_ref, gk_ref,
-         o_ref, m_ref, l_ref, acc_ref, qrot_ref, krot_ref) = rest
+         o_ref, m_ref, l_ref, acc_ref, qrot_ref, krot_ref, *qk8) = rest
         cos_ref = sin_ref = None
     elif fused and rope and resident_kv:
         (qs_ref, ks_ref, cos_ref, sin_ref, gq_ref, gk_ref,
-         o_ref, m_ref, l_ref, acc_ref, qrot_ref, krot_ref) = rest
+         o_ref, m_ref, l_ref, acc_ref, qrot_ref, krot_ref, *qk8) = rest
     elif fused and rope:
         (qs_ref, ks_ref, cos_ref, sin_ref, gq_ref, gk_ref,
-         o_ref, m_ref, l_ref, acc_ref, qrot_ref) = rest
+         o_ref, m_ref, l_ref, acc_ref, qrot_ref, *qk8) = rest
     elif fused:  # norm-only (cross-attention): no rope tables at all
         (qs_ref, ks_ref, gq_ref, gk_ref,
          o_ref, m_ref, l_ref, acc_ref, qrot_ref) = rest
@@ -148,6 +157,18 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
         o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, m_ref, l_ref, acc_ref = rest
+    # int8 scoring scratches: per-row q scales [bq, LANES], and (resident)
+    # per-row k scales in score-column orientation [1, skv_pad]
+    qscale_ref = qk8[0] if int8_score else None
+    kscale_ref = qk8[1] if (int8_score and resident_kv) else None
+
+    def _quant_rows(t):
+        """Transformed tile [rows, D] -> (int8 tile, [rows, 1] f32 scale)."""
+        tf = t.astype(jnp.float32)
+        sc = jnp.maximum(jnp.max(jnp.abs(tf), axis=1, keepdims=True),
+                         1e-20) / 127.0
+        return jnp.round(tf / sc).astype(jnp.int8), sc
+
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ikv = pl.program_id(3)
@@ -168,8 +189,14 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
             else:
                 ct = cos_ref[pl.ds(iq * block_q, block_q), :]
                 st = sin_ref[pl.ds(iq * block_q, block_q), :]
-            qrot_ref[...] = _qk_transform(
+            qt = _qk_transform(
                 q_ref[0], qs_ref[0], gq_ref[0], ct, st, interpret)
+            if int8_score:
+                q8, qsc = _quant_rows(qt)
+                qrot_ref[...] = q8
+                qscale_ref[...] = jnp.broadcast_to(qsc, qscale_ref.shape)
+            else:
+                qrot_ref[...] = qt
 
     # Skip KV tiles entirely past this batch element's true KV length, and
     # (for sliding-window attention) tiles fully outside the window of every
@@ -201,14 +228,23 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
                 ct, st = cos_ref[kv_slice, :], sin_ref[kv_slice, :]
             # ks_ref is tile-mapped with k's rotate-once map: ks_ref[0] IS
             # the current kv tile's row stats
-            krot_ref[kv_slice, :] = _qk_transform(
+            kt = _qk_transform(
                 k_ref[0], ks_ref[0], gk_ref[0], ct, st, interpret)
+            if int8_score:
+                k8, ksc = _quant_rows(kt)
+                krot_ref[kv_slice, :] = k8
+                kscale_ref[:, kv_slice] = ksc.reshape(1, -1)
+            else:
+                krot_ref[kv_slice, :] = kt
 
     def _body(apply_mask: bool):
+        kscale_cols = None
         if fused and resident_kv:
             q = qrot_ref[...]
             kv_slice = pl.ds(ikv * block_kv, block_kv)
             k = krot_ref[kv_slice, :]
+            if int8_score:
+                kscale_cols = kscale_ref[:, kv_slice]  # [1, bkv]
         elif fused:
             q = qrot_ref[...]  # [bq, D] (transformed once at ikv == 0)
             k = _qk_transform(
@@ -217,12 +253,21 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
                 else cos_ref[pl.ds(ikv * block_kv, block_kv), :],
                 None if sin_ref is None
                 else sin_ref[pl.ds(ikv * block_kv, block_kv), :], interpret)
+            if int8_score:
+                k, ksc = _quant_rows(k)
+                kscale_cols = ksc.reshape(1, -1)
         else:
             q = q_ref[0, 0]  # [bq, D]
             k = k_ref[0, 0]  # [bkv, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        if int8_score:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            s = s * qscale_ref[:, :1] * kscale_cols
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         if apply_mask:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
@@ -689,13 +734,13 @@ def _resident_kv_vmem_bytes(sq_pad: int, skv_pad: int, block_q: int,
 @functools.partial(
     jax.jit,
     static_argnames=("head_dim", "block_q", "block_kv", "interpret", "window",
-                     "masked", "resident_kv", "blocked_tables"),
+                     "masked", "resident_kv", "blocked_tables", "int8_score"),
 )
 def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
                                   cos_i, sin_i, gq, gk, *, head_dim, block_q,
                                   block_kv, interpret, window=(-1, -1),
                                   masked=True, resident_kv=False,
-                                  blocked_tables=False):
+                                  blocked_tables=False, int8_score=False):
     """q/k/v [B, S, N*head_dim] RAW projection outputs (native layout — the
     per-head slice is selected by the LANE-dim block index, so no relayout
     ever materializes); rstat_[qk] [B, S, 1] fp32 per-row rsqrt stats
@@ -742,12 +787,14 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
     # did for the [B,N,S,D] kernel).
     resident_kv = resident_kv and rope
     blocked_tables = blocked_tables and resident_kv
+    int8_score = int8_score and rope  # rope flavors only (not cross-attn)
 
     kernel = functools.partial(
         _fa_kernel, block_q=block_q, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, window=window, masked=masked,
         stats=False, fused=True, interpret=interpret, rope=rope,
         resident_kv=resident_kv, blocked_tables=blocked_tables,
+        int8_score=int8_score,
     )
 
     const2 = lambda *_: (0, 0)
@@ -793,7 +840,10 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
         ks_spec = pl.BlockSpec(
             (1, block_kv, 1),
             lambda b, h, iq, ikv, *_: (b, jnp.where(iq == 0, ikv, 0), 0))
-        extra_scratch = [pltpu.VMEM((skv_pad, D), q.dtype)]  # rotated K
+        # rotated K resident: int8 scoring stores the QUANTIZED rows (half
+        # the VMEM of the bf16 resident)
+        extra_scratch = [pltpu.VMEM(
+            (skv_pad, D), jnp.int8 if int8_score else q.dtype)]
     else:
         k_spec = pl.BlockSpec((1, block_kv, D),
                               lambda b, h, iq, ikv, *_: (b, ikv, h))
@@ -826,8 +876,14 @@ def _flash_attention_fused_pallas(q, k, v, k_lens, rstat_q, rstat_k,
                 pltpu.VMEM((block_q, LANES), jnp.float32),
                 pltpu.VMEM((block_q, LANES), jnp.float32),
                 pltpu.VMEM((block_q, D), jnp.float32),
-                pltpu.VMEM((block_q, D), q.dtype),  # transformed q tile
+                # transformed q tile (quantized rows under int8 scoring)
+                pltpu.VMEM((block_q, D),
+                           jnp.int8 if int8_score else q.dtype),
                 *extra_scratch,
+                *([pltpu.VMEM((block_q, LANES), jnp.float32)]
+                  if int8_score else []),        # per-row q scales
+                *([pltpu.VMEM((1, skv_pad), jnp.float32)]
+                  if int8_score and resident_kv else []),  # k scales
             ],
         ),
         compiler_params=pltpu.CompilerParams(
@@ -904,9 +960,10 @@ def prepare_fused_rope_tables(cos, sin, block_kv: int = 1024,
     return ci, si
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def _fused_qk_diff(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads, eps,
-                   sm_scale, window, interpret):
+                   sm_scale, window, interpret, int8_score=False):
     b, s, d = q.shape
     n = num_heads
     hd = d // n
@@ -944,11 +1001,12 @@ def _fused_qk_diff(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads, eps,
         q, k, v, k_lens, rq, rk, cos_i, sin_i, gq_heads, gk_heads,
         head_dim=hd, block_q=block_q, block_kv=block_kv,
         interpret=interpret, window=window, masked=False,
-        resident_kv=resident_kv, blocked_tables=blocked_tables)
+        resident_kv=resident_kv, blocked_tables=blocked_tables,
+        int8_score=int8_score)
 
 
 def _fused_qk_diff_fwd(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads,
-                       eps, sm_scale, window, interpret):
+                       eps, sm_scale, window, interpret, int8_score=False):
     # under jax.grad the forward runs the UNFUSED math — training keeps the
     # stats-path numerics rule (see _fa_kernel docstring); the fused exp2
     # kernel stays inference-only
@@ -957,7 +1015,8 @@ def _fused_qk_diff_fwd(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads,
     return out, (q, k, v, cos, sin, gq, gk, cos_i, sin_i)
 
 
-def _fused_qk_diff_bwd(num_heads, eps, sm_scale, window, interpret, res, do):
+def _fused_qk_diff_bwd(num_heads, eps, sm_scale, window, interpret,
+                       int8_score, res, do):
     q, k, v, cos, sin, gq, gk, cos_i, sin_i = res
 
     def f(q, k, v, gq, gk):
@@ -1009,9 +1068,11 @@ def _unfused_rope_rms_attention_rs(q, k, v, rq, rk, cos, sin, gq, gk,
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(11, 12, 13, 14, 15, 16))
 def _fused_qk_rs_diff(q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i,
-                      num_heads, eps, sm_scale, window, interpret):
+                      num_heads, eps, sm_scale, window, interpret,
+                      int8_score=False):
     b, s, d = q.shape
     n = num_heads
     hd = d // n
@@ -1030,19 +1091,21 @@ def _fused_qk_rs_diff(q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i,
         q, k, v, k_lens, rq * scale_q, rk, cos_i, sin_i, gq_heads, gk_heads,
         head_dim=hd, block_q=block_q, block_kv=block_kv,
         interpret=interpret, window=window, masked=False,
-        resident_kv=resident_kv, blocked_tables=blocked_tables)
+        resident_kv=resident_kv, blocked_tables=blocked_tables,
+        int8_score=int8_score)
 
 
 def _fused_qk_rs_diff_fwd(q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i,
-                          num_heads, eps, sm_scale, window, interpret):
+                          num_heads, eps, sm_scale, window, interpret,
+                          int8_score=False):
     out = _unfused_rope_rms_attention_rs(q, k, v, rq, rk, cos, sin, gq, gk,
                                          num_heads, eps, sm_scale, window,
                                          "auto")
     return out, (q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i)
 
 
-def _fused_qk_rs_diff_bwd(num_heads, eps, sm_scale, window, interpret, res,
-                          do):
+def _fused_qk_rs_diff_bwd(num_heads, eps, sm_scale, window, interpret,
+                          int8_score, res, do):
     q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i = res
 
     def f(q, k, v, rq, rk, gq, gk):
@@ -1077,6 +1140,7 @@ def fused_rope_rms_attention(
     impl: str = "auto",
     tables_i=None,
     rstats=None,
+    int8_score: bool = False,
 ) -> jnp.ndarray:
     """Self-attention over [B, S, D] RAW q/k/v projection outputs with
     qk-RMSNorm (scale gq/gk [D], optional) and RoPE (half-width tables
@@ -1086,6 +1150,12 @@ def fused_rope_rms_attention(
     (rsqrt(mean(q^2, -1) + eps)) already computed by the projection matmul
     epilogue (kernels.matmul_stat.linear_rstat) — the dispatch then skips
     its own full-model-dim reduces. Requires gq/gk.
+
+    int8_score: quantize the transformed q/k tiles per row to int8 inside
+    the kernel and run QK^T as an s8 x s8 -> s32 MXU dot (~2x bf16 rate on
+    v5e); PV stays bf16. Inference-only approximation (per-row scales;
+    softmax damps the ~1/127-relative score noise) — ignored on the
+    unfused/xla fallbacks and under jax.grad, which keep exact bf16 math.
 
     Numerics: the inference primal rounds once to bf16 after the in-tile
     fp32 norm+rotate (vs the unfused path's two roundings) and uses bf16
@@ -1122,11 +1192,11 @@ def fused_rope_rms_attention(
             q, k, v, rstats[0], rstats[1], cos, sin, gq, gk, cos_i, sin_i,
             num_heads, float(eps), float(sm_scale),
             (int(window_size[0]), int(window_size[1])),
-            jax.default_backend() != "tpu")
+            jax.default_backend() != "tpu", bool(int8_score))
     return _fused_qk_diff(
         q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads, float(eps),
         float(sm_scale), (int(window_size[0]), int(window_size[1])),
-        jax.default_backend() != "tpu")
+        jax.default_backend() != "tpu", bool(int8_score))
 
 
 # --------------------------------------------------------------------------

@@ -78,6 +78,15 @@ FUSED_CROSS_ATTENTION = True
 # so the interleaved superstep stays the default everywhere.
 GEOADA_STACKED_HINTS = False
 
+# Quantize the transformed q/k tiles to int8 inside the fused attention
+# kernel and score QK^T as s8 x s8 -> s32 MXU dots (~2x bf16 rate on v5e;
+# per-row scales, PV stays bf16 — SageAttention-style, inference-only
+# approximation). OPT-IN: ~1/127-relative score noise is softmax-damped but
+# not exact; enable via pipeline.enable_int8_attention() / CLI
+# --int8_attention / serving param int8_attention after judging quality at
+# the operating point.
+INT8_QK_SCORE = False
+
 # Compute the qk-RMS row statistics in the q/k projection matmul epilogues
 # (kernels/matmul_stat.linear_rstat) instead of as standalone [B,S,D]->[B,S,1]
 # passes. The standalone statistic is stuck at ~100 GB/s however it is
@@ -322,7 +331,7 @@ def _self_attention(p: Params, x: jnp.ndarray, cos, sin, num_heads: int,
             p["norm_q"]["scale"] if qk_norm else None,
             p["norm_k"]["scale"] if qk_norm else None,
             num_heads=n, eps=eps, window_size=window_size, impl=attn_impl,
-            tables_i=rope_i, rstats=rstats)
+            tables_i=rope_i, rstats=rstats, int8_score=INT8_QK_SCORE)
         if calib is not None:
             calib["self_attn/o/kernel"] = _amax(out)
         return _linear(p["o"], out)

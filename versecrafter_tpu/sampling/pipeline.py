@@ -160,6 +160,15 @@ class VerseCrafterPipeline:
     def enable_cfg_skip(self, ratio: float):
         self.cfg_skip_ratio = ratio
 
+    def enable_int8_attention(self, enabled: bool = True):
+        """int8 QK^T scoring inside the fused attention kernel (per-row
+        quantized q/k tiles, s8 x s8 -> s32 MXU dots at ~2x the bf16 rate
+        on v5e; PV stays bf16). Inference-only approximation — opt in
+        after judging quality at the operating point. NOTE: module-global,
+        like the other fused-kernel toggles (wan_dit.INT8_QK_SCORE)."""
+        from versecrafter_tpu.models import wan_dit
+        wan_dit.INT8_QK_SCORE = bool(enabled)
+
     def quantize_weights(self, int8_compute: bool = False, act_scales=None,
                          bits: int = 8):
         """int8 weight-only storage for the DiT (fp8-mode analogue,

@@ -67,8 +67,13 @@ def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
     # acceleration toggles, same surface the CLI exposes
     # (cli/inference.py:48-57); teacache/cfg-skip are per-request (restored
     # after), int8 quantization is sticky for the resident pipeline
+    from versecrafter_tpu.models import wan_dit
+
     saved = (pipe.teacache_threshold, pipe.teacache_skip_start,
              pipe.teacache_coefficients, pipe.cfg_skip_ratio)
+    saved_int8_attn = wan_dit.INT8_QK_SCORE
+    if "int8_attention" in params:
+        pipe.enable_int8_attention(bool(params["int8_attention"]))
     if "teacache_threshold" in params:
         # default to the pipeline's CURRENT coefficients (a host may carry
         # fitted ones — scripts/fit_teacache.py); requests may override
@@ -90,6 +95,7 @@ def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
     finally:
         (pipe.teacache_threshold, pipe.teacache_skip_start,
          pipe.teacache_coefficients, pipe.cfg_skip_ratio) = saved
+        wan_dit.INT8_QK_SCORE = saved_int8_attn
 
 
 def _call_pipe(pipe, params, controls, mask, h, w, n, progress):

@@ -104,8 +104,9 @@ def main():
         return out, ms
 
     if args.int8_attn:
-        # everything else at production defaults (fused attention on)
-        wan_dit.GEOADA_FUSED_QK = True
+        # everything else at PRODUCTION defaults (incl. the geoada
+        # fuse-only-where-resident rule — if a config doesn't fuse, both
+        # arms legitimately measure no win)
         wan_dit.INT8_QK_SCORE = False
         out_u, ms_u = run("bf16_score")
         wan_dit.INT8_QK_SCORE = True
@@ -113,8 +114,7 @@ def main():
         wan_dit.INT8_QK_SCORE = False
     elif args.proj_stat:
         # everything else at production defaults; toggle only the
-        # producer-fused statistics (geoada must fuse for them to apply)
-        wan_dit.GEOADA_FUSED_QK = True
+        # producer-fused statistics
         wan_dit.PROJ_STAT_FUSION = False
         out_u, ms_u = run("separate_stat")
         wan_dit.PROJ_STAT_FUSION = True

@@ -18,18 +18,8 @@ import numpy as np
 fa = importlib.import_module("versecrafter_tpu.kernels.flash_attention")
 
 
-def _setup(B=2, S=520, N=4, HD=64, seed=0):
-    from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
-    D = N * HD
-    rng = np.random.default_rng(seed)
-    q = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
-    gq = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.float32)
-    gk = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.float32)
-    ang = rope_3d_angles(HD, max_pos=64)
-    cos, sin = grid_cos_sin(tuple(jnp.asarray(a) for a in ang), 10, 4, 13)
-    return q, k, v, cos, sin, gq, gk, N, HD
+from tests.fused_attention_setup import (fused_attention_inputs as _setup,
+                                          tiny_wan_setup)
 
 
 def _close(a, b, rel=0.03):
@@ -74,24 +64,10 @@ def test_int8_score_model_level_and_grad_fallback():
     """wan_dit forward with INT8_QK_SCORE on: within the int8 envelope of
     the exact path on the interpret kernel; under jax.grad the flag is a
     no-op (unfused exact math runs either way)."""
-    from versecrafter_tpu.core.config import WanDiTConfig
-    from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
     from versecrafter_tpu.models import wan_dit
-    from versecrafter_tpu.models.wan_dit import init_wan_dit, wan_dit_forward
+    from versecrafter_tpu.models.wan_dit import wan_dit_forward
 
-    cfg = WanDiTConfig(in_dim=4, dim=48, ffn_dim=96, freq_dim=32,
-                       text_dim=24, out_dim=4, num_heads=4, num_layers=2,
-                       text_len=8)
-    params = init_wan_dit(jax.random.key(0), cfg, jnp.float32)
-    params["head"]["head"]["kernel"] = (
-        jax.random.normal(jax.random.key(1),
-                          params["head"]["head"]["kernel"].shape) * 0.05)
-    rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.standard_normal((1, 4, 2, 8, 8)), jnp.float32)
-    ctx = jnp.asarray(rng.standard_normal((1, 8, 24)), jnp.float32)
-    ang = tuple(jnp.asarray(a) for a in rope_3d_angles(12, max_pos=32))
-    cos, sin = grid_cos_sin(ang, 2, 4, 4)
-    t = jnp.asarray([500.0])
+    cfg, params, (x, t, ctx, cos, sin) = tiny_wan_setup()
 
     old = wan_dit.INT8_QK_SCORE
     try:

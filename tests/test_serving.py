@@ -525,3 +525,23 @@ def test_run_generate_request_int8_attention_restored(tmp_path):
     }, lambda i, n: None)
     assert not wan_dit.INT8_QK_SCORE  # restored
     assert np.isfinite(np.asarray(video, np.float32)).all()
+
+
+def test_denoise_cache_keys_kernel_toggles():
+    """Per-request kernel toggles (int8_attention) must recompile rather
+    than silently reuse a denoise program traced with the other flag
+    value."""
+    from versecrafter_tpu.models import wan_dit
+    from versecrafter_tpu.serve.model_server import default_pipeline_factory
+
+    pipe = default_pipeline_factory(scale="tiny")()
+    old = wan_dit.INT8_QK_SCORE
+    try:
+        wan_dit.INT8_QK_SCORE = False
+        f_off = pipe._get_denoise(True)
+        wan_dit.INT8_QK_SCORE = True
+        f_on = pipe._get_denoise(True)
+    finally:
+        wan_dit.INT8_QK_SCORE = old
+    assert f_on is not f_off
+    assert len(pipe._jit_cache) == 2

@@ -613,8 +613,6 @@ def flash_attention_with_stats(q, k, v, sm_scale: Optional[float] = None,
     return _fa_stats_diff(q, k, v, float(sm_scale), block_q, block_kv)
 
 
-
-
 # --------------------------------------------------------------------------
 # fused qk-RMSNorm + RoPE + attention (inference fast path)
 #
@@ -961,25 +959,34 @@ def prepare_fused_rope_tables(cos, sin, block_kv: int = 1024,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(9, 10, 11, 12, 13, 14))
-def _fused_qk_diff(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads, eps,
-                   sm_scale, window, interpret, int8_score=False):
+                   nondiff_argnums=(11, 12, 13, 14, 15, 16))
+def _fused_qk_diff(q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i,
+                   num_heads, eps, sm_scale, window, interpret,
+                   int8_score=False):
+    """rq/rk: raw row statistics already computed by the projection matmul
+    epilogue (kernels/matmul_stat.py) or None — the dispatch then reduces
+    over the model dim itself (the ~2 ms/call standalone pass)."""
     b, s, d = q.shape
     n = num_heads
     hd = d // n
 
     scale_q = sm_scale * LOG2E
+    use_rs = rq is not None and gq is not None
     if gq is not None:
-        qf = q.astype(jnp.float32)
-        kf = k.astype(jnp.float32)
-        rq = jax.lax.rsqrt(
-            jnp.mean(qf * qf, axis=-1, keepdims=True) + eps) * scale_q
-        rk = jax.lax.rsqrt(jnp.mean(kf * kf, axis=-1, keepdims=True) + eps)
+        if not use_rs:
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            rq = jax.lax.rsqrt(
+                jnp.mean(qf * qf, axis=-1, keepdims=True) + eps)
+            rk = jax.lax.rsqrt(
+                jnp.mean(kf * kf, axis=-1, keepdims=True) + eps)
+        rqs = rq * scale_q
+        rks = rk
         gq_heads = gq.astype(jnp.float32).reshape(n, 1, hd)
         gk_heads = gk.astype(jnp.float32).reshape(n, 1, hd)
     else:
-        rq = jnp.full((b, s, 1), scale_q, jnp.float32)
-        rk = jnp.ones((b, s, 1), jnp.float32)
+        rqs = jnp.full((b, s, 1), scale_q, jnp.float32)
+        rks = jnp.ones((b, s, 1), jnp.float32)
         gq_heads = jnp.ones((n, 1, hd), jnp.float32)
         gk_heads = jnp.ones((n, 1, hd), jnp.float32)
 
@@ -998,36 +1005,59 @@ def _fused_qk_diff(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads, eps,
     k_lens = jnp.full((b,), s, jnp.int32)
 
     return _flash_attention_fused_pallas(
-        q, k, v, k_lens, rq, rk, cos_i, sin_i, gq_heads, gk_heads,
+        q, k, v, k_lens, rqs, rks, cos_i, sin_i, gq_heads, gk_heads,
         head_dim=hd, block_q=block_q, block_kv=block_kv,
         interpret=interpret, window=window, masked=False,
         resident_kv=resident_kv, blocked_tables=blocked_tables,
         int8_score=int8_score)
 
 
-def _fused_qk_diff_fwd(q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads,
-                       eps, sm_scale, window, interpret, int8_score=False):
+def _unfused_qk_dispatch(q, k, v, rq, rk, cos, sin, gq, gk, num_heads, eps,
+                         sm_scale, window):
+    """The exact separate-passes math for either stat source (jax.grad
+    path and fwd rule): producer stats when given, self-reduced otherwise."""
+    if rq is not None and gq is not None:
+        return _unfused_rope_rms_attention_rs(
+            q, k, v, rq, rk, cos, sin, gq, gk, num_heads, eps, sm_scale,
+            window, "auto")
+    return _unfused_rope_rms_attention(q, k, v, cos, sin, gq, gk, num_heads,
+                                       eps, sm_scale, window, "auto")
+
+
+def _fused_qk_diff_fwd(q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i,
+                       num_heads, eps, sm_scale, window, interpret,
+                       int8_score=False):
     # under jax.grad the forward runs the UNFUSED math — training keeps the
     # stats-path numerics rule (see _fa_kernel docstring); the fused exp2
     # kernel stays inference-only
-    out = _unfused_rope_rms_attention(q, k, v, cos, sin, gq, gk, num_heads,
-                                      eps, sm_scale, window, "auto")
-    return out, (q, k, v, cos, sin, gq, gk, cos_i, sin_i)
+    out = _unfused_qk_dispatch(q, k, v, rq, rk, cos, sin, gq, gk, num_heads,
+                               eps, sm_scale, window)
+    return out, (q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i)
 
 
 def _fused_qk_diff_bwd(num_heads, eps, sm_scale, window, interpret,
                        int8_score, res, do):
-    q, k, v, cos, sin, gq, gk, cos_i, sin_i = res
+    q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i = res
+    use_rs = rq is not None and gq is not None
 
-    def f(q, k, v, gq, gk):
-        return _unfused_rope_rms_attention(q, k, v, cos, sin, gq, gk,
-                                           num_heads, eps, sm_scale, window,
-                                           "auto")
+    if use_rs:
+        def f(q, k, v, rq, rk, gq, gk):
+            return _unfused_qk_dispatch(q, k, v, rq, rk, cos, sin, gq, gk,
+                                        num_heads, eps, sm_scale, window)
 
-    _, vjp = jax.vjp(f, q, k, v, gq, gk)
-    dq, dk, dv, dgq, dgk = vjp(do)
+        _, vjp = jax.vjp(f, q, k, v, rq, rk, gq, gk)
+        dq, dk, dv, drq, drk, dgq, dgk = vjp(do)
+    else:
+        def f(q, k, v, gq, gk):
+            return _unfused_qk_dispatch(q, k, v, None, None, cos, sin, gq,
+                                        gk, num_heads, eps, sm_scale, window)
+
+        _, vjp = jax.vjp(f, q, k, v, gq, gk)
+        dq, dk, dv, dgq, dgk = vjp(do)
+        drq = drk = None
     # rope tables are constants (host-built angle grids) — no cotangent flows
-    return (dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin), dgq, dgk,
+    return (dq, dk, dv, drq, drk, jnp.zeros_like(cos), jnp.zeros_like(sin),
+            dgq, dgk,
             None if cos_i is None else jnp.zeros_like(cos_i),
             None if sin_i is None else jnp.zeros_like(sin_i))
 
@@ -1067,61 +1097,6 @@ def _unfused_rope_rms_attention_rs(q, k, v, rq, rk, cos, sin, gq, gk,
                           window_size=window)
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
 
-
-@functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(11, 12, 13, 14, 15, 16))
-def _fused_qk_rs_diff(q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i,
-                      num_heads, eps, sm_scale, window, interpret,
-                      int8_score=False):
-    b, s, d = q.shape
-    n = num_heads
-    hd = d // n
-
-    scale_q = sm_scale * LOG2E
-    gq_heads = gq.astype(jnp.float32).reshape(n, 1, hd)
-    gk_heads = gk.astype(jnp.float32).reshape(n, 1, hd)
-
-    if cos_i is None:
-        cos_i, sin_i = prepare_fused_rope_tables(cos, sin)
-    block_q, block_kv, resident_kv, blocked_tables = \
-        _fused_block_geometry(s, hd, window)
-    k_lens = jnp.full((b,), s, jnp.int32)
-
-    return _flash_attention_fused_pallas(
-        q, k, v, k_lens, rq * scale_q, rk, cos_i, sin_i, gq_heads, gk_heads,
-        head_dim=hd, block_q=block_q, block_kv=block_kv,
-        interpret=interpret, window=window, masked=False,
-        resident_kv=resident_kv, blocked_tables=blocked_tables,
-        int8_score=int8_score)
-
-
-def _fused_qk_rs_diff_fwd(q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i,
-                          num_heads, eps, sm_scale, window, interpret,
-                          int8_score=False):
-    out = _unfused_rope_rms_attention_rs(q, k, v, rq, rk, cos, sin, gq, gk,
-                                         num_heads, eps, sm_scale, window,
-                                         "auto")
-    return out, (q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i)
-
-
-def _fused_qk_rs_diff_bwd(num_heads, eps, sm_scale, window, interpret,
-                          int8_score, res, do):
-    q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i = res
-
-    def f(q, k, v, rq, rk, gq, gk):
-        return _unfused_rope_rms_attention_rs(
-            q, k, v, rq, rk, cos, sin, gq, gk, num_heads, eps, sm_scale,
-            window, "auto")
-
-    _, vjp = jax.vjp(f, q, k, v, rq, rk, gq, gk)
-    dq, dk, dv, drq, drk, dgq, dgk = vjp(do)
-    return (dq, dk, dv, drq, drk, jnp.zeros_like(cos), jnp.zeros_like(sin),
-            dgq, dgk,
-            None if cos_i is None else jnp.zeros_like(cos_i),
-            None if sin_i is None else jnp.zeros_like(sin_i))
-
-
-_fused_qk_rs_diff.defvjp(_fused_qk_rs_diff_fwd, _fused_qk_rs_diff_bwd)
 
 
 def fused_rope_rms_attention(
@@ -1187,15 +1162,11 @@ def fused_rope_rms_attention(
             q, k, v, cos, sin, gq, gk, num_heads, eps, sm_scale,
             window_size, impl)
     cos_i, sin_i = tables_i if tables_i is not None else (None, None)
-    if rstats is not None and gq is not None:
-        return _fused_qk_rs_diff(
-            q, k, v, rstats[0], rstats[1], cos, sin, gq, gk, cos_i, sin_i,
-            num_heads, float(eps), float(sm_scale),
-            (int(window_size[0]), int(window_size[1])),
-            jax.default_backend() != "tpu", bool(int8_score))
+    rq, rk = rstats if rstats is not None else (None, None)
     return _fused_qk_diff(
-        q, k, v, cos, sin, gq, gk, cos_i, sin_i, num_heads, float(eps),
-        float(sm_scale), (int(window_size[0]), int(window_size[1])),
+        q, k, v, rq, rk, cos, sin, gq, gk, cos_i, sin_i, num_heads,
+        float(eps), float(sm_scale),
+        (int(window_size[0]), int(window_size[1])),
         jax.default_backend() != "tpu", bool(int8_score))
 
 
@@ -1224,8 +1195,12 @@ def _unfused_rms_cross_attention(q, k, v, gq, gk, num_heads, eps, sm_scale,
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _fused_cross_diff(q, k, v, gq, gk, num_heads, eps, sm_scale, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused_cross_diff(q, k, v, rq, gq, gk, num_heads, eps, sm_scale,
+                      interpret):
+    """rq: raw q row statistic from the projection matmul epilogue or None
+    (the k statistic spans only the short context axis and is always
+    computed here)."""
     b, s, d = q.shape
     n = num_heads
     hd = d // n
@@ -1233,42 +1208,61 @@ def _fused_cross_diff(q, k, v, gq, gk, num_heads, eps, sm_scale, interpret):
 
     scale_q = sm_scale * LOG2E
     if gq is not None:
-        qf = q.astype(jnp.float32)
         kf = k.astype(jnp.float32)
-        rq = jax.lax.rsqrt(
-            jnp.mean(qf * qf, axis=-1, keepdims=True) + eps) * scale_q
+        if rq is None:
+            qf = q.astype(jnp.float32)
+            rq = jax.lax.rsqrt(
+                jnp.mean(qf * qf, axis=-1, keepdims=True) + eps)
+        rqs = rq * scale_q
         rk = jax.lax.rsqrt(jnp.mean(kf * kf, axis=-1, keepdims=True) + eps)
         gq_heads = gq.astype(jnp.float32).reshape(n, 1, hd)
         gk_heads = gk.astype(jnp.float32).reshape(n, 1, hd)
     else:
-        rq = jnp.full((b, s, 1), scale_q, jnp.float32)
+        rqs = jnp.full((b, s, 1), scale_q, jnp.float32)
         rk = jnp.ones((b, skv, 1), jnp.float32)
         gq_heads = jnp.ones((n, 1, hd), jnp.float32)
         gk_heads = jnp.ones((n, 1, hd), jnp.float32)
 
     return _flash_attention_fused_pallas(
-        q, k, v, jnp.full((b,), skv, jnp.int32), rq, rk, None, None,
+        q, k, v, jnp.full((b,), skv, jnp.int32), rqs, rk, None, None,
         gq_heads, gk_heads, head_dim=hd, block_q=_pick_block_q(s),
         block_kv=min(1024, _ceil_to(skv, 128)), interpret=interpret,
         masked=False)
 
 
-def _fused_cross_diff_fwd(q, k, v, gq, gk, num_heads, eps, sm_scale,
+def _unfused_cross_dispatch(q, k, v, rq, gq, gk, num_heads, eps, sm_scale):
+    if rq is not None and gq is not None:
+        return _unfused_rms_cross_attention_rs(q, k, v, rq, gq, gk,
+                                               num_heads, eps, sm_scale,
+                                               "auto")
+    return _unfused_rms_cross_attention(q, k, v, gq, gk, num_heads, eps,
+                                        sm_scale, "auto")
+
+
+def _fused_cross_diff_fwd(q, k, v, rq, gq, gk, num_heads, eps, sm_scale,
                           interpret):
-    out = _unfused_rms_cross_attention(q, k, v, gq, gk, num_heads, eps,
-                                       sm_scale, "auto")
-    return out, (q, k, v, gq, gk)
+    out = _unfused_cross_dispatch(q, k, v, rq, gq, gk, num_heads, eps,
+                                  sm_scale)
+    return out, (q, k, v, rq, gq, gk)
 
 
 def _fused_cross_diff_bwd(num_heads, eps, sm_scale, interpret, res, do):
-    q, k, v, gq, gk = res
+    q, k, v, rq, gq, gk = res
+    if rq is not None and gq is not None:
+        def f(q, k, v, rq, gq, gk):
+            return _unfused_cross_dispatch(q, k, v, rq, gq, gk, num_heads,
+                                           eps, sm_scale)
+
+        _, vjp = jax.vjp(f, q, k, v, rq, gq, gk)
+        return vjp(do)
 
     def f(q, k, v, gq, gk):
-        return _unfused_rms_cross_attention(q, k, v, gq, gk, num_heads, eps,
-                                            sm_scale, "auto")
+        return _unfused_cross_dispatch(q, k, v, None, gq, gk, num_heads,
+                                       eps, sm_scale)
 
     _, vjp = jax.vjp(f, q, k, v, gq, gk)
-    return vjp(do)
+    dq, dk, dv, dgq, dgk = vjp(do)
+    return dq, dk, dv, None, dgq, dgk
 
 
 _fused_cross_diff.defvjp(_fused_cross_diff_fwd, _fused_cross_diff_bwd)
@@ -1292,49 +1286,6 @@ def _unfused_rms_cross_attention_rs(q, k, v, rq, gq, gk, num_heads, eps,
     out = flash_attention(q, k, v, sm_scale=sm_scale, impl=impl)
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def _fused_cross_rs_diff(q, k, v, rq, gq, gk, num_heads, eps, sm_scale,
-                         interpret):
-    b, s, d = q.shape
-    n = num_heads
-    hd = d // n
-    skv = k.shape[1]
-
-    scale_q = sm_scale * LOG2E
-    kf = k.astype(jnp.float32)
-    # the k statistic spans [B, 512, D] — negligible next to the video axis
-    rk = jax.lax.rsqrt(jnp.mean(kf * kf, axis=-1, keepdims=True) + eps)
-    gq_heads = gq.astype(jnp.float32).reshape(n, 1, hd)
-    gk_heads = gk.astype(jnp.float32).reshape(n, 1, hd)
-
-    return _flash_attention_fused_pallas(
-        q, k, v, jnp.full((b,), skv, jnp.int32), rq * scale_q, rk, None,
-        None, gq_heads, gk_heads, head_dim=hd, block_q=_pick_block_q(s),
-        block_kv=min(1024, _ceil_to(skv, 128)), interpret=interpret,
-        masked=False)
-
-
-def _fused_cross_rs_diff_fwd(q, k, v, rq, gq, gk, num_heads, eps, sm_scale,
-                             interpret):
-    out = _unfused_rms_cross_attention_rs(q, k, v, rq, gq, gk, num_heads,
-                                          eps, sm_scale, "auto")
-    return out, (q, k, v, rq, gq, gk)
-
-
-def _fused_cross_rs_diff_bwd(num_heads, eps, sm_scale, interpret, res, do):
-    q, k, v, rq, gq, gk = res
-
-    def f(q, k, v, rq, gq, gk):
-        return _unfused_rms_cross_attention_rs(q, k, v, rq, gq, gk,
-                                               num_heads, eps, sm_scale,
-                                               "auto")
-
-    _, vjp = jax.vjp(f, q, k, v, rq, gq, gk)
-    return vjp(do)
-
-
-_fused_cross_rs_diff.defvjp(_fused_cross_rs_diff_fwd, _fused_cross_rs_diff_bwd)
 
 
 def fused_rms_cross_attention(
@@ -1377,10 +1328,6 @@ def fused_rms_cross_attention(
         return _unfused_rms_cross_attention(q, k, v, gq, gk, num_heads, eps,
                                             sm_scale, "auto" if bad_hd
                                             else impl)
-    if rq is not None and gq is not None:
-        return _fused_cross_rs_diff(q, k, v, rq, gq, gk, num_heads,
-                                    float(eps), float(sm_scale),
-                                    jax.default_backend() != "tpu")
-    return _fused_cross_diff(q, k, v, gq, gk, num_heads, float(eps),
+    return _fused_cross_diff(q, k, v, rq, gq, gk, num_heads, float(eps),
                              float(sm_scale),
                              jax.default_backend() != "tpu")

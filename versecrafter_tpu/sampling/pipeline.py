@@ -456,9 +456,16 @@ class VerseCrafterPipeline:
         )
 
     def _get_denoise(self, cfg_batched: bool, key_extra=()):
+        from versecrafter_tpu.models import wan_dit
         key = (cfg_batched, self.teacache_threshold, self.teacache_skip_start,
                self.teacache_coefficients, self.attn_impl,
-               self.teacache_record is not None, *key_extra)
+               self.teacache_record is not None,
+               # trace-time kernel toggles a resident server may flip
+               # per-request (model_server int8_attention param) — without
+               # them in the key a cached program silently keeps the flag
+               # value it was first traced with
+               wan_dit.INT8_QK_SCORE, wan_dit.PROJ_STAT_FUSION,
+               *key_extra)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._denoise_fn(cfg_batched)
         return self._jit_cache[key]

@@ -72,30 +72,52 @@ def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
     saved = (pipe.teacache_threshold, pipe.teacache_skip_start,
              pipe.teacache_coefficients, pipe.cfg_skip_ratio)
     saved_int8_attn = wan_dit.INT8_QK_SCORE
-    if "int8_attention" in params:
-        pipe.enable_int8_attention(bool(params["int8_attention"]))
-    if "teacache_threshold" in params:
-        # default to the pipeline's CURRENT coefficients (a host may carry
-        # fitted ones — scripts/fit_teacache.py); requests may override
-        coeffs = params.get("teacache_coefficients",
-                            pipe.teacache_coefficients)
-        pipe.enable_teacache(float(params["teacache_threshold"]),
-                             int(params.get("teacache_skip_start", 5)),
-                             coefficients=coeffs)
-    if "cfg_skip_ratio" in params:
-        pipe.enable_cfg_skip(float(params["cfg_skip_ratio"]))
-    if ((params.get("quantize_int8") or params.get("int8_compute"))
-            and not getattr(pipe, "_quantized", False)):
-        pipe.quantize_weights(int8_compute=bool(params.get("int8_compute")),
-                              bits=int(params.get("quantize_bits", 8)))
-        pipe._quantized = True
-
+    # ALL param application happens inside the try: a bad param raising
+    # mid-application (e.g. a quantize-mode conflict) must not leak a
+    # half-applied toggle into later requests on the resident host
     try:
+        if "int8_attention" in params:
+            pipe.enable_int8_attention(bool(params["int8_attention"]))
+        if "teacache_threshold" in params:
+            # default to the pipeline's CURRENT coefficients (a host may
+            # carry fitted ones — scripts/fit_teacache.py); requests may
+            # override
+            coeffs = params.get("teacache_coefficients",
+                                pipe.teacache_coefficients)
+            pipe.enable_teacache(float(params["teacache_threshold"]),
+                                 int(params.get("teacache_skip_start", 5)),
+                                 coefficients=coeffs)
+        if "cfg_skip_ratio" in params:
+            pipe.enable_cfg_skip(float(params["cfg_skip_ratio"]))
+        qmode = _requested_quant_mode(params)
+        if qmode is not None:
+            resident = getattr(pipe, "_quantized", None)
+            if resident is None:
+                pipe.quantize_weights(int8_compute=qmode[1], bits=qmode[0])
+                pipe._quantized = qmode
+            elif resident != qmode:
+                # quantization is sticky (weights are rewritten in place) —
+                # failing loudly beats a client believing it measured a
+                # mode the resident host cannot switch to
+                raise ValueError(
+                    f"pipeline already quantized as {resident} "
+                    f"(bits, int8_compute); cannot re-quantize as {qmode}")
         return _call_pipe(pipe, params, controls, mask, h, w, n, progress)
     finally:
         (pipe.teacache_threshold, pipe.teacache_skip_start,
          pipe.teacache_coefficients, pipe.cfg_skip_ratio) = saved
         wan_dit.INT8_QK_SCORE = saved_int8_attn
+
+
+def _requested_quant_mode(params):
+    """(bits, int8_compute) requested by the generate params, or None.
+    quantize_bits alone implies weight quantization (a bare
+    {'quantize_bits': 4} must not silently run bf16)."""
+    if not (params.get("quantize_int8") or params.get("int8_compute")
+            or "quantize_bits" in params):
+        return None
+    return (int(params.get("quantize_bits", 8)),
+            bool(params.get("int8_compute")))
 
 
 def _call_pipe(pipe, params, controls, mask, h, w, n, progress):

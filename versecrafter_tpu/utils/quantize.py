@@ -98,6 +98,8 @@ def quantize_tree(params: Dict[str, Any], bits: int = 8,
                 or any(e in names for e in EXCLUDE)
                 or not jnp.issubdtype(leaf.dtype, jnp.floating)):
             return leaf
+        if bits == 4 and leaf.shape[-2] % 2:
+            return leaf  # odd contracting dim: can't nibble-pack
         qmax = 127.0 if bits == 8 else 7.0
         kdim = leaf.shape[-2]
         g = group_size if group_size is not None else (
@@ -116,8 +118,6 @@ def quantize_tree(params: Dict[str, Any], bits: int = 8,
             q = jnp.clip(jnp.round(lf / scale), -qmax, qmax)
         scale = scale.astype(jnp.float32)
         if bits == 4:
-            if leaf.shape[-2] % 2:
-                return leaf  # odd contracting dim: leave unquantized
             qu = q.astype(jnp.int32) & 0xF  # two's-complement low nibble
             vals = ((qu[..., 0::2, :] | (qu[..., 1::2, :] << 4))
                     .astype(jnp.uint8))

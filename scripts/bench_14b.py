@@ -40,7 +40,9 @@ def main():
                     help="weight storage width; 4 = nibble-packed "
                          "(~7.5 GB weights) which frees enough HBM to "
                          "MEASURE the full canonical 480p x 81f point "
-                         "(32,760 tok) instead of extrapolating to it")
+                         "(32,760 tok) instead of extrapolating to it; "
+                         "with --int8_compute this is the W4A8 mode "
+                         "(int4 weights + s8 MXU dots)")
     args = ap.parse_args()
 
     import jax
@@ -69,10 +71,12 @@ def main():
 
     # ---- build the int8 model incrementally -----------------------------
     t0 = time.time()
-    if args.bits == 4 and args.int8_compute:
-        raise SystemExit("int8_compute requires --bits 8")
+    # bits=4 + int8_compute = W4A8: per-channel int4 (the group scales
+    # can't fold into the s8 dot epilogue), unpacked to s8 in-graph
+    gs = 0 if (args.bits == 4 and args.int8_compute) else None
     init_one = jax.jit(lambda k: wan_dit._init_block(k, cfg, jnp.bfloat16))
-    quant_one = jax.jit(lambda p: qz.quantize_tree(p, bits=args.bits))
+    quant_one = jax.jit(lambda p: qz.quantize_tree(p, bits=args.bits,
+                                                   group_size=gs))
 
     blk0 = quant_one(init_one(jax.random.key(0)))
     stacked = jax.tree.map(lambda a: jnp.zeros((L, *a.shape), a.dtype), blk0)
@@ -117,8 +121,11 @@ def main():
             scales = qz.fit_act_scales([stats])
         params = qz.tag_int8_compute(params, act_scales=scales)
     wbytes = qz.tree_bytes(params)
-    mode = ("w8a8s" if args.calibrate else "w8a8") if args.int8_compute \
-        else ("int4" if args.bits == 4 else "int8")
+    if args.int8_compute:
+        mode = "w4a8" if args.bits == 4 else (
+            "w8a8s" if args.calibrate else "w8a8")
+    else:
+        mode = "int4" if args.bits == 4 else "int8"
     print(json.dumps({"metric": f"14b_{mode}_weight_bytes", "value": wbytes,
                       "build_s": round(time.time() - t0, 1)}), flush=True)
 

@@ -266,3 +266,51 @@ def test_pipeline_int8_compute_under_mesh():
     video = _run(pipe)
     assert np.isfinite(video).all()
     np.testing.assert_allclose(np.asarray(video), np.asarray(ref), atol=0.12)
+
+
+def test_w4a8_dot_and_tagging():
+    """W4A8: per-channel int4 leaves tag for int8 compute (the packed
+    nibbles unpack to s8 in [-7, 7]); grouped int4 stays storage-only."""
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.standard_normal((512, 256)) * 0.1, jnp.float32)
+    tree = {"blocks": {"ffn_in": {"kernel": w}}}
+
+    q4c = qz.tag_int8_compute(
+        qz.quantize_tree(tree, bits=4, group_size=0), stacked=False)
+    leaf = q4c["blocks"]["ffn_in"]["kernel"]
+    assert qz.is_compute_tagged(leaf) and "q4values" in leaf
+
+    q4g = qz.tag_int8_compute(qz.quantize_tree(tree, bits=4), stacked=False)
+    assert not qz.is_compute_tagged(q4g["blocks"]["ffn_in"]["kernel"])
+
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.float32)
+    got = np.asarray(qz.int8_compute_dot(leaf, x))
+    want = np.asarray(x @ qz.dequantize_tree(
+        {"k": dict(leaf)}, force=True)["k"])
+    # activation quantization adds ~1/127 on top of the int4 weight error
+    denom = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / denom < 0.05
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
+
+
+def test_w4a8_forward_close():
+    """Full scanned forward with W4A8-tagged blocks stays close to fp32
+    (pipeline.quantize_weights(bits=4, int8_compute=True) path)."""
+    params = init_wan_dit(jax.random.key(3), CFG, jnp.float32)
+    params["head"]["head"]["kernel"] = (
+        jax.random.normal(jax.random.key(4),
+                          params["head"]["head"]["kernel"].shape) * 0.05)
+    x, t, ctx, cos, sin = _fwd_inputs()
+
+    old = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 10
+    try:
+        q = qz.tag_int8_compute(
+            qz.quantize_tree(params, bits=4, group_size=0))
+    finally:
+        qz.MIN_SIZE = old
+    o1 = np.asarray(wan_dit_forward(params, CFG, x, t, ctx, cos, sin))
+    o2 = np.asarray(jax.jit(
+        lambda p, xx: wan_dit_forward(p, CFG, xx, t, ctx, cos, sin))(q, x))
+    assert np.isfinite(o2).all()
+    assert np.corrcoef(o1.ravel(), o2.ravel())[0, 1] > 0.95

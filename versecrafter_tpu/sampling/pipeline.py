@@ -181,18 +181,22 @@ class VerseCrafterPipeline:
         wan_dit_forward(calibrate=True) -> fit_act_scales).
 
         bits=4: nibble-packed weight storage (half the HBM of int8;
-        coarser quantization — per-channel absmax over 15 levels);
-        storage-only (no int4 compute path)."""
+        coarser quantization — 128-row group scales by default). Combined
+        with int8_compute this is the W4A8 mode: the packed nibbles unpack
+        to s8 values in [-7, 7] directly usable by the int8 MXU dot, so
+        14B runs with ~7.5 GB weights AND ~2x matmul rate — the group
+        scales are dropped to per-channel there (the dot epilogue folds
+        one scale per output channel)."""
         from versecrafter_tpu.utils.quantize import (quantize_tree,
                                                      tag_int8_compute)
-        if bits == 4 and int8_compute:
-            raise ValueError("int8_compute requires bits=8 storage")
-        self.dit_params = quantize_tree(self.dit_params, bits=bits)
+        gs = 0 if (bits == 4 and int8_compute) else None
+        self.dit_params = quantize_tree(self.dit_params, bits=bits,
+                                        group_size=gs)
         if int8_compute:
             self.dit_params = tag_int8_compute(self.dit_params, act_scales)
         if self.dit_params_high is not None:
             self.dit_params_high = quantize_tree(self.dit_params_high,
-                                                 bits=bits)
+                                                 bits=bits, group_size=gs)
             if int8_compute:
                 self.dit_params_high = tag_int8_compute(
                     self.dit_params_high, act_scales)

@@ -238,15 +238,18 @@ def tag_int8_compute(params: Dict[str, Any],
     for path, leaf in flat:
         names = "/".join(str(getattr(p, "key", p)) for p in path)
         site = next((s for s in COMPUTE_SITES if names.endswith(s)), None)
-        if (site is None or not _is_quantized(leaf)
-                or is_compute_tagged(leaf)
-                or "qvalues" not in leaf  # int4-packed: storage-only
-                or leaf["qscales"].ndim != leaf["qvalues"].ndim):
+        vals = leaf.get("qvalues", leaf.get("q4values")) \
+            if _is_quantized(leaf) else None
+        if (site is None or vals is None or is_compute_tagged(leaf)
+                or leaf["qscales"].ndim != vals.ndim):
             # (the last: group-wise scales — the s8xs8 MXU dot folds ONE
-            # per-channel scale into its epilogue, not K/g of them)
+            # per-channel scale into its epilogue, not K/g of them. int4
+            # with PER-CHANNEL scales qualifies: the packed nibbles unpack
+            # to s8 values in [-7, 7], directly usable by the int8 dot —
+            # the W4A8 mode.)
             out.append(leaf)
             continue
-        nlayers = leaf["qvalues"].shape[0] if stacked else None
+        nlayers = vals.shape[0] if stacked else None
         akey = next((k for k in act_scales
                      if names == k or names.endswith("/" + k)), None)
         if akey is not None:
@@ -257,7 +260,7 @@ def tag_int8_compute(params: Dict[str, Any],
             # is never read — presence of the key selects the dynamic path
             a = jnp.zeros((nlayers,) if stacked else (), jnp.float32)
         key = "a_scale" if akey is not None else "a_dyn"
-        sh = getattr(leaf["qvalues"], "sharding", None)
+        sh = getattr(vals, "sharding", None)
         if isinstance(sh, NamedSharding):
             a = jax.device_put(a, NamedSharding(
                 sh.mesh, PartitionSpec(*([None] * a.ndim))))
@@ -287,15 +290,21 @@ def int8_compute_dot(leaf: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     rescale by (act_scale * per-output-channel weight scale).
 
     leaf: compute-tagged quantized kernel (2-D [d_in, d_out] after any scan
-    slicing; qscales [1, d_out]). x: [..., d_in] activations."""
+    slicing; qscales [1, d_out]). x: [..., d_in] activations.
+
+    int4-packed leaves (W4A8) unpack to s8 values in [-7, 7] in-graph —
+    the same MXU dot runs, just with coarser weight levels (scales are
+    already absmax/7)."""
     xf = x.astype(jnp.float32)
     if "a_scale" in leaf:
         a = jnp.maximum(leaf["a_scale"].astype(jnp.float32), 1e-8)
     else:
         a = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / a), -127, 127).astype(jnp.int8)
+    w = (_unpack_int4(leaf["q4values"]) if "q4values" in leaf
+         else leaf["qvalues"])
     y = jax.lax.dot_general(
-        xq, leaf["qvalues"],
+        xq, w,
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     return (y.astype(jnp.float32) * (a * leaf["qscales"])).astype(x.dtype)

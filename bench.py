@@ -56,10 +56,24 @@ def main():
     fwd = jax.jit(lambda p, x, t, c, g: wan_dit_forward(
         p, cfg, x, t, c, cos, sin, geoada_context=g))
 
-    out = fwd(params, x, t, ctx, geo)
-    # axon tunnel: block_until_ready can return early — a host read is the
-    # only reliable sync (CLAUDE.md gotchas)
-    _ = float(jnp.abs(out).astype(jnp.float32).sum())  # compile + warmup
+    try:
+        out = fwd(params, x, t, ctx, geo)
+        # axon tunnel: block_until_ready can return early — a host read is
+        # the only reliable sync (CLAUDE.md gotchas)
+        _ = float(jnp.abs(out).astype(jnp.float32).sum())  # compile + warmup
+    except Exception as e:  # pragma: no cover - chip-compile safety net
+        # A default-on kernel that has only ever compiled in interpret mode
+        # (e.g. the matmul_stat projection epilogue) failing under Mosaic
+        # must degrade the bench to the proven configuration, not kill it.
+        from versecrafter_tpu.models import wan_dit as _wd
+        print(json.dumps({"metric": "bench_fallback",
+                          "disabled": "PROJ_STAT_FUSION",
+                          "error": str(e)[:200]}), flush=True)
+        _wd.PROJ_STAT_FUSION = False
+        fwd = jax.jit(lambda p, x, t, c, g: wan_dit_forward(
+            p, cfg, x, t, c, cos, sin, geoada_context=g))
+        out = fwd(params, x, t, ctx, geo)
+        _ = float(jnp.abs(out).astype(jnp.float32).sum())
 
     n = 5
     t0 = time.perf_counter()

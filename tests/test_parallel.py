@@ -99,3 +99,30 @@ def test_fsdp_params_are_sharded():
     # [L, D, D] sharded (None, fsdp, tp): each device holds 1/8 of the bytes
     shard_bytes = qk.addressable_shards[0].data.nbytes
     assert shard_bytes * 8 == qk.nbytes
+
+
+def test_maybe_init_distributed_gating(monkeypatch):
+    """Multi-host init is opt-in (env-gated) and idempotent: no-op without
+    the env vars; calls jax.distributed.initialize exactly once when set;
+    swallows the already-initialized RuntimeError."""
+    from versecrafter_tpu.utils import cache
+
+    calls = []
+
+    class FakeDistributed:
+        @staticmethod
+        def initialize():
+            calls.append(1)
+            if len(calls) > 1:
+                raise RuntimeError("already initialized")
+
+    monkeypatch.setattr("jax.distributed", FakeDistributed)
+    monkeypatch.delenv("VERSECRAFTER_MULTIHOST", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert cache.maybe_init_distributed() is False
+    assert not calls
+
+    monkeypatch.setenv("VERSECRAFTER_MULTIHOST", "1")
+    assert cache.maybe_init_distributed() is True
+    assert cache.maybe_init_distributed() is False  # idempotent
+    assert len(calls) == 2

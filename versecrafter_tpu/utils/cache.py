@@ -28,6 +28,7 @@ def setup_runtime(path: str = DEFAULT_DIR, fast_rng: bool = True) -> None:
     """
     import jax
 
+    maybe_init_distributed()
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
@@ -41,6 +42,34 @@ def setup_runtime(path: str = DEFAULT_DIR, fast_rng: bool = True) -> None:
             jax.config.update("jax_default_prng_impl", "rbg")
     except Exception:  # noqa: BLE001 — older jax without these flags
         pass
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host initialization (SURVEY §7 step 4: 'multi-host ready via
+    jax.distributed' — the TPU-native replacement for the reference's
+    torchrun/NCCL world bootstrap, versecrafter_inference.py:271-281).
+
+    Opt-in: runs jax.distributed.initialize() when VERSECRAFTER_MULTIHOST=1
+    (TPU pods auto-detect coordinator/process_id from the environment) or
+    when the standard JAX_COORDINATOR_ADDRESS[/JAX_NUM_PROCESSES/
+    JAX_PROCESS_ID] variables are set. Must run before first backend use —
+    setup_runtime() calls it, and every CLI/server entry point calls
+    setup_runtime() first thing. After init, jax.devices() spans the pod
+    and make_mesh/set_mesh shard exactly as on the single-host virtual
+    mesh. Returns True when initialization ran. No-op (False) on single
+    hosts and when already initialized."""
+    import jax
+
+    want = (os.environ.get("VERSECRAFTER_MULTIHOST") == "1"
+            or "JAX_COORDINATOR_ADDRESS" in os.environ)
+    if not want:
+        return False
+    try:
+        jax.distributed.initialize()
+        return True
+    except RuntimeError:
+        # already initialized (idempotent callers: CLI + factory + server)
+        return False
 
 
 # Backwards-compatible alias. The RNG switch made the old name misleading

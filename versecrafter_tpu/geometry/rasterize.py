@@ -251,14 +251,20 @@ def composite_by_depth(bg_rgb, bg_depth, fg_rgb, fg_depth, fg_mask):
     return rgb, depth
 
 
-def depth_to_grayscale(depth, min_depth: float, max_depth: float):
+def depth_to_grayscale(depth, min_depth, max_depth):
     """Disparity grayscale: closer -> lighter (visualize_depth_as_grayscale,
-    rendering_4D_control_maps.py:487-539). Returns [H,W] float 0..255."""
+    rendering_4D_control_maps.py:487-539). Returns [H,W] float 0..255.
+
+    min/max_depth may be python floats OR traced scalars (render.py's
+    jitted finalize passes the per-clip percentile range as arguments so
+    the program never recompiles per clip): the range gating is a
+    jnp.where, numerically identical to the python-if form for concrete
+    positive ranges."""
     disp = jnp.where(depth > 0, 1.0 / jnp.maximum(depth, 1e-9), 0.0)
-    if max_depth > 0 and min_depth > 0:
-        min_disp = 1.0 / max_depth
-        max_disp = 1.0 / min_depth
-        disp = (disp - min_disp) / (max_disp - min_disp + 1e-8)
+    min_disp = 1.0 / jnp.maximum(max_depth, 1e-9)
+    max_disp = 1.0 / jnp.maximum(min_depth, 1e-9)
+    norm = (disp - min_disp) / (max_disp - min_disp + 1e-8)
+    disp = jnp.where((max_depth > 0) & (min_depth > 0), norm, disp)
     return jnp.clip(disp, 0, 1) * 255.0
 
 

@@ -13,6 +13,7 @@ batches; the only host work is file IO and mp4 encoding.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Dict, Optional, Tuple
@@ -72,6 +73,64 @@ def load_gaussian_trajectory(json_path: str):
     return means, covs, present, colors, obj_ids
 
 
+@functools.lru_cache(maxsize=8)
+def _render_fns(H, W, radius_px, footprint, ellipsoid_scale,
+                gaussian_threshold):
+    """Jitted per-batch render programs, cached on the static geometry so
+    resident processes (API server render requests) re-trace only when the
+    clip geometry actually changes. Array inputs are ARGUMENTS (not
+    closure captures) so new clips reuse the same executables."""
+    splat_batch = jax.jit(lambda pts, cols, K, w2c_b: jax.lax.map(
+        lambda w2c: splat_points(pts, cols, K, w2c, H, W,
+                                 radius_px=radius_px, footprint=footprint),
+        w2c_b))
+    ell_batch = jax.jit(jax.vmap(
+        lambda m, c, oc, p, K, w2c: raster_ellipsoids(
+            m, c, oc, p, K, w2c, H, W, scale_factor=ellipsoid_scale),
+        in_axes=(0, 0, None, 0, None, 0)))
+    proj_batch = jax.jit(jax.vmap(
+        lambda m, c, oc, p, K, w2c: composite_gaussian_projections(
+            m, c, oc, p, K, w2c, H, W, threshold=gaussian_threshold),
+        in_axes=(0, 0, None, 0, None, 0)))
+    return splat_batch, ell_batch, proj_batch
+
+
+_composite_jit = jax.jit(composite_by_depth)
+
+
+@jax.jit
+def _finalize(bg_rgb, bg_depth, bg_mask, fg_rgb, fg_depth, fg_mask,
+              g_rgb, g_alpha, dmin, dmax):
+    def gray(depth):
+        # depth_to_grayscale with a TRACED range (dmin/dmax as args, not
+        # baked constants -> no recompile per clip)
+        return depth_to_grayscale(depth, dmin, dmax)
+
+    def u8(x):
+        return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+    def gray3(x):
+        return jnp.repeat(u8(x)[..., None], 3, -1)
+
+    merged = merge_masks(bg_depth, fg_depth, bg_mask, fg_mask)
+    gauss_rgb = g_rgb * g_alpha[..., None] * 255.0
+    # background + gaussian preview (blend, then depth-composite vs bg)
+    blend = (g_rgb * 255.0 * g_alpha[..., None]
+             + bg_rgb * (1 - g_alpha[..., None]))
+    gvis = g_alpha > 0.001
+    prev_rgb, _ = composite_by_depth(bg_rgb, bg_depth, blend, fg_depth,
+                                     gvis)
+    return {
+        "background_RGB": u8(bg_rgb),
+        "background_depth": gray3(gray(bg_depth)),
+        "3D_gaussian_RGB": u8(gauss_rgb),
+        "3D_gaussian_depth": gray3(gray(fg_depth)),
+        "merged_mask": jnp.repeat(
+            (merged[..., None] * 255).astype(jnp.uint8), 3, -1),
+        "background_and_3D_gaussian": u8(prev_rgb),
+    }
+
+
 def render_control_maps(
     bg_points: np.ndarray,
     bg_colors: np.ndarray,
@@ -107,17 +166,11 @@ def render_control_maps(
     # host-exact percentile range) and the 6 uint8 outputs ever leave the
     # device. The splat stays sequential per frame (sort+unique-scatter
     # vmaps poorly) but runs under lax.map so a whole frame batch is ONE
-    # dispatch instead of frame_batch round trips.
-    splat_batch = jax.jit(lambda w2c_b: jax.lax.map(
-        lambda w2c: splat_points(pts, cols, Kj, w2c, H, W,
-                                 radius_px=radius_px, footprint=footprint),
-        w2c_b))
-    ell_batch = jax.jit(jax.vmap(
-        lambda m, c, p, w2c: raster_ellipsoids(
-            m, c, ocols, p, Kj, w2c, H, W, scale_factor=ellipsoid_scale)))
-    proj_batch = jax.jit(jax.vmap(
-        lambda m, c, p, w2c: composite_gaussian_projections(
-            m, c, ocols, p, Kj, w2c, H, W, threshold=gaussian_threshold)))
+    # dispatch instead of frame_batch round trips. The jitted programs are
+    # CACHED on the static geometry (resident serving processes render per
+    # request — fresh jit objects would re-trace every time).
+    splat_batch, ell_batch, proj_batch = _render_fns(
+        H, W, radius_px, footprint, ellipsoid_scale, gaussian_threshold)
 
     chunks = {k: [] for k in ("bg_rgb", "bg_depth", "bg_mask", "fg_rgb",
                               "fg_depth", "fg_mask", "g_rgb", "g_alpha")}
@@ -132,16 +185,16 @@ def render_control_maps(
             return jnp.asarray(a)
 
         n = e - s
-        r, d, m = splat_batch(pb(w2cs))
+        r, d, m = splat_batch(pts, cols, Kj, pb(w2cs))
         chunks["bg_rgb"].append(r[:n])
         chunks["bg_depth"].append(d[:n])
         chunks["bg_mask"].append(m[:n])
         m_b, c_b, p_b, w_b = pb(means), pb(covs), pb(present), pb(w2cs)
-        r, d, m = ell_batch(m_b, c_b, p_b, w_b)
+        r, d, m = ell_batch(m_b, c_b, ocols, p_b, Kj, w_b)
         chunks["fg_rgb"].append(r[:n])
         chunks["fg_depth"].append(d[:n])
         chunks["fg_mask"].append(m[:n])
-        r, a = proj_batch(m_b, c_b, p_b, w_b)
+        r, a = proj_batch(m_b, c_b, ocols, p_b, Kj, w_b)
         chunks["g_rgb"].append(r[:n])
         chunks["g_alpha"].append(a[:n])
 
@@ -150,7 +203,7 @@ def render_control_maps(
     del chunks
 
     # composites & visualizations (reference main steps 7-10)
-    _, comp_depth = jax.jit(composite_by_depth)(
+    _, comp_depth = _composite_jit(
         dev["bg_rgb"], dev["bg_depth"], dev["fg_rgb"], dev["fg_depth"],
         dev["fg_mask"])
     # the percentile range stays host-exact (the reference subsamples with a
@@ -161,44 +214,7 @@ def render_control_maps(
                         np.asarray(comp_depth).ravel()]))
     del comp_depth
 
-    @jax.jit
-    def finalize(bg_rgb, bg_depth, bg_mask, fg_rgb, fg_depth, fg_mask,
-                 g_rgb, g_alpha, dmin, dmax):
-        def gray(depth):
-            # depth_to_grayscale with a TRACED range (the helper's python
-            # `if` would bake dmin/dmax in as constants -> recompile per clip)
-            disp = jnp.where(depth > 0, 1.0 / jnp.maximum(depth, 1e-9), 0.0)
-            min_disp = 1.0 / jnp.maximum(dmax, 1e-9)
-            max_disp = 1.0 / jnp.maximum(dmin, 1e-9)
-            norm = (disp - min_disp) / (max_disp - min_disp + 1e-8)
-            disp = jnp.where((dmax > 0) & (dmin > 0), norm, disp)
-            return jnp.clip(disp, 0, 1) * 255.0
-
-        def u8(x):
-            return jnp.clip(x, 0, 255).astype(jnp.uint8)
-
-        def gray3(x):
-            return jnp.repeat(u8(x)[..., None], 3, -1)
-
-        merged = merge_masks(bg_depth, fg_depth, bg_mask, fg_mask)
-        gauss_rgb = g_rgb * g_alpha[..., None] * 255.0
-        # background + gaussian preview (blend, then depth-composite vs bg)
-        blend = (g_rgb * 255.0 * g_alpha[..., None]
-                 + bg_rgb * (1 - g_alpha[..., None]))
-        gvis = g_alpha > 0.001
-        prev_rgb, _ = composite_by_depth(bg_rgb, bg_depth, blend, fg_depth,
-                                         gvis)
-        return {
-            "background_RGB": u8(bg_rgb),
-            "background_depth": gray3(gray(bg_depth)),
-            "3D_gaussian_RGB": u8(gauss_rgb),
-            "3D_gaussian_depth": gray3(gray(fg_depth)),
-            "merged_mask": jnp.repeat(
-                (merged[..., None] * 255).astype(jnp.uint8), 3, -1),
-            "background_and_3D_gaussian": u8(prev_rgb),
-        }
-
-    out = finalize(dev["bg_rgb"], dev["bg_depth"], dev["bg_mask"],
+    out = _finalize(dev["bg_rgb"], dev["bg_depth"], dev["bg_mask"],
                    dev["fg_rgb"], dev["fg_depth"], dev["fg_mask"],
                    dev["g_rgb"], dev["g_alpha"],
                    jnp.float32(dmin), jnp.float32(dmax))

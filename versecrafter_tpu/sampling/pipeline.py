@@ -170,7 +170,7 @@ class VerseCrafterPipeline:
         wan_dit.INT8_QK_SCORE = bool(enabled)
 
     def quantize_weights(self, int8_compute: bool = False, act_scales=None,
-                         bits: int = 8):
+                         bits: int = 8, act_scales_high=None):
         """int8 weight-only storage for the DiT (fp8-mode analogue,
         versecrafter_inference.py:288-301); dequant happens in-graph.
 
@@ -198,8 +198,13 @@ class VerseCrafterPipeline:
             self.dit_params_high = quantize_tree(self.dit_params_high,
                                                  bits=bits, group_size=gs)
             if int8_compute:
+                # the MoE experts see DISJOINT sigma ranges — scales
+                # calibrated on one expert would clip the other's
+                # activations, so the high-noise expert gets its own
+                # calibration (act_scales_high) or falls back to DYNAMIC
+                # per-tensor scales rather than inheriting the wrong ones
                 self.dit_params_high = tag_int8_compute(
-                    self.dit_params_high, act_scales)
+                    self.dit_params_high, act_scales_high)
         self._jit_cache.clear()
 
     def merge_lora(self, lora_sd, weight: float = 1.0):
@@ -506,7 +511,9 @@ class VerseCrafterPipeline:
         callback_on_step_end: Optional[Callable] = None,
     ):
         """Returns video as numpy [B, T, H, W, 3] in [0,1] (output_type
-        'numpy') or latents (output_type 'latent').
+        'numpy'), uint8 0..255 (output_type 'uint8' — quantized ON DEVICE,
+        4x less host transfer; what serving/CLI use before mp4 encode), or
+        latents (output_type 'latent').
 
         Base-Wan conditioning surface (optional, wan_transformer3d.py
         :969-977, 1045-1047): `y` i2v latents [B, C_y, F_lat, H_lat, W_lat]

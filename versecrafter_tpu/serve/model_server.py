@@ -33,7 +33,12 @@ def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
     (versecrafter_inference.py:351-417 — 4 control mp4s + merged_mask, mask
     frame 0 zeroed, first control frame overwritten with the input image)
     and run the pipeline. Shared by the model server, the API server's
-    in-process tier, and the inference CLI."""
+    in-process tier, and the inference CLI.
+
+    Returns UINT8 frames [T, H, W, 3] in 0..255 (the pipeline quantizes on
+    device — 4x less host transfer, and save_generated_video/mp4 encoding
+    wants uint8 anyway). Consumers comparing against [0,1] float references
+    must divide by 255 first."""
     from versecrafter_tpu.utils.video import load_image, load_video
 
     maps_dir = params["rendering_maps_path"]

@@ -254,6 +254,16 @@ def tag_int8_compute(params: Dict[str, Any],
                      if names == k or names.endswith("/" + k)), None)
         if akey is not None:
             a = jnp.asarray(act_scales[akey], jnp.float32)
+            # fail HERE with the real reason, not inside the first jitted
+            # scan ("inconsistent leading axis sizes" naming internal
+            # leaves) when scales from a different-depth calibration are
+            # stamped onto this tree
+            want = (nlayers,) if stacked else ()
+            if a.shape != want:
+                raise ValueError(
+                    f"act_scales[{akey!r}] has shape {a.shape}, expected "
+                    f"{want} for this {'stacked' if stacked else 'flat'} "
+                    f"tree (calibrated on a different config?)")
         else:
             # zero-size-free dynamic marker: [L] (or scalar) so lax.scan can
             # slice it with the rest of the stacked block leaves; the VALUE

@@ -28,6 +28,12 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
 LOG2E = math.log2(math.e)
 
+# int8 QK^T scoring: per-ROW k scales (finest granularity; needs a
+# [rows,1]->[1,rows] relayout at K-rotate time) vs one per-TILE scalar
+# (SageAttention granularity, relayout-free). Emergency knob read at trace
+# time — flip to False and restart if the relayout misbehaves under Mosaic.
+INT8_KSCALE_PER_ROW = True
+
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -163,10 +169,19 @@ def _fa_kernel(klens_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
     kscale_ref = qk8[1] if (int8_score and resident_kv) else None
 
     def _quant_rows(t):
-        """Transformed tile [rows, D] -> (int8 tile, [rows, 1] f32 scale)."""
+        """Transformed tile [rows, D] -> (int8 tile, [rows, 1] f32 scale).
+        With INT8_KSCALE_PER_ROW=False the scale is one PER-TILE scalar
+        broadcast to the row shape — the emergency knob if Mosaic rejects
+        or mis-lowers the [rows,1]->[1,rows] k-scale relayout (coarser
+        than per-row, SageAttention's granularity; flip + restart)."""
         tf = t.astype(jnp.float32)
-        sc = jnp.maximum(jnp.max(jnp.abs(tf), axis=1, keepdims=True),
-                         1e-20) / 127.0
+        if INT8_KSCALE_PER_ROW:
+            sc = jnp.maximum(jnp.max(jnp.abs(tf), axis=1, keepdims=True),
+                             1e-20) / 127.0
+        else:
+            sc = jnp.broadcast_to(
+                jnp.maximum(jnp.max(jnp.abs(tf)), 1e-20) / 127.0,
+                (tf.shape[0], 1))
         return jnp.round(tf / sc).astype(jnp.int8), sc
 
     b = pl.program_id(0)

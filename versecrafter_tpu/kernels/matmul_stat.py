@@ -110,6 +110,12 @@ def _linear_rstat_pallas(x2d, w, bias, eps: float, interpret: bool):
             dimension_semantics=("parallel",),
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=(m * k + k * n + m * n) * x2d.dtype.itemsize
+            + m * 4,
+            transcendentals=m,  # the per-row rsqrt epilogue
+        ),
         interpret=interpret,
     )(*inputs)
     if pad:

@@ -26,8 +26,13 @@ def main():
                          "single value (geometry sweep)")
     ap.add_argument("--budget_mib", type=int, default=None,
                     help="override RESIDENT_KV_VMEM_BUDGET (MiB)")
-    ap.add_argument("--only", choices=("resident", "streaming", "unfused"),
+    ap.add_argument("--only", choices=("resident", "streaming", "unfused",
+                                       "int8"),
                     default=None, help="run a single variant")
+    ap.add_argument("--int8", action="store_true",
+                    help="also run the resident kernel with int8 QK^T "
+                         "scoring (s8 x s8 -> s32 MXU dots; kernel-level "
+                         "speedup + parity vs the bf16-score kernel)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +78,9 @@ def main():
 
     fused = lambda qc: fa.fused_rope_rms_attention(
         qc, k, v, cos, sin, gq, gk, num_heads=N, impl="pallas")
+    fused_i8 = lambda qc: fa.fused_rope_rms_attention(
+        qc, k, v, cos, sin, gq, gk, num_heads=N, impl="pallas",
+        int8_score=True)
     unfused = lambda qc: fa._unfused_rope_rms_attention(
         qc, k, v, cos, sin, gq, gk, N, 1e-6, HD ** -0.5, (-1, -1), "pallas")
 
@@ -94,6 +102,17 @@ def main():
             run("fused_streaming", fused)
         finally:
             fa.RESIDENT_KV_VMEM_BUDGET = old
+    if args.only == "int8" or (args.int8 and args.only is None):
+        run("fused_resident_int8_score", fused_i8)
+        a = fa.fused_rope_rms_attention(q, k, v, cos, sin, gq, gk,
+                                        num_heads=N, impl="pallas")
+        b = fused_i8(q)
+        print(json.dumps({
+            "metric": "int8_score_parity",
+            "max_abs_diff": float(jnp.abs(
+                a.astype(jnp.float32) - b.astype(jnp.float32)).max()),
+            "ref_max": float(jnp.abs(a.astype(jnp.float32)).max()),
+        }), flush=True)
     if args.only in (None, "unfused"):
         run("unfused_ref(separate passes incl. rope/rms)", unfused)
 

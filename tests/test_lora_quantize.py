@@ -223,3 +223,68 @@ def test_int8_compute_tag_skips_groupwise():
     qc = qz.quantize_tree(tree, bits=8)
     tagged_c = qz.tag_int8_compute(qc)
     assert qz.is_compute_tagged(tagged_c["blocks"]["ffn_in"]["kernel"])
+
+
+def test_lora_training_export_roundtrip():
+    """Factors trained jax-side export in torch naming and fold back via
+    merge_lora to EXACTLY the effective params apply_lora_tree built —
+    adapters trained here load anywhere the reference's format does."""
+    from versecrafter_tpu.utils.lora import (apply_lora_tree, init_lora,
+                                             lora_to_torch_sd, merge_lora)
+
+    params = init_wan_dit(jax.random.key(0), CFG, jnp.float32)
+    lora = init_lora(params, rank=4, key=jax.random.key(1))
+    # zero-init up => exact no-op before training
+    eff0 = apply_lora_tree(params, lora, scale=0.7)
+    np.testing.assert_array_equal(
+        np.asarray(eff0["blocks"]["ffn_in"]["kernel"]),
+        np.asarray(params["blocks"]["ffn_in"]["kernel"]))
+
+    # fake a training update so deltas are non-trivial
+    lora = jax.tree.map(
+        lambda a: a + 0.05 * jax.random.normal(jax.random.key(2), a.shape),
+        lora)
+    eff = apply_lora_tree(params, lora, scale=0.7)
+    merged = merge_lora(params, {k: np.asarray(v) for k, v in
+                                 lora_to_torch_sd(lora).items()}, weight=0.7)
+    for g, t in (("blocks", "ffn_in"), ("blocks", "self_attn")):
+        a = eff[g][t]["kernel"] if t == "ffn_in" else \
+            eff[g][t]["q"]["kernel"]
+        b = merged[g][t]["kernel"] if t == "ffn_in" else \
+            merged[g][t]["q"]["kernel"]
+        assert float(jnp.abs(a - b).max()) < 1e-5, (g, t)
+    # and it changed something
+    assert float(jnp.abs(eff["blocks"]["ffn_in"]["kernel"]
+                         - params["blocks"]["ffn_in"]["kernel"]).max()) > 0
+
+
+def test_lora_training_cli_smoke(tmp_path):
+    """Tiny LoRA finetune: finite decreasing-ish loss, torch-naming npz
+    exported, and the exported adapter merges into a fresh base tree."""
+    from versecrafter_tpu.cli import train
+    from versecrafter_tpu.utils.lora import merge_lora
+
+    losses = train.main([
+        "--tiny", "--synthetic", "4", "--steps", "6", "--batch_size", "2",
+        "--sample_size", "64,64", "--video_length", "9",
+        "--lora_rank", "4", "--lr", "1e-2",
+        "--output_dir", str(tmp_path)])
+    assert np.isfinite(losses).all()
+    assert min(losses[3:]) < losses[0]
+    st = tmp_path / "step_000006_lora.safetensors"
+    assert st.exists()
+    from versecrafter_tpu.core.convert import load_torch_state_dict
+    sd = load_torch_state_dict(str(st))
+    assert any(k.endswith("lora_down.weight") for k in sd)
+    params = init_wan_dit(jax.random.key(0), CFG, jnp.float32)
+    # tiny train cfg differs from CFG; merge only checks the mapping on
+    # matching shapes — build the same tiny cfg the CLI used
+    from versecrafter_tpu.core.config import WanDiTConfig
+    tiny = WanDiTConfig(in_dim=4, dim=64, ffn_dim=128, freq_dim=32,
+                        text_dim=48, out_dim=4, num_heads=4, num_layers=4,
+                        text_len=16, geoada_layers=(), geoada_in_dim=8)
+    base = init_wan_dit(jax.random.key(1), tiny, jnp.float32)
+    before = np.asarray(base["blocks"]["ffn_in"]["kernel"]).copy()
+    merged = merge_lora(base, sd, weight=1.0)
+    after = np.asarray(merged["blocks"]["ffn_in"]["kernel"])
+    assert np.abs(after - before).max() > 0  # trained deltas landed

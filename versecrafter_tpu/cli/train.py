@@ -42,6 +42,13 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=1e-2)
     p.add_argument("--sample_size", type=str, default="480,832")
     p.add_argument("--video_length", type=int, default=81)
+    p.add_argument("--lora_rank", type=int, default=0,
+                   help="> 0: LoRA finetuning — only low-rank factors over "
+                        "the block matmuls train (whole base frozen); "
+                        "checkpoints also export a torch-naming LoRA sd "
+                        "(.npz) that loads via --lora_path / merge_lora")
+    p.add_argument("--lora_alpha", type=float, default=None,
+                   help="LoRA scale numerator (default = rank -> scale 1)")
     p.add_argument("--train_full", action="store_true",
                    help="Train the full model (default: GeoAdapter only)")
     p.add_argument("--dp", type=int, default=1)
@@ -117,7 +124,8 @@ def main(argv=None):
     from versecrafter_tpu.models.wan_dit import init_wan_dit
     from versecrafter_tpu.parallel.sharding import (mesh_context,
                                                     shard_dit_params)
-    from versecrafter_tpu.parallel.train_step import (make_train_step,
+    from versecrafter_tpu.parallel.train_step import (make_lora_train_step,
+                                                      make_train_step,
                                                       split_trainable)
 
     h, w = (int(x) for x in args.sample_size.split(","))
@@ -160,16 +168,29 @@ def main(argv=None):
     mesh = make_mesh(spec) if use_mesh else None
     if use_mesh:
         params = shard_dit_params(params, mesh)
-    train, frozen = split_trainable(params,
-                                    geoadapter_only=not args.train_full)
+    lora_scale = None
+    if args.lora_rank > 0:
+        from versecrafter_tpu.utils.lora import init_lora
+
+        lora_scale = (args.lora_alpha or args.lora_rank) / args.lora_rank
+        train = init_lora(params, args.lora_rank,
+                          jax.random.key(args.seed + 5),
+                          groups=("blocks", "geoada_blocks"))
+        frozen = params
+        mode = f"LoRA rank {args.lora_rank} (scale {lora_scale:g})"
+    else:
+        train, frozen = split_trainable(params,
+                                        geoadapter_only=not args.train_full)
+        mode = "full model" if args.train_full else "GeoAdapter only"
     n_train = sum(x.size for x in jax.tree_util.tree_leaves(train))
-    print(f"trainable params: {n_train/1e6:.1f}M "
-          f"({'full model' if args.train_full else 'GeoAdapter only'})")
+    print(f"trainable params: {n_train/1e6:.1f}M ({mode})")
 
     opt = optax.adamw(args.lr, weight_decay=args.weight_decay)
     opt_state = opt.init(train)
     attn = "sp" if (use_mesh and spec.sp > 1) else args.attn_impl
-    step_fn = make_train_step(cfg, opt, attn_impl=attn)
+    step_fn = (make_lora_train_step(cfg, opt, lora_scale, attn_impl=attn)
+               if args.lora_rank > 0
+               else make_train_step(cfg, opt, attn_impl=attn))
 
     # -- data ----------------------------------------------------------------
     vae_stride = (4, 8, 8) if pipe is None else (
@@ -231,6 +252,15 @@ def main(argv=None):
             if (i + 1) % args.save_every == 0 or i + 1 == args.steps:
                 path = os.path.join(args.output_dir, f"step_{i + 1:06d}")
                 ckpt.save_checkpoint(path, {"params": train})
+                if args.lora_rank > 0:
+                    # torch-naming safetensors export: loads anywhere the
+                    # reference's LoRA format does (CLI --lora_path /
+                    # merge_lora)
+                    from safetensors.numpy import save_file
+
+                    from versecrafter_tpu.utils.lora import lora_to_torch_sd
+                    save_file(lora_to_torch_sd(train),
+                              path + "_lora.safetensors")
                 print(f"saved {path}", flush=True)
     print(f"final loss {losses[-1]:.4f}")
     return losses

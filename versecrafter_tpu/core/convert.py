@@ -438,6 +438,10 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
             for k in st.keys():
                 sd[k] = st.get_tensor(k)
         return sd
+    if path.endswith(".npz"):  # numpy-native adapters (e.g. LoRA exports)
+        import numpy as np
+
+        return dict(np.load(path))
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)

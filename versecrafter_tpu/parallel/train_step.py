@@ -80,3 +80,30 @@ def split_trainable(params: Dict[str, Any], geoadapter_only: bool = True):
     train = {k: v for k, v in params.items() if k.startswith("geoada")}
     frozen = {k: v for k, v in params.items() if not k.startswith("geoada")}
     return train, frozen
+
+
+def make_lora_train_step(cfg: WanDiTConfig,
+                         optimizer: optax.GradientTransformation,
+                         lora_scale: float = 1.0, attn_impl: str = "auto"):
+    """LoRA finetuning step: only the low-rank factors train; the WHOLE
+    base tree is frozen and the effective kernels are rebuilt in-graph per
+    step (utils.lora.apply_lora_tree — differentiable through the
+    factors). Beyond the reference (which only CONSUMES LoRA weights);
+    exported adapters (utils.lora.lora_to_torch_sd) load through
+    merge_lora / the CLI --lora_path like any reference-format LoRA."""
+    from versecrafter_tpu.utils.lora import apply_lora_tree
+
+    def loss_fn(lora, base_params, rng, x0, context, cos, sin, geo):
+        params = apply_lora_tree(base_params, lora, lora_scale)
+        return flow_matching_loss(params, cfg, rng, x0, context, cos, sin,
+                                  geoada_context=geo, attn_impl=attn_impl)
+
+    def train_step(lora, base_params, opt_state, rng, x0, context,
+                   cos, sin, geoada_context=None):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            lora, base_params, rng, x0, context, cos, sin, geoada_context)
+        updates, opt_state = optimizer.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        return lora, opt_state, loss
+
+    return train_step

@@ -92,3 +92,102 @@ def merge_lora(params: Dict[str, Any], lora_sd: Dict[str, Any],
 
 def unmerge_lora(params, lora_sd, weight: float = 1.0):
     return merge_lora(params, lora_sd, weight=weight, sign=-1.0)
+
+
+# ---------------------------------------------------------------------------
+# LoRA TRAINING (beyond the reference, which only consumes LoRA weights):
+# factor init / application over the scanned DiT tree, and export in the
+# torch naming merge_lora understands — so adapters trained here load into
+# any consumer of the reference's LoRA format.
+# ---------------------------------------------------------------------------
+
+LORA_TARGETS = (
+    ("self_attn", "q"), ("self_attn", "k"), ("self_attn", "v"),
+    ("self_attn", "o"),
+    ("cross_attn", "q"), ("cross_attn", "k"), ("cross_attn", "v"),
+    ("cross_attn", "o"),
+    ("ffn_in",), ("ffn_out",),
+)
+
+_TREE_TO_TORCH = {
+    ("self_attn", "q"): "self_attn.q", ("self_attn", "k"): "self_attn.k",
+    ("self_attn", "v"): "self_attn.v", ("self_attn", "o"): "self_attn.o",
+    ("cross_attn", "q"): "cross_attn.q", ("cross_attn", "k"): "cross_attn.k",
+    ("cross_attn", "v"): "cross_attn.v", ("cross_attn", "o"): "cross_attn.o",
+    ("ffn_in",): "ffn.0", ("ffn_out",): "ffn.2",
+}
+
+
+def _target_kernel(params, group: str, target):
+    node = params[group]
+    for k in target:
+        node = node[k]
+    return node["kernel"]
+
+
+def init_lora(params: Dict[str, Any], rank: int, key,
+              groups=("blocks",), targets=LORA_TARGETS,
+              dtype=None) -> Dict[str, Any]:
+    """LoRA factors over the stacked DiT kernels: for each target kernel
+    [L, K, N] -> down [L, K, r] (scaled-normal init) and up [L, r, N]
+    (ZEROS — the adapter starts as an exact no-op, standard LoRA init).
+    Tree shape: {group: {"/".join(target): {"down": ..., "up": ...}}}."""
+    import jax
+    import jax.numpy as jnp
+
+    out: Dict[str, Any] = {}
+    keys = jax.random.split(key, len(groups) * len(targets))
+    i = 0
+    for g in groups:
+        if g not in params:
+            continue
+        out[g] = {}
+        for t in targets:
+            kern = _target_kernel(params, g, t)
+            L, K, N = kern.shape
+            dt = dtype or kern.dtype
+            down = (jax.random.normal(keys[i], (L, K, rank), jnp.float32)
+                    * (1.0 / np.sqrt(K))).astype(dt)
+            out[g]["/".join(t)] = {"down": down,
+                                   "up": jnp.zeros((L, rank, N), dt)}
+            i += 1
+    return out
+
+
+def apply_lora_tree(params: Dict[str, Any], lora: Dict[str, Any],
+                    scale: float = 1.0) -> Dict[str, Any]:
+    """Effective params: kernel + scale * down @ up per target (stacked
+    einsum, differentiable through the factors — the training forward)."""
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree.map(lambda x: x, params)  # shallow structural copy
+    for g, mods in lora.items():
+        for tkey, dw in mods.items():
+            t = tuple(tkey.split("/"))
+            node = params[g]
+            for k in t:
+                node = node[k]
+            kern = node["kernel"]
+            delta = jnp.einsum("lkr,lrn->lkn", dw["down"].astype(jnp.float32),
+                               dw["up"].astype(jnp.float32))
+            node["kernel"] = (kern.astype(jnp.float32)
+                              + scale * delta).astype(kern.dtype)
+    return params
+
+
+def lora_to_torch_sd(lora: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Export trained factors in the torch naming merge_lora consumes:
+    blocks.{i}.<module>.lora_down.weight [r, K] / .lora_up.weight [N, r]
+    per layer (delta convention: (up @ down).T == down_j @ up_j)."""
+    sd: Dict[str, np.ndarray] = {}
+    for g, mods in lora.items():
+        for tkey, dw in mods.items():
+            torch_mod = _TREE_TO_TORCH[tuple(tkey.split("/"))]
+            down = np.asarray(dw["down"], np.float32)  # [L, K, r]
+            up = np.asarray(dw["up"], np.float32)      # [L, r, N]
+            for layer in range(down.shape[0]):
+                base = f"{g}.{layer}.{torch_mod}"
+                sd[f"{base}.lora_down.weight"] = down[layer].T  # [r, K]
+                sd[f"{base}.lora_up.weight"] = up[layer].T      # [N, r]
+    return sd

@@ -36,3 +36,18 @@ def test_train_synthetic_mesh(tmp_path):
 def test_train_data_dir_requires_model(tmp_path):
     with pytest.raises(SystemExit):
         train_cli.main(["--tiny", "--data_dir", str(tmp_path), "--steps", "1"])
+
+
+def test_train_lora_mesh(tmp_path):
+    """LoRA finetuning composes with the sharded mesh: the low-rank
+    factors (replicated — tiny) train against an sp-sharded forward, and
+    the reference-format safetensors export lands."""
+    losses = train_cli.main([
+        "--tiny", "--synthetic", "4", "--steps", "3", "--batch_size", "2",
+        "--sample_size", "64,64", "--video_length", "9",
+        "--lora_rank", "4", "--sp", "4", "--dp", "2",
+        "--log_every", "1", "--save_every", "3",
+        "--output_dir", str(tmp_path)])
+    assert len(losses) == 3 and all(np.isfinite(l) for l in losses)
+    assert os.path.exists(os.path.join(str(tmp_path),
+                                       "step_000003_lora.safetensors"))

@@ -52,6 +52,9 @@ def _poll_task(client, task_id, scene, on_done):
             st = client.get(f"/api/status/{task_id}")
         except Exception as e:  # noqa: BLE001 — UI surface
             scene.versecrafter.status_text = f"poll error: {e}"
+            # the timer stops here: the busy flag must not outlive it or
+            # the panel shows "processing..." forever after one bad poll
+            scene.versecrafter.is_processing = False
             return None
         scene.versecrafter.status_text = (
             f"{st['status']} {st['progress']}% {st.get('message') or ''}")
@@ -60,6 +63,7 @@ def _poll_task(client, task_id, scene, on_done):
             return None
         if st["status"] == "FAILED":
             scene.versecrafter.status_text = f"FAILED: {st.get('error')}"
+            scene.versecrafter.is_processing = False
             return None
         state["interval"] = min(state["interval"] + 1.0, 10.0)
         return state["interval"]

@@ -47,7 +47,8 @@ def main():
     for f in files:
         space = load(f)
         for pname, (totals, counts) in aggregate(space).items():
-            if "Host" in pname and "TPU" not in pname and "device" not in pname.lower():
+            if ("host" in pname.lower() and "TPU" not in pname
+                    and "device" not in pname.lower()):
                 continue
             total = sum(totals.values())
             print(f"\n== {os.path.basename(f)} :: plane '{pname}' "

@@ -239,7 +239,11 @@ class VerseCrafterPipeline:
         pool the results for a robust fit)."""
         self.teacache_record = []
         old_thresh = self.teacache_threshold
+        old_skip = self.cfg_skip_ratio
         self.teacache_threshold = 0.0
+        # cfg-skip slices the recorded tensors from 2B to B rows mid-run —
+        # the stats must come from a FULL (never-skipping) trajectory
+        self.cfg_skip_ratio = 0.0
         try:
             kwargs.setdefault("output_type", "latent")
             self(*args, **kwargs)
@@ -247,6 +251,7 @@ class VerseCrafterPipeline:
         finally:
             self.teacache_record = None
             self.teacache_threshold = old_thresh
+            self.cfg_skip_ratio = old_skip
         mods = np.stack([r[0] for r in rec])      # [steps, B, 6, D]
         rel_res = np.stack([r[1] for r in rec])   # [steps, B]
         prev, cur = mods[:-1], mods[1:]
@@ -293,7 +298,13 @@ class VerseCrafterPipeline:
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         negs = ([negative_prompt] * len(prompts)
                 if isinstance(negative_prompt, str) else list(negative_prompt))
-        toks = self.tokenizer(negs + prompts, max_length=self.t5_cfg.text_length)
+        return self.encode_texts(negs + prompts)
+
+    def encode_texts(self, texts) -> jnp.ndarray:
+        """-> [len(texts), text_len, text_dim]: ONE T5 pass over exactly
+        these strings (the prompt_embeds path uses this to encode only the
+        missing negatives instead of paying a full 2B encode_prompt)."""
+        toks = self.tokenizer(list(texts), max_length=self.t5_cfg.text_length)
         key = ("t5_encode",)
         if key not in self._jit_cache:
             # one compiled program — eager umT5-xxl is hundreds of per-op
@@ -539,8 +550,8 @@ class VerseCrafterPipeline:
                     # match the prompt-string path: the uncond branch is the
                     # T5 encoding of the (default-empty) negative prompt,
                     # NOT a zeros context (very different cross-attn K/V)
-                    negative_prompt_embeds = self.encode_prompt(
-                        [negative_prompt or ""] * int(batch))[batch:]
+                    negative_prompt_embeds = self.encode_texts(
+                        [negative_prompt or ""] * int(batch))
                 else:
                     raise ValueError(
                         "prompt_embeds without negative_prompt_embeds needs "

@@ -34,6 +34,10 @@ def main():
                     "random-init 1.3B flagship)")
     ap.add_argument("--tiny", action="store_true",
                     help="wiring smoke on CPU at toy scale")
+    ap.add_argument("--out", default=None,
+                    help="save the fitted coefficients + threshold as JSON "
+                         "(consumable by cli/inference --teacache_coeffs "
+                         "and the serving teacache_coefficients param)")
     args = ap.parse_args()
 
     import jax
@@ -132,6 +136,11 @@ def main():
         "speedup": round(t_off / max(t_on, 1e-9), 3),
         "threshold": thresh,
     }), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"coefficients": [float(c) for c in coeffs],
+                       "threshold": float(thresh)}, f)
+        print(f"saved {args.out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,11 @@ def parse_args(argv=None):
     p.add_argument("--shift", type=float, default=16.0)
     p.add_argument("--teacache_threshold", type=float, default=0.10)
     p.add_argument("--teacache_skip_start", type=int, default=5)
+    p.add_argument("--teacache_coeffs", type=str, default=None,
+                   help="JSON file with fitted rescale-polynomial "
+                        "coefficients (scripts/fit_teacache.py --out); "
+                        "the file's fitted threshold takes precedence over "
+                        "--teacache_threshold")
     p.add_argument("--cfg_skip_ratio", type=float, default=0.0)
     p.add_argument("--enable_riflex", action="store_true")
     p.add_argument("--riflex_k", type=int, default=6)
@@ -64,8 +69,9 @@ def parse_args(argv=None):
                         "approximation, per-row scales)")
     p.add_argument("--quantize_bits", type=int, default=8, choices=(8, 4),
                    help="with --quantize_int8: weight storage width; 4 = "
-                        "nibble-packed (half the HBM, coarser scales, "
-                        "storage-only — incompatible with --int8_compute)")
+                        "nibble-packed (half the HBM, group-wise scales); "
+                        "with --int8_compute this is the W4A8 mode "
+                        "(per-channel int4 feeding the s8 MXU dots)")
     p.add_argument("--auto_parallel", action="store_true",
                    help="shard over ALL visible devices (auto (sp,tp) "
                         "factorization, reference model_server.py:149-191)")
@@ -119,7 +125,14 @@ def main(argv=None):
             mesh_spec=spec if spec.size > 1 else None,
             auto_mesh=args.auto_parallel, scale=args.smoke_scale)()
 
-    if args.teacache_threshold > 0:
+    if args.teacache_coeffs:
+        import json as _json
+        with open(args.teacache_coeffs) as f:
+            fit = _json.load(f)
+        thresh = float(fit.get("threshold", args.teacache_threshold))
+        pipe.enable_teacache(thresh, args.teacache_skip_start,
+                             coefficients=tuple(fit["coefficients"]))
+    elif args.teacache_threshold > 0:
         pipe.enable_teacache(args.teacache_threshold, args.teacache_skip_start)
     if args.cfg_skip_ratio > 0:
         pipe.enable_cfg_skip(args.cfg_skip_ratio)

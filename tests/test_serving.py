@@ -545,3 +545,51 @@ def test_denoise_cache_keys_kernel_toggles():
         wan_dit.INT8_QK_SCORE = old
     assert f_on is not f_off
     assert len(pipe._jit_cache) == 2
+
+
+def test_run_generate_request_quant_mode_conflict(tmp_path):
+    """A request whose quantize mode conflicts with the resident pipeline's
+    sticky mode fails loudly (weights were rewritten in place; silently
+    serving the old mode would let a client believe it measured the new
+    one), and the int8_attention toggle does not leak through the failure."""
+    import numpy as np
+    import pytest as _pytest
+
+    import versecrafter_tpu.utils.quantize as qz
+    from versecrafter_tpu.models import wan_dit
+    from versecrafter_tpu.serve.model_server import (
+        default_pipeline_factory, run_generate_request)
+    from versecrafter_tpu.utils.video import save_image, save_video
+
+    rng = np.random.default_rng(0)
+    t, h, w = 5, 16, 16
+    maps = tmp_path / "maps"
+    maps.mkdir()
+    save_image(rng.random((h, w, 3)).astype(np.float32),
+               str(tmp_path / "0001.png"))
+    for name in ["background_RGB", "background_depth", "3D_gaussian_RGB",
+                 "3D_gaussian_depth", "merged_mask"]:
+        save_video(rng.random((t, h, w, 3)).astype(np.float32),
+                   str(maps / f"{name}.mp4"), fps=5)
+
+    pipe = default_pipeline_factory(scale="tiny")()
+    common = dict(rendering_maps_path=str(maps),
+                  input_image_path=str(tmp_path / "0001.png"),
+                  prompt="q", height=h, width=w, num_frames=t,
+                  num_inference_steps=1, guidance_scale=1.0, fps=5)
+    old_min = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 10
+    try:
+        run_generate_request(pipe, {**common, "quantize_int8": True},
+                             lambda i, n: None)
+        assert pipe._quantized == (8, False)
+        with _pytest.raises(ValueError, match="already quantized"):
+            run_generate_request(
+                pipe, {**common, "int8_compute": True,
+                       "int8_attention": True}, lambda i, n: None)
+        assert not wan_dit.INT8_QK_SCORE  # restored through the failure
+        # same mode again is fine
+        run_generate_request(pipe, {**common, "quantize_int8": True},
+                             lambda i, n: None)
+    finally:
+        qz.MIN_SIZE = old_min

@@ -314,3 +314,32 @@ def test_w4a8_forward_close():
         lambda p, xx: wan_dit_forward(p, CFG, xx, t, ctx, cos, sin))(q, x))
     assert np.isfinite(o2).all()
     assert np.corrcoef(o1.ravel(), o2.ravel())[0, 1] > 0.95
+
+
+def test_w4a8_mesh_sharding_preserved():
+    """W4A8 under a mesh: nibble-packed q4values keep the leaf's sharding
+    (the packed contracting dim halves but stays divisible), scales are
+    not replicated-gathered, and the sharded forward matches the
+    single-device unquantized output within int4+int8 tolerance."""
+    from jax.sharding import NamedSharding
+    from tests.test_sharded_pipeline import (VerseCrafterPipeline,
+                                             _components, _run)
+    from versecrafter_tpu.core.mesh import MeshSpec, make_mesh
+
+    ref = _run(VerseCrafterPipeline(**_components()))
+    mesh = make_mesh(MeshSpec(sp=2, tp=2), devices=jax.devices()[:4])
+    pipe = VerseCrafterPipeline(**_components())
+    pipe.set_mesh(mesh)
+    old = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 10
+    try:
+        pipe.quantize_weights(bits=4, int8_compute=True)
+    finally:
+        qz.MIN_SIZE = old
+    leaf = pipe.dit_params["blocks"]["ffn_in"]["kernel"]
+    assert "q4values" in leaf and qz.is_compute_tagged(leaf)
+    assert isinstance(leaf["q4values"].sharding, NamedSharding)
+    video = _run(pipe)
+    assert np.isfinite(video).all()
+    # int4 weights + int8 activations: coarser than the W8A8 test's 0.12
+    np.testing.assert_allclose(np.asarray(video), np.asarray(ref), atol=0.25)

@@ -53,12 +53,16 @@ def _mm_rstat_kernel(x_ref, w_ref, b_ref, y_ref, rs_ref, *, eps: float,
                      n_logical: int):
     y32 = jnp.dot(x_ref[...], w_ref[...],
                   preferred_element_type=jnp.float32)
-    yb = y32.astype(y_ref.dtype)
     if b_ref is not None:
-        # bias is added in the output dtype, matching wan_dit._linear's
-        # jnp.dot(...) + bias rounding order
-        yb = yb + b_ref[...].astype(y_ref.dtype)
-    y_ref[...] = yb
+        # bias is added at fp32 BEFORE the single rounding to the output
+        # dtype. This is what TPU XLA emits for the unfused
+        # `jnp.dot(x, w) + bias` under jit (convert-elision keeps the dot's
+        # f32 accumulator through the add — the CLAUDE.md numerics gotcha);
+        # a round-then-add kernel measured 0.031 max-abs (~1% rel) against
+        # the unfused path at the 32,760-token point on real silicon, all
+        # of it bias-rounding order amplified through attention.
+        y32 = y32 + b_ref[...].astype(jnp.float32)
+    y_ref[...] = y32.astype(y_ref.dtype)
     # read the STORED tile back so the statistic sees the materialized
     # rounded values (an extended-precision bias-add intermediate would
     # otherwise flow into the square-sum and drift from rms_norm's input)
@@ -125,11 +129,15 @@ def _linear_rstat_pallas(x2d, w, bias, eps: float, interpret: bool):
 
 
 def _linear_rstat_ref(x, w, bias, eps: float):
-    """Plain-XLA reference math (also the jax.grad path): identical to
-    wan_dit._linear followed by the rms_norm row statistic."""
-    y = jnp.dot(x, w.astype(x.dtype))
+    """Plain-XLA reference math (also the jax.grad path): f32 accumulate
+    through the bias add, ONE rounding to x.dtype — the same numerics TPU
+    XLA emits for wan_dit._linear's fused dot+bias under jit — followed by
+    the rms_norm row statistic of the rounded output."""
+    y32 = jnp.dot(x, w.astype(x.dtype),
+                  preferred_element_type=jnp.float32)
     if bias is not None:
-        y = y + bias
+        y32 = y32 + bias.astype(jnp.float32)
+    y = y32.astype(x.dtype)
     yf = y.astype(jnp.float32)
     rs = jax.lax.rsqrt(jnp.mean(yf * yf, axis=-1, keepdims=True) + eps)
     return y, rs

@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--tiny", action="store_true",
                     help="wiring smoke at toy scale on CPU")
+    ap.add_argument("--combo", action="store_true",
+                    help="measure only bf16 ref + the combined fast preset "
+                         "(W8A8 static + INT8_QK_SCORE) — the stacked-"
+                         "acceleration step number")
     args = ap.parse_args()
 
     import jax
@@ -98,10 +102,11 @@ def main():
     ref = measure(params, "bf16")
 
     q = qz.quantize_tree(params)
-    measure(q, "int8_storage", ref)
+    if not args.combo:
+        measure(q, "int8_storage", ref)
 
-    qdyn = qz.tag_int8_compute(q)
-    measure(qdyn, "w8a8_dynamic", ref)
+        qdyn = qz.tag_int8_compute(q)
+        measure(qdyn, "w8a8_dynamic", ref)
 
     _, stats = jax.jit(
         lambda p, x, t, c, g: wan_dit_forward(
@@ -109,7 +114,19 @@ def main():
     )(q, x, t, ctx, geo)
     scales = qz.fit_act_scales([stats])
     qstat = qz.tag_int8_compute(q, act_scales=scales)
-    measure(qstat, "w8a8_static", ref)
+    if not args.combo:
+        measure(qstat, "w8a8_static", ref)
+    else:
+        # Stacked fast preset: static W8A8 block matmuls + int8 QK^T
+        # scoring inside the fused attention kernel. The two modes touch
+        # disjoint dots (projections/FFN vs score), so wins should add.
+        from versecrafter_tpu.models import wan_dit
+        prev = wan_dit.INT8_QK_SCORE
+        wan_dit.INT8_QK_SCORE = True
+        try:
+            measure(qstat, "w8a8s_int8attn", ref)
+        finally:
+            wan_dit.INT8_QK_SCORE = prev
 
 
 if __name__ == "__main__":

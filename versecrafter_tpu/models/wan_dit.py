@@ -89,12 +89,17 @@ INT8_QK_SCORE = False
 
 # Compute the qk-RMS row statistics in the q/k projection matmul epilogues
 # (kernels/matmul_stat.linear_rstat) instead of as standalone [B,S,D]->[B,S,1]
-# passes. The standalone statistic is stuck at ~100 GB/s however it is
-# computed (~2 ms/call, ~190 ms/step across a CFG-2 forward — round-3
-# /tmp/rowstat_* measurements); the epilogue emits it while the projection
-# output tile is still in VMEM. Only applies on the fused-attention path
-# with plain (unquantized) kernels.
-PROJ_STAT_FUSION = True
+# passes. MEASURED OFF on the chip: when the stat consumer sits in the same
+# jitted program as the projection, XLA already fuses the row reduce into
+# the dot's epilogue (scripts/bench_matmul_stat.py: xla dot+stat 3.46 ms vs
+# bare dot 3.80 at 65,520x1536x1536 — the "standalone ~2 ms stat wall" only
+# exists for a stat pass with no adjacent producer), so the pallas kernel's
+# best case is ~0.02-0.13 ms/call while replacing jnp.dot with a custom
+# call BREAKS XLA's modulate->projection fusions and costs +58 ms/step at
+# 32,760 tok (bench_fused_ablation --proj_stat, round 3). Same verdict as
+# the reverted standalone row-stat kernel: keep as an opt-in experiment.
+# Only applies on the fused-attention path with plain (unquantized) kernels.
+PROJ_STAT_FUSION = False
 
 
 # ---------------------------------------------------------------------------

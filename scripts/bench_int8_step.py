@@ -27,6 +27,11 @@ def main():
                     help="measure only bf16 ref + the combined fast preset "
                          "(W8A8 static + INT8_QK_SCORE) — the stacked-"
                          "acceleration step number")
+    ap.add_argument("--sites", type=str, default=None,
+                    help="comma-separated substring filter over the W8A8 "
+                         "compute sites (e.g. 'ffn' = FFN-only W8A8 — the "
+                         "shape-aware policy); measures bf16 ref + the "
+                         "filtered dynamic mode only")
     args = ap.parse_args()
 
     import jax
@@ -102,6 +107,11 @@ def main():
     ref = measure(params, "bf16")
 
     q = qz.quantize_tree(params)
+    if args.sites:
+        toks = tuple(args.sites.split(","))
+        qsel = qz.tag_int8_compute(q, sites=toks)
+        measure(qsel, "w8a8_dyn_" + "_".join(toks), ref)
+        return
     if not args.combo:
         measure(q, "int8_storage", ref)
 

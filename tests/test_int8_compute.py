@@ -101,6 +101,29 @@ def test_tag_selects_compute_sites_only():
     assert not isinstance(forced["blocks"]["ffn_in"]["kernel"], dict)
 
 
+def test_tag_sites_filter_ffn_only():
+    """sites= restricts W8A8 to matching COMPUTE_SITES (the shape-aware
+    policy: the chip microbench shows FFN dots win while qkv-shaped dots
+    can lose under dynamic quant overhead)."""
+    params = init_wan_dit(jax.random.key(0), CFG, jnp.float32)
+    old = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 10
+    try:
+        q = qz.tag_int8_compute(qz.quantize_tree(params), sites=("ffn",))
+    finally:
+        qz.MIN_SIZE = old
+    blocks = q["blocks"]
+    assert qz.is_compute_tagged(blocks["ffn_in"]["kernel"])
+    assert qz.is_compute_tagged(blocks["ffn_out"]["kernel"])
+    for site in ("q", "k", "v", "o"):
+        leaf = blocks["self_attn"][site]["kernel"]
+        assert qz._is_quantized(leaf) and not qz.is_compute_tagged(leaf)
+    # the filtered tree still runs (storage-only sites dequantize in-graph)
+    x, t, ctx, cos, sin = _fwd_inputs()
+    out = jax.jit(lambda p: wan_dit_forward(p, CFG, x, t, ctx, cos, sin))(q)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_int8_compute_forward_close():
     params = init_wan_dit(jax.random.key(3), CFG, jnp.float32)
     params["head"]["head"]["kernel"] = (

@@ -170,7 +170,8 @@ class VerseCrafterPipeline:
         wan_dit.INT8_QK_SCORE = bool(enabled)
 
     def quantize_weights(self, int8_compute: bool = False, act_scales=None,
-                         bits: int = 8, act_scales_high=None):
+                         bits: int = 8, act_scales_high=None,
+                         int8_sites=None):
         """int8 weight-only storage for the DiT (fp8-mode analogue,
         versecrafter_inference.py:288-301); dequant happens in-graph.
 
@@ -186,14 +187,20 @@ class VerseCrafterPipeline:
         to s8 values in [-7, 7] directly usable by the int8 MXU dot, so
         14B runs with ~7.5 GB weights AND ~2x matmul rate — the group
         scales are dropped to per-channel there (the dot epilogue folds
-        one scale per output channel)."""
+        one scale per output channel).
+
+        int8_sites: optional substring filter over the eligible compute
+        sites (e.g. ("ffn",) runs only the FFN dots as W8A8) — the chip
+        microbench shows the dynamic-scale win is shape-dependent
+        (utils.quantize.tag_int8_compute docstring)."""
         from versecrafter_tpu.utils.quantize import (quantize_tree,
                                                      tag_int8_compute)
         gs = 0 if (bits == 4 and int8_compute) else None
         self.dit_params = quantize_tree(self.dit_params, bits=bits,
                                         group_size=gs)
         if int8_compute:
-            self.dit_params = tag_int8_compute(self.dit_params, act_scales)
+            self.dit_params = tag_int8_compute(self.dit_params, act_scales,
+                                               sites=int8_sites)
         if self.dit_params_high is not None:
             self.dit_params_high = quantize_tree(self.dit_params_high,
                                                  bits=bits, group_size=gs)
@@ -204,7 +211,8 @@ class VerseCrafterPipeline:
                 # calibration (act_scales_high) or falls back to DYNAMIC
                 # per-tensor scales rather than inheriting the wrong ones
                 self.dit_params_high = tag_int8_compute(
-                    self.dit_params_high, act_scales_high)
+                    self.dit_params_high, act_scales_high,
+                    sites=int8_sites)
         self._jit_cache.clear()
 
     def merge_lora(self, lora_sd, weight: float = 1.0):

@@ -207,7 +207,8 @@ def strip_dtype_tokens(tree):
 
 def tag_int8_compute(params: Dict[str, Any],
                      act_scales: Optional[Dict[str, Any]] = None,
-                     stacked: bool = True) -> Dict[str, Any]:
+                     stacked: bool = True,
+                     sites: Optional[tuple] = None) -> Dict[str, Any]:
     """Upgrade quantized COMPUTE_SITES leaves to W8A8 int8 compute.
 
     Call on a tree that already went through quantize_tree. Tagged leaves
@@ -227,9 +228,19 @@ def tag_int8_compute(params: Dict[str, Any],
 
     stacked: whether block leaves carry a leading [num_layers] axis (the
     pipeline's scanned trees do; pass False for single-block test trees).
+
+    sites: optional substring filter over COMPUTE_SITES — only matching
+    sites are upgraded (e.g. ("ffn",) for FFN-only W8A8). The chip
+    microbench (scripts/bench_int8_matmul.py) shows the win is
+    shape-dependent: FFN dots gain ~2x while 14B qkv-shaped dots LOSE
+    under dynamic per-tensor quant overhead — a selective policy can beat
+    blanket W8A8 when calibration is unavailable.
     """
     from jax.sharding import NamedSharding, PartitionSpec
     act_scales = act_scales or {}
+    eligible = (COMPUTE_SITES if sites is None else
+                tuple(s for s in COMPUTE_SITES
+                      if any(tok in s for tok in sites)))
 
     flat = jax.tree_util.tree_flatten_with_path(
         params, is_leaf=_is_quantized)[0]
@@ -237,7 +248,7 @@ def tag_int8_compute(params: Dict[str, Any],
     out = []
     for path, leaf in flat:
         names = "/".join(str(getattr(p, "key", p)) for p in path)
-        site = next((s for s in COMPUTE_SITES if names.endswith(s)), None)
+        site = next((s for s in eligible if names.endswith(s)), None)
         vals = leaf.get("qvalues", leaf.get("q4values")) \
             if _is_quantized(leaf) else None
         if (site is None or vals is None or is_compute_tagged(leaf)

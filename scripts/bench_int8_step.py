@@ -27,6 +27,9 @@ def main():
                     help="measure only bf16 ref + the combined fast preset "
                          "(W8A8 static + INT8_QK_SCORE) — the stacked-"
                          "acceleration step number")
+    ap.add_argument("--per_tensor", action="store_true",
+                    help="use per-tensor dynamic activation scales instead "
+                         "of the default per-row (ROW_ACT_SCALES) mode")
     ap.add_argument("--sites", type=str, default=None,
                     help="comma-separated substring filter over the W8A8 "
                          "compute sites (e.g. 'ffn' = FFN-only W8A8 — the "
@@ -104,6 +107,10 @@ def main():
                           "error": str(e)[:300]}), flush=True)
         return ref
 
+    if args.per_tensor:
+        qz.ROW_ACT_SCALES = False
+    mode_tag = "_pt" if args.per_tensor else ""
+
     ref = measure(params, "bf16")
 
     q = qz.quantize_tree(params)
@@ -116,7 +123,7 @@ def main():
         measure(q, "int8_storage", ref)
 
         qdyn = qz.tag_int8_compute(q)
-        measure(qdyn, "w8a8_dynamic", ref)
+        measure(qdyn, "w8a8_dynamic" + mode_tag, ref)
 
     _, stats = jax.jit(
         lambda p, x, t, c, g: wan_dit_forward(

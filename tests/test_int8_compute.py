@@ -71,9 +71,41 @@ def test_int8_compute_dot_static_scale_matches_dynamic():
     got_static = np.asarray(qz.int8_compute_dot(leaf, x))
     dyn = {k: v for k, v in leaf.items() if k != "a_scale"}
     dyn["a_dyn"] = jnp.zeros((), jnp.float32)
-    got_dyn = np.asarray(qz.int8_compute_dot(dyn, x))
+    old = qz.ROW_ACT_SCALES
+    qz.ROW_ACT_SCALES = False  # compare against the PER-TENSOR dynamic mode
+    try:
+        got_dyn = np.asarray(qz.int8_compute_dot(dyn, x))
+    finally:
+        qz.ROW_ACT_SCALES = old
     # the calibrated scale here IS the dynamic absmax -> identical results
     np.testing.assert_array_equal(got_static, got_dyn)
+
+
+def test_row_act_scales_beat_per_tensor_on_outlier_tokens():
+    """Per-token dynamic scales (ROW_ACT_SCALES, the default) must cut the
+    quant error vs one per-tensor scalar when some tokens carry outliers —
+    the regime AdaLN-modulated DiT activations live in."""
+    rng = np.random.default_rng(3)
+    W = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+    xh = rng.standard_normal((4, 32, 256))
+    xh[:, ::7, :] *= 8.0  # outlier tokens
+    x = jnp.asarray(xh, jnp.float32)
+    tree = _quantize_tagged({"self_attn": {"q": {"kernel": W}}},
+                            stacked=False)
+    leaf = tree["self_attn"]["q"]["kernel"]
+    want = np.asarray(x @ W)
+    old = qz.ROW_ACT_SCALES
+    try:
+        qz.ROW_ACT_SCALES = True
+        rel_row = np.linalg.norm(np.asarray(
+            qz.int8_compute_dot(leaf, x)) - want) / np.linalg.norm(want)
+        qz.ROW_ACT_SCALES = False
+        rel_tensor = np.linalg.norm(np.asarray(
+            qz.int8_compute_dot(leaf, x)) - want) / np.linalg.norm(want)
+    finally:
+        qz.ROW_ACT_SCALES = old
+    assert rel_row < rel_tensor * 0.6, (rel_row, rel_tensor)
+    assert rel_row < 0.02
 
 
 def test_tag_selects_compute_sites_only():

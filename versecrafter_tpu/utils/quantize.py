@@ -306,12 +306,24 @@ def fit_act_scales(stats_list, margin: float = 1.0) -> Dict[str, Any]:
     return out
 
 
+ROW_ACT_SCALES = True  # per-token dynamic activation scales (see below)
+
+
 def int8_compute_dot(leaf: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
-    """W8A8 matmul: quantize x per-tensor, run the dot in int8 on the MXU,
-    rescale by (act_scale * per-output-channel weight scale).
+    """W8A8 matmul: quantize x, run the dot in int8 on the MXU, rescale by
+    (act_scale * per-output-channel weight scale).
 
     leaf: compute-tagged quantized kernel (2-D [d_in, d_out] after any scan
     slicing; qscales [1, d_out]). x: [..., d_in] activations.
+
+    Dynamic scales are per-ROW (per-token absmax over the contracting dim,
+    LLM.int8-style) when ROW_ACT_SCALES: strictly finer than one
+    per-tensor scalar — activation outlier tokens no longer crush the
+    resolution of every other token — and the epilogue rescale stays
+    rank-1 ([..., M, 1] x [1, N]) so it fuses the same. Calibrated static
+    scales (a_scale) remain per-tensor: the point of calibration is to
+    make the quantize op activation-independent so XLA fuses it into the
+    producer; a static per-row scale cannot exist (rows are data).
 
     int4-packed leaves (W4A8) unpack to s8 values in [-7, 7] in-graph —
     the same MXU dot runs, just with coarser weight levels (scales are
@@ -319,6 +331,9 @@ def int8_compute_dot(leaf: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     if "a_scale" in leaf:
         a = jnp.maximum(leaf["a_scale"].astype(jnp.float32), 1e-8)
+    elif ROW_ACT_SCALES:
+        a = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
     else:
         a = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / a), -127, 127).astype(jnp.int8)

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--bq", type=int, default=None,
                     help="override RESIDENT_BLOCK_Q_CANDIDATES to this "
                          "single value (geometry sweep)")
+    ap.add_argument("--bkv", type=int, default=None,
+                    help="override FUSED_BLOCK_KV_CAP to this value "
+                         "(geometry sweep)")
     ap.add_argument("--budget_mib", type=int, default=None,
                     help="override RESIDENT_KV_VMEM_BUDGET (MiB)")
     ap.add_argument("--only", choices=("resident", "streaming", "unfused",
@@ -86,6 +89,8 @@ def main():
 
     if args.bq is not None:
         fa.RESIDENT_BLOCK_Q_CANDIDATES = (args.bq,)
+    if args.bkv is not None:
+        fa.FUSED_BLOCK_KV_CAP = args.bkv
     if args.budget_mib is not None:
         fa.RESIDENT_KV_VMEM_BUDGET = args.budget_mib * 1024 * 1024
     geo = fa._fused_block_geometry(S, HD)

@@ -659,9 +659,14 @@ RESIDENT_KV_VMEM_BUDGET = 100 * 1024 * 1024
 # full-resident to tile-mapped (-33 MiB at 480p) but are unmeasured.
 RESIDENT_BLOCK_Q_CANDIDATES = (4096, 2048)
 
+# kv-block cap for the fused self-attention geometry (module-level so
+# geometry sweeps can override it alongside RESIDENT_BLOCK_Q_CANDIDATES;
+# 1024 measured best in the round-2 sweep — 936 pad-free was +273 ms).
+FUSED_BLOCK_KV_CAP = 1024
+
 
 def _fused_block_geometry(seq: int, head_dim: int, window: tuple = (-1, -1),
-                          block_kv_cap: int = 1024):
+                          block_kv_cap: Optional[int] = None):
     """The (block_q, block_kv, resident_kv, blocked_tables) the fused
     SELF-attention dispatch uses at this sequence length — one source of
     truth shared by _fused_qk_diff, prepare_fused_rope_tables and
@@ -680,6 +685,8 @@ def _fused_block_geometry(seq: int, head_dim: int, window: tuple = (-1, -1),
     the q/k grid indices (~5 MiB streamed instead of 38.8 MiB resident),
     which brings resident-KV mode in budget at block_q 4096/2048."""
     window = (int(window[0]), int(window[1]))
+    if block_kv_cap is None:
+        block_kv_cap = FUSED_BLOCK_KV_CAP
     block_q = _pick_block_q(seq)
     block_kv = min(block_kv_cap, _ceil_to(seq, 128))
     for bq_res in RESIDENT_BLOCK_Q_CANDIDATES:
@@ -948,7 +955,7 @@ def _unfused_rope_rms_attention(q, k, v, cos, sin, gq, gk, num_heads, eps,
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
 
 
-def prepare_fused_rope_tables(cos, sin, block_kv: int = 1024,
+def prepare_fused_rope_tables(cos, sin, block_kv: Optional[int] = None,
                               window: tuple = (-1, -1)):
     """Interleave + cast + pad the rope tables ONCE per forward (wan_dit
     hoists this out of the scanned blocks; rebuilding the [S_pad, D] bf16

@@ -314,6 +314,22 @@ class TestFusedRopeRmsAttention:
         _, _, res, _ = fa._fused_block_geometry(32760, 128, window=(512, 512))
         assert not res
 
+    def test_block_kv_cap_override(self):
+        """FUSED_BLOCK_KV_CAP is the single default source for the kv block
+        (geometry sweeps override it); explicit block_kv_cap still wins."""
+        import importlib
+        fa = importlib.import_module(
+            "versecrafter_tpu.kernels.flash_attention")
+        old = fa.FUSED_BLOCK_KV_CAP
+        try:
+            fa.FUSED_BLOCK_KV_CAP = 512
+            assert fa._fused_block_geometry(32760, 128)[1] == 512
+            assert fa._fused_block_geometry(
+                32760, 128, block_kv_cap=256)[1] == 256
+        finally:
+            fa.FUSED_BLOCK_KV_CAP = old
+        assert fa._fused_block_geometry(32760, 128)[1] == 1024
+
 
 class TestFusedCrossAttention:
     """Norm-only fused kernel (fused_rms_cross_attention): cross-attention

@@ -42,6 +42,9 @@ def main():
                     help="ablate PROJ_STAT_FUSION (row-RMS statistics "
                          "emitted by the q/k projection matmul epilogues "
                          "instead of standalone ~100 GB/s reduce passes)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="fused arm uses the STREAMING kernel flavor "
+                         "(resident-KV disabled) — plain-720p a/b")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--res", type=int, default=480, choices=(480, 720),
                     help="operating point: 480 -> 32,760 tok (832x480x81f), "
@@ -130,7 +133,14 @@ def main():
         out_u, ms_u = run("unfused")
         wan_dit.FUSED_QK_ATTENTION = True
         wan_dit.GEOADA_FUSED_QK = True
-        out_f, ms_f = run("fused")
+        wan_dit.PLAIN_FUSED_AT_BLOCKED = True  # a/b even where prod gates off
+        if args.streaming:
+            # force the kernel's STREAMING flavor (resident mode disabled):
+            # answers whether plain-720p should stream-fuse rather than run
+            # unfused, since the resident flavor measured +699 ms there
+            import versecrafter_tpu.kernels.flash_attention as fa
+            fa.RESIDENT_KV_VMEM_BUDGET = 0
+        out_f, ms_f = run("fused_streaming" if args.streaming else "fused")
     err = float(jnp.max(jnp.abs(out_f.astype(jnp.float32)
                                 - out_u.astype(jnp.float32))))
     print(json.dumps({"metric": "fused_vs_unfused",

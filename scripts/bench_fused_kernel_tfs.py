@@ -62,30 +62,37 @@ def main():
     flops_per_call = 4 * B * N * S * S * HD
 
     def run(tag, fn, iters=3):
-        def chain(q0):
+        # the operands are jit ARGUMENTS, not closure captures: captured
+        # device arrays lower as literal constants in the StableHLO module,
+        # and at 720p the 464 MB k/v literals blow the axon remote-compile
+        # HTTP body limit (observed: "HTTP 413 length limit exceeded")
+        def chain(q0, kk, vv, cc, ss, ggq, ggk):
             def body(qc, _):
-                return fn(qc), None
+                return fn(qc, kk, vv, cc, ss, ggq, ggk), None
             return jax.lax.scan(body, q0, None, length=LOOP)[0]
 
         f = jax.jit(chain)
-        out = f(q)
+        out = f(q, k, v, cos, sin, gq, gk)
         _ = float(jnp.abs(out).astype(jnp.float32).sum())
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = f(q)
+            out = f(q, k, v, cos, sin, gq, gk)
         _ = float(jnp.abs(out).astype(jnp.float32).sum())
         ms = (time.perf_counter() - t0) / (iters * LOOP) * 1e3
         print(json.dumps({"variant": tag, "ms_per_call": round(ms, 2),
                           "tf_s": round(flops_per_call / ms / 1e9, 1)}),
               flush=True)
 
-    fused = lambda qc: fa.fused_rope_rms_attention(
-        qc, k, v, cos, sin, gq, gk, num_heads=N, impl="pallas")
-    fused_i8 = lambda qc: fa.fused_rope_rms_attention(
-        qc, k, v, cos, sin, gq, gk, num_heads=N, impl="pallas",
-        int8_score=True)
-    unfused = lambda qc: fa._unfused_rope_rms_attention(
-        qc, k, v, cos, sin, gq, gk, N, 1e-6, HD ** -0.5, (-1, -1), "pallas")
+    fused = lambda qc, kk, vv, cc, ss, ggq, ggk: fa.fused_rope_rms_attention(
+        qc, kk, vv, cc, ss, ggq, ggk, num_heads=N, impl="pallas")
+    fused_i8 = (
+        lambda qc, kk, vv, cc, ss, ggq, ggk: fa.fused_rope_rms_attention(
+            qc, kk, vv, cc, ss, ggq, ggk, num_heads=N, impl="pallas",
+            int8_score=True))
+    unfused = (
+        lambda qc, kk, vv, cc, ss, ggq, ggk: fa._unfused_rope_rms_attention(
+            qc, kk, vv, cc, ss, ggq, ggk, N, 1e-6, HD ** -0.5, (-1, -1),
+            "pallas"))
 
     if args.bq is not None:
         fa.RESIDENT_BLOCK_Q_CANDIDATES = (args.bq,)
@@ -111,7 +118,7 @@ def main():
         run("fused_resident_int8_score", fused_i8)
         a = fa.fused_rope_rms_attention(q, k, v, cos, sin, gq, gk,
                                         num_heads=N, impl="pallas")
-        b = fused_i8(q)
+        b = fused_i8(q, k, v, cos, sin, gq, gk)
         print(json.dumps({
             "metric": "int8_score_parity",
             "max_abs_diff": float(jnp.abs(

@@ -124,10 +124,10 @@ def main():
     # can't be distinguished by shape from text/time embeds of same dim — so
     # stub attention fns entirely and subtract the kernel-only ablation)
     def self_attn_noproj(p, x, cos, sin, num_heads, qk_norm, eps, attn_impl,
-                         window_size=(-1, -1)):
+                         window_size=(-1, -1), **kw):
         return x
     def cross_attn_noproj(p, x, context, num_heads, qk_norm, eps, attn_impl,
-                          context_img=None):
+                          context_img=None, **kw):
         return x
     real_self, real_cross = wan_dit._self_attention, wan_dit._cross_attention
 

@@ -25,7 +25,7 @@ import numpy as np
 from versecrafter_tpu.geometry.coords import blender_c2w_to_opencv_w2c
 from versecrafter_tpu.geometry.pointcloud import load_background_from_files
 from versecrafter_tpu.geometry.rasterize import (
-    composite_by_depth, depth_to_grayscale, global_depth_range, merge_masks,
+    composite_by_depth, depth_to_grayscale, merge_masks,
     raster_ellipsoids, splat_points)
 from versecrafter_tpu.geometry.splat import (
     composite_gaussian_projections, object_color)
@@ -99,6 +99,29 @@ _composite_jit = jax.jit(composite_by_depth)
 
 
 @jax.jit
+def _positive_quantile_input(bg_d, fg_d, comp_d):
+    """Flatten a batch's depth streams with nonpositive values masked to NaN
+    so the global range can be taken with one on-device nanquantile."""
+    flat = jnp.concatenate([bg_d.ravel(), fg_d.ravel(), comp_d.ravel()])
+    return jnp.where(flat > 0, flat, jnp.nan)
+
+
+_nanquantile_jit = jax.jit(
+    lambda x: jnp.nanquantile(x, jnp.asarray([0.001, 0.99])))
+
+
+def _device_depth_range(parts):
+    """0.1%/99% percentiles of positive depths, computed on device (exact
+    over all values — see the subsampling note in render_control_maps).
+    Matches global_depth_range's (0, 1) fallback when nothing is positive."""
+    flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    q = np.asarray(_nanquantile_jit(flat))
+    if not np.all(np.isfinite(q)):
+        return 0.0, 1.0
+    return float(q[0]), float(q[1])
+
+
+@jax.jit
 def _finalize(bg_rgb, bg_depth, bg_mask, fg_rgb, fg_depth, fg_mask,
               g_rgb, g_alpha, dmin, dmax):
     def gray(depth):
@@ -109,9 +132,6 @@ def _finalize(bg_rgb, bg_depth, bg_mask, fg_rgb, fg_depth, fg_mask,
     def u8(x):
         return jnp.clip(x, 0, 255).astype(jnp.uint8)
 
-    def gray3(x):
-        return jnp.repeat(u8(x)[..., None], 3, -1)
-
     merged = merge_masks(bg_depth, fg_depth, bg_mask, fg_mask)
     gauss_rgb = g_rgb * g_alpha[..., None] * 255.0
     # background + gaussian preview (blend, then depth-composite vs bg)
@@ -120,13 +140,16 @@ def _finalize(bg_rgb, bg_depth, bg_mask, fg_rgb, fg_depth, fg_mask,
     gvis = g_alpha > 0.001
     prev_rgb, _ = composite_by_depth(bg_rgb, bg_depth, blend, fg_depth,
                                      gvis)
+    # single-channel streams leave the device as [T, H, W] uint8 and are
+    # repeated to 3 channels on the HOST: the axon tunnel downloads at
+    # ~19 MB/s (measured) while uploads run ~650 MB/s, so shipping the
+    # repeat would triple the dominant cost of the whole render stage
     return {
         "background_RGB": u8(bg_rgb),
-        "background_depth": gray3(gray(bg_depth)),
+        "background_depth": u8(gray(bg_depth)),
         "3D_gaussian_RGB": u8(gauss_rgb),
-        "3D_gaussian_depth": gray3(gray(fg_depth)),
-        "merged_mask": jnp.repeat(
-            (merged[..., None] * 255).astype(jnp.uint8), 3, -1),
+        "3D_gaussian_depth": u8(gray(fg_depth)),
+        "merged_mask": (merged * 255).astype(jnp.uint8),
         "background_and_3D_gaussian": u8(prev_rgb),
     }
 
@@ -162,63 +185,75 @@ def render_control_maps(
     # first version of this function round-tripped every f32 intermediate
     # through the host (~10 GB at 720p x 81f) and the composite math ran as
     # dozens of eager dispatches — through the axon tunnel that was ~750 s
-    # of wall for ~5 s of device work. Now only the depth streams (for the
-    # host-exact percentile range) and the 6 uint8 outputs ever leave the
-    # device. The splat stays sequential per frame (sort+unique-scatter
+    # of wall for ~5 s of device work. Now only the 6 uint8 output streams
+    # ever leave the device (even the depth-percentile range is computed
+    # on-device). The splat stays sequential per frame (sort+unique-scatter
     # vmaps poorly) but runs under lax.map so a whole frame batch is ONE
     # dispatch instead of frame_batch round trips. The jitted programs are
     # CACHED on the static geometry (resident serving processes render per
     # request — fresh jit objects would re-trace every time).
+    #
+    # Memory: TWO passes over the frame batches instead of holding every
+    # f32 stream of the whole video resident at once — the single-pass
+    # version peaked ~14 GB at 720p x 81f (stream concat copies + the
+    # whole-video finalize transients) and OOM'd the 16 GB v5e. Pass 1
+    # keeps only the three depth streams (for the global range); pass 2
+    # re-renders each batch (cached executables, ~64 ms/frame — cheap next
+    # to the tunnel transfer) and finalizes it to uint8 immediately.
     splat_batch, ell_batch, proj_batch = _render_fns(
         H, W, radius_px, footprint, ellipsoid_scale, gaussian_threshold)
 
-    chunks = {k: [] for k in ("bg_rgb", "bg_depth", "bg_mask", "fg_rgb",
-                              "fg_depth", "fg_mask", "g_rgb", "g_alpha")}
-    for s in range(0, T, frame_batch):
-        e = min(s + frame_batch, T)
-        pad = frame_batch - (e - s)  # pad the tail so every batch compiles once
+    def batches():
+        for s in range(0, T, frame_batch):
+            e = min(s + frame_batch, T)
+            pad = frame_batch - (e - s)  # pad tail: every batch compiles once
 
-        def pb(a):
-            a = np.asarray(a[s:e])
-            if pad:
-                a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
-            return jnp.asarray(a)
+            def pb(a):
+                a = np.asarray(a[s:e])
+                if pad:
+                    a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+                return jnp.asarray(a)
+            yield e - s, pb
 
-        n = e - s
-        r, d, m = splat_batch(pts, cols, Kj, pb(w2cs))
-        chunks["bg_rgb"].append(r[:n])
-        chunks["bg_depth"].append(d[:n])
-        chunks["bg_mask"].append(m[:n])
-        m_b, c_b, p_b, w_b = pb(means), pb(covs), pb(present), pb(w2cs)
-        r, d, m = ell_batch(m_b, c_b, ocols, p_b, Kj, w_b)
-        chunks["fg_rgb"].append(r[:n])
-        chunks["fg_depth"].append(d[:n])
-        chunks["fg_mask"].append(m[:n])
-        r, a = proj_batch(m_b, c_b, ocols, p_b, Kj, w_b)
-        chunks["g_rgb"].append(r[:n])
-        chunks["g_alpha"].append(a[:n])
+    def render_batch(pb):
+        w_b = pb(w2cs)
+        bg = splat_batch(pts, cols, Kj, w_b)          # rgb, depth, mask
+        m_b, c_b, p_b = pb(means), pb(covs), pb(present)
+        fg = ell_batch(m_b, c_b, ocols, p_b, Kj, w_b)  # rgb, depth, mask
+        g = proj_batch(m_b, c_b, ocols, p_b, Kj, w_b)  # rgb, alpha
+        return bg, fg, g
 
-    dev = {k: (v[0] if len(v) == 1 else jnp.concatenate(v))
-           for k, v in chunks.items()}
-    del chunks
+    # pass 1: global depth range over bg/fg/composited depth, all on device
+    # (the percentile itself is exact over ALL positive values — the
+    # reference subsamples 1M with a host rng purely to bound host memory,
+    # rendering_4D_control_maps.py:541-571; exact quantiles are within its
+    # sampling noise and golden-parity floors don't move)
+    depth_parts = []
+    for n, pb in batches():
+        bg, fg, g = render_batch(pb)
+        _, comp_d = _composite_jit(bg[0], bg[1], fg[0], fg[1], fg[2])
+        depth_parts.append(_positive_quantile_input(
+            bg[1][:n], fg[1][:n], comp_d[:n]))
+    dmin, dmax = _device_depth_range(depth_parts)
+    del depth_parts
 
-    # composites & visualizations (reference main steps 7-10)
-    _, comp_depth = _composite_jit(
-        dev["bg_rgb"], dev["bg_depth"], dev["fg_rgb"], dev["fg_depth"],
-        dev["fg_mask"])
-    # the percentile range stays host-exact (the reference subsamples with a
-    # host rng) — the depth streams are the one f32 transfer that remains
-    dmin, dmax = global_depth_range(
-        np.concatenate([np.asarray(dev["bg_depth"]).ravel(),
-                        np.asarray(dev["fg_depth"]).ravel(),
-                        np.asarray(comp_depth).ravel()]))
-    del comp_depth
-
-    out = _finalize(dev["bg_rgb"], dev["bg_depth"], dev["bg_mask"],
-                   dev["fg_rgb"], dev["fg_depth"], dev["fg_mask"],
-                   dev["g_rgb"], dev["g_alpha"],
-                   jnp.float32(dmin), jnp.float32(dmax))
-    return {k: np.asarray(v) for k, v in out.items()}
+    # pass 2: re-render each batch (executables + splat sorts are cached/
+    # cheap) and finalize to uint8 immediately — one batch of f32 streams
+    # alive at a time
+    outs = None
+    for n, pb in batches():
+        bg, fg, g = render_batch(pb)
+        out = _finalize(bg[0], bg[1], bg[2], fg[0], fg[1], fg[2],
+                        g[0], g[1], jnp.float32(dmin), jnp.float32(dmax))
+        if outs is None:
+            outs = {k: [] for k in out}
+        for k, v in out.items():
+            a = np.asarray(v[:n])
+            if a.ndim == 3:  # grayscale stream: host-side channel repeat
+                a = np.repeat(a[..., None], 3, -1)
+            outs[k].append(a)
+    return {k: (v[0] if len(v) == 1 else np.concatenate(v))
+            for k, v in outs.items()}
 
 
 def render_from_files(

@@ -709,6 +709,18 @@ def resident_kv_available(seq: int, head_dim: int,
     return _fused_block_geometry(seq, head_dim, window)[2]
 
 
+def fused_tables_blocked(seq: int, head_dim: int,
+                         window: tuple = (-1, -1)) -> bool:
+    """Whether the dispatch at this sequence needs BLOCKED (tile-mapped)
+    rope tables to fit resident-KV mode in VMEM (True from ~720p's 75,600
+    tokens up). Model code gates on this: the blocked-table resident mode
+    measured a WIN for geoada programs (-568 ms/step at 720p) but a LOSS
+    for plain ones (+699 ms vs unfused — bench_fused_ablation --res 720),
+    so plain models stay unfused at blocked-table sequences."""
+    geo = _fused_block_geometry(seq, head_dim, window)
+    return geo[2] and geo[3]
+
+
 def _use_resident_kv(sq: int, skv: int, block_q: int, block_kv: int,
                      d: int, window: tuple,
                      blocked_tables: bool = False) -> bool:

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from versecrafter_tpu.core.config import WanDiTConfig
 from versecrafter_tpu.kernels.flash_attention import (
     flash_attention, fused_rms_cross_attention, fused_rope_rms_attention,
-    resident_kv_available)
+    resident_kv_available, fused_tables_blocked)
 from versecrafter_tpu.kernels.matmul_stat import linear_rstat
 from versecrafter_tpu.kernels.norms import layer_norm, rms_norm
 from versecrafter_tpu.kernels.rope import apply_rope
@@ -60,6 +60,12 @@ Params = Dict[str, Any]
 # force-fuses geoada even in streaming mode, for experiments.
 FUSED_QK_ATTENTION = True
 GEOADA_FUSED_QK = False
+
+# Force plain models to fuse even where the dispatch needs blocked rope
+# tables (~720p): chip-measured +699 ms/step there (vs geoada's -568 ms win
+# — bench_fused_ablation --res 720), so production keeps this off; the
+# ablation script flips it to reproduce the measurement.
+PLAIN_FUSED_AT_BLOCKED = False
 
 # Route cross-attention through the norm-only fused kernel
 # (fused_rms_cross_attention): removes the q-RMS pass over the video axis
@@ -640,12 +646,21 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
         rope_i = prepare_fused_rope_tables(cos, sin,
                                            window=cfg.window_size)
 
+    # plain models fuse EXCEPT where the dispatch would need blocked rope
+    # tables (~720p, 75,600 tok): there the resident mode measured +699 ms
+    # vs unfused for plain programs while still winning -568 ms for geoada
+    # (bench_fused_ablation --res 720, chip) — so the two gates differ.
+    plain_fuse = FUSED_QK_ATTENTION and (
+        PLAIN_FUSED_AT_BLOCKED
+        or not fused_tables_blocked(x.shape[1], cfg.head_dim,
+                                    cfg.window_size))
+
     if not cfg.has_geoadapter or geoada_tokens is None:
         def body(carry, bp):
             cal = {} if calibrate else None
             out = blk(deq(bp), cfg, carry, e0, cos, sin, context,
                       attn_impl, context_img, rope_i,
-                      FUSED_QK_ATTENTION, cal)
+                      plain_fuse, cal)
             return out, cal
         x, stats = jax.lax.scan(body, x, block_params)
         return (x, {"blocks": stats}) if calibrate else x

@@ -314,6 +314,20 @@ class TestFusedRopeRmsAttention:
         _, _, res, _ = fa._fused_block_geometry(32760, 128, window=(512, 512))
         assert not res
 
+    def test_plain_models_unfused_at_blocked_tables(self):
+        """fused_tables_blocked drives the model-level gate: at 720p
+        (75,600 tok) PLAIN models must NOT fuse (chip-measured +699 ms
+        resident / +716 ms streaming vs unfused) while geoada still does
+        (-568 ms) — bench_fused_ablation --res 720 [--streaming]."""
+        import importlib
+        fa = importlib.import_module(
+            "versecrafter_tpu.kernels.flash_attention")
+        assert not fa.fused_tables_blocked(32760, 128)   # 480p: plain fuses
+        assert fa.fused_tables_blocked(75600, 128)       # 720p: plain won't
+        # geoada's gate (resident availability) stays on at both lengths
+        assert fa.resident_kv_available(32760, 128)
+        assert fa.resident_kv_available(75600, 128)
+
     def test_block_kv_cap_override(self):
         """FUSED_BLOCK_KV_CAP is the single default source for the kv block
         (geometry sweeps override it); explicit block_kv_cap still wins."""

@@ -164,6 +164,13 @@ def main(argv=None):
     }, progress)
     out = save_generated_video(
         video, {"save_path": args.save_path, "fps": args.fps})
+    prof = getattr(pipe, "last_wall_profile", None)
+    if prof:
+        # phase WALL split (host+device+tunnel) — on the axon tunnel the
+        # 19 MB/s download makes wall diverge from device time; this
+        # attributes the generate stage honestly in pipeline walls
+        import json as _json
+        print(_json.dumps({"generate_wall_profile_s": prof}), flush=True)
     print(args.prompt)
     print(out)
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -551,6 +552,18 @@ class VerseCrafterPipeline:
         noise override; `prompt_embeds`/`negative_prompt_embeds` skip the T5
         encode; `callback_on_step_end(pipe, i, t, {'latents': ...}) ->
         optional dict` may replace `latents` between steps (:916-925)."""
+        # wall-clock profile of the generation phases (host+device+tunnel),
+        # stashed on self.last_wall_profile — the axon tunnel's 19 MB/s
+        # download makes the WALL split diverge from the device split, so
+        # the CLIs print this to attribute e2e time honestly
+        wall: Dict[str, float] = {}
+        _t0 = time.perf_counter()
+
+        def _mark(name, _box=[_t0]):
+            now = time.perf_counter()
+            wall[name] = wall.get(name, 0.0) + (now - _box[0])
+            _box[0] = now
+
         if prompt_embeds is not None:
             batch = prompt_embeds.shape[0]
             if negative_prompt_embeds is None:
@@ -573,6 +586,7 @@ class VerseCrafterPipeline:
             batch = 1 if isinstance(prompt, str) else len(prompt)
             context = self.encode_prompt(prompt, negative_prompt).astype(dtype)
 
+        _mark("text_encode")
         if clip_fea is None and clip_image is not None:
             if self.clip_params is None:
                 raise ValueError("clip_image given but pipeline has no "
@@ -616,6 +630,7 @@ class VerseCrafterPipeline:
             geoada_context, n_ref = self.encode_controls(
                 control_videos, mask_video, dtype,
                 subject_ref_images=subject_ref_images)
+        _mark("encode_controls")
 
         t_lat = geoada_context.shape[2]
         h_lat = height // self.vae_cfg.spatial_compression_ratio
@@ -696,9 +711,14 @@ class VerseCrafterPipeline:
                 if progress is not None:
                     progress(i + 1, num_inference_steps)
 
+        # the loop dispatches async — sync before closing the denoise span
+        # so decode/download don't absorb queued step time
+        latents.block_until_ready()
+        _mark("denoise")
         if n_ref:  # strip the prepended reference-frame slots (pipeline:927-930)
             latents = latents[:, :, n_ref:]
         if output_type == "latent":
+            self.last_wall_profile = {k: round(v, 2) for k, v in wall.items()}
             return latents
         latents = self._shard_vae_input(latents)
         out_voxels = (np.prod(latents.shape[2:])
@@ -721,4 +741,9 @@ class VerseCrafterPipeline:
             # through a remote-device tunnel) — same truncation semantics
             # as utils.video.save_video's float path
             video = (jnp.clip(video, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-        return np.asarray(video.transpose(0, 2, 3, 4, 1))
+        video.block_until_ready()
+        _mark("vae_decode")
+        out = np.asarray(video.transpose(0, 2, 3, 4, 1))
+        _mark("download")
+        self.last_wall_profile = {k: round(v, 2) for k, v in wall.items()}
+        return out

@@ -201,6 +201,8 @@ class ModelServer:
 
                 video = self._generate(pipe, params, progress)
                 self.last_step_stats = timer.summary()
+                self.last_wall_profile = getattr(
+                    pipe, "last_wall_profile", {})
                 out_path = self._save(video, params)
                 self.tasks.update(task_id, status=COMPLETED, progress=100,
                                   result={"video_path": out_path})
@@ -253,6 +255,8 @@ def build_router(server: ModelServer) -> Router:
             "queue_depth": server.queue.qsize(),
             "tasks": len(server.tasks.all()),
             "last_generation_step_ms": getattr(server, "last_step_stats", {}),
+            "last_generation_wall_profile_s": getattr(
+                server, "last_wall_profile", {}),
         }
 
     return r

@@ -76,19 +76,36 @@ def main():
             teardown()
         buckets[tag] = full - ms
 
-    # self+cross attention kernels (out = q keeps shapes; drops both kernels)
-    ablate("attn_kernels",
-           lambda: setattr(wan_dit, "flash_attention", lambda q, k, v, **kw: q),
-           lambda: setattr(wan_dit, "flash_attention", real_fa))
+    # self+cross attention kernels (out = q keeps shapes; drops the kernels).
+    # With fusion default-on the self-attn path goes through
+    # fused_rope_rms_attention and cross through fused_rms_cross_attention —
+    # stub all three entry points or the bucket silently measures ~0.
+    real_fused = wan_dit.fused_rope_rms_attention
+    real_fused_x = wan_dit.fused_rms_cross_attention
 
-    # cross-attention kernel only (self stays real): stub only S_kv small calls
+    def _stub_kernels():
+        wan_dit.flash_attention = lambda q, k, v, **kw: q
+        wan_dit.fused_rope_rms_attention = lambda q, k, v, *a, **kw: q
+        wan_dit.fused_rms_cross_attention = lambda q, k, v, *a, **kw: q
+
+    def _unstub_kernels():
+        wan_dit.flash_attention = real_fa
+        wan_dit.fused_rope_rms_attention = real_fused
+        wan_dit.fused_rms_cross_attention = real_fused_x
+    ablate("attn_kernels", _stub_kernels, _unstub_kernels)
+
+    # cross-attention kernel only (self stays real)
     def fa_no_cross(q, k, v, **kw):
         if k.shape[2] != q.shape[2]:
             return q
         return real_fa(q, k, v, **kw)
     ablate("cross_attn_kernel",
-           lambda: setattr(wan_dit, "flash_attention", fa_no_cross),
-           lambda: setattr(wan_dit, "flash_attention", real_fa))
+           lambda: (setattr(wan_dit, "flash_attention", fa_no_cross),
+                    setattr(wan_dit, "fused_rms_cross_attention",
+                            lambda q, k, v, *a, **kw: q)),
+           lambda: (setattr(wan_dit, "flash_attention", real_fa),
+                    setattr(wan_dit, "fused_rms_cross_attention",
+                            real_fused_x)))
 
     # RoPE application (table build is outside the jit)
     ablate("rope_apply",

@@ -60,13 +60,10 @@ def test_gaussian_fit_matches_reference_json(tmp_path):
 
 
 @pytest.fixture(scope="module")
-def rendered(tmp_path_factory):
-    """Render a 9-frame subsample of the demo trajectory."""
-    import numpy as np
-
+def demo_inputs():
     from versecrafter_tpu.geometry.pointcloud import load_background_from_files
     from versecrafter_tpu.geometry.render import (
-        load_camera_trajectory, load_gaussian_trajectory, render_control_maps)
+        load_camera_trajectory, load_gaussian_trajectory)
 
     pts, cols, K, h, w = load_background_from_files(
         str(DEMO / "0001.png"),
@@ -75,11 +72,37 @@ def rendered(tmp_path_factory):
     w2cs = load_camera_trajectory(str(DEMO / "camera_object_0/custom_camera_trajectory.npz"))
     means, covs, present, ocolors, _ = load_gaussian_trajectory(
         str(DEMO / "camera_object_0/custom_3D_gaussian_trajectory.json"))
+    return pts, cols, K, h, w, w2cs, means, covs, present, ocolors
+
+
+@pytest.fixture(scope="module")
+def rendered(demo_inputs):
+    """Render a 9-frame subsample of the demo trajectory."""
+    from versecrafter_tpu.geometry.render import render_control_maps
+
+    pts, cols, K, h, w, w2cs, means, covs, present, ocolors = demo_inputs
     idxs = list(range(0, 81, 10))
     vids = render_control_maps(
         pts, cols, K, w2cs[idxs], means[idxs], covs[idxs], present[idxs],
         ocolors, (h, w))
     return idxs, vids
+
+
+def test_render_batching_invariance(demo_inputs, rendered):
+    """The two-pass batched render is exact under re-batching: frame_batch=4
+    over 9 frames (two full batches + a padded tail, exercising tail
+    slicing in BOTH passes and the per-batch depth-range accumulation)
+    must reproduce the single-padded-batch default bit-for-bit."""
+    from versecrafter_tpu.geometry.render import render_control_maps
+
+    pts, cols, K, h, w, w2cs, means, covs, present, ocolors = demo_inputs
+    idxs, vids = rendered
+    rebatched = render_control_maps(
+        pts, cols, K, w2cs[idxs], means[idxs], covs[idxs], present[idxs],
+        ocolors, (h, w), frame_batch=4)
+    assert set(rebatched) == set(vids)
+    for k in vids:
+        np.testing.assert_array_equal(rebatched[k], vids[k], err_msg=k)
 
 
 def _psnr(a, b):

@@ -338,6 +338,10 @@ class VerseCrafterPipeline:
         control's channel block with zeros elsewhere, and zero mask channels
         (geoada_encode_multi_frames ref handling,
         pipeline_wan_versecrafter.py:428-486)."""
+        # per-video encode, deliberately NOT batch-stacked: batching even
+        # two 480p x 81f controls through the streaming encoder
+        # RESOURCE_EXHAUSTED the 16 GB chip next to the resident T5/DiT
+        # weights (pipe_warm3, Aug 18) — the ~18 s encode stays 4 dispatches
         lat = []
         encode = self._vae_encode_fn()
         for cv in control_videos:

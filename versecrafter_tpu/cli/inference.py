@@ -109,6 +109,8 @@ def main(argv=None):
     # sp mesh axis; --tp composes (versecrafter_inference.py:271-281)
     spec = spec_from_degrees(args.ulysses_degree, args.ring_degree, args.tp)
 
+    import time as _time
+    _t_build = _time.perf_counter()
     if args.model_name:
         from versecrafter_tpu.core.convert import load_versecrafter
 
@@ -124,6 +126,8 @@ def main(argv=None):
         pipe = default_pipeline_factory(
             mesh_spec=spec if spec.size > 1 else None,
             auto_mesh=args.auto_parallel, scale=args.smoke_scale)()
+
+    _t_build = _time.perf_counter() - _t_build
 
     if args.teacache_coeffs:
         import json as _json
@@ -170,6 +174,7 @@ def main(argv=None):
         # 19 MB/s download makes wall diverge from device time; this
         # attributes the generate stage honestly in pipeline walls
         import json as _json
+        prof = dict(prof, model_build=round(_t_build, 2))
         print(_json.dumps({"generate_wall_profile_s": prof}), flush=True)
     print(args.prompt)
     print(out)

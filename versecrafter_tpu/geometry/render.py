@@ -193,13 +193,14 @@ def render_control_maps(
     # CACHED on the static geometry (resident serving processes render per
     # request — fresh jit objects would re-trace every time).
     #
-    # Memory: TWO passes over the frame batches instead of holding every
-    # f32 stream of the whole video resident at once — the single-pass
-    # version peaked ~14 GB at 720p x 81f (stream concat copies + the
-    # whole-video finalize transients) and OOM'd the 16 GB v5e. Pass 1
-    # keeps only the three depth streams (for the global range); pass 2
-    # re-renders each batch (cached executables, ~64 ms/frame — cheap next
-    # to the tunnel transfer) and finalizes it to uint8 immediately.
+    # Memory: ONE render pass that stores the PER-BATCH device arrays (no
+    # whole-video concat, no whole-video finalize) — the original
+    # full-concat version peaked ~14 GB at 720p x 81f (stream concat
+    # copies + whole-video finalize transients) and OOM'd the 16 GB v5e,
+    # while a re-render-per-pass variant measured ~100 s of duplicated
+    # device compute at 720p (raycast dominates, not the splat). Stored
+    # batches keep ~4.2 GB resident at 720p x 81f; finalize runs per batch
+    # from the stored arrays and frees each batch after download.
     splat_batch, ell_batch, proj_batch = _render_fns(
         H, W, radius_px, footprint, ellipsoid_scale, gaussian_threshold)
 
@@ -223,26 +224,27 @@ def render_control_maps(
         g = proj_batch(m_b, c_b, ocols, p_b, Kj, w_b)  # rgb, alpha
         return bg, fg, g
 
-    # pass 1: global depth range over bg/fg/composited depth, all on device
-    # (the percentile itself is exact over ALL positive values — the
-    # reference subsamples 1M with a host rng purely to bound host memory,
-    # rendering_4D_control_maps.py:541-571; exact quantiles are within its
-    # sampling noise and golden-parity floors don't move)
+    # render once, storing per-batch device arrays; accumulate the global
+    # depth range on device as we go (the percentile is exact over ALL
+    # positive values — the reference subsamples 1M with a host rng purely
+    # to bound host memory, rendering_4D_control_maps.py:541-571; exact
+    # quantiles are within its sampling noise and golden-parity floors
+    # don't move)
+    stored = []
     depth_parts = []
     for n, pb in batches():
         bg, fg, g = render_batch(pb)
         _, comp_d = _composite_jit(bg[0], bg[1], fg[0], fg[1], fg[2])
         depth_parts.append(_positive_quantile_input(
             bg[1][:n], fg[1][:n], comp_d[:n]))
+        stored.append((n, bg, fg, g))
     dmin, dmax = _device_depth_range(depth_parts)
     del depth_parts
 
-    # pass 2: re-render each batch (executables + splat sorts are cached/
-    # cheap) and finalize to uint8 immediately — one batch of f32 streams
-    # alive at a time
+    # finalize each stored batch to uint8 and free it after download — one
+    # batch of finalize transients alive at a time
     outs = None
-    for n, pb in batches():
-        bg, fg, g = render_batch(pb)
+    for i, (n, bg, fg, g) in enumerate(stored):
         out = _finalize(bg[0], bg[1], bg[2], fg[0], fg[1], fg[2],
                         g[0], g[1], jnp.float32(dmin), jnp.float32(dmax))
         if outs is None:
@@ -252,6 +254,7 @@ def render_control_maps(
             if a.ndim == 3:  # grayscale stream: host-side channel repeat
                 a = np.repeat(a[..., None], 3, -1)
             outs[k].append(a)
+        stored[i] = None
     return {k: (v[0] if len(v) == 1 else np.concatenate(v))
             for k, v in outs.items()}
 

@@ -121,17 +121,20 @@ def _device_depth_range(parts):
     return float(q[0]), float(q[1])
 
 
+def _u8(x):
+    return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+
 @jax.jit
-def _finalize(bg_rgb, bg_depth, bg_mask, fg_rgb, fg_depth, fg_mask,
-              g_rgb, g_alpha, dmin, dmax):
-    def gray(depth):
-        # depth_to_grayscale with a TRACED range (dmin/dmax as args, not
-        # baked constants -> no recompile per clip)
-        return depth_to_grayscale(depth, dmin, dmax)
-
-    def u8(x):
-        return jnp.clip(x, 0, 255).astype(jnp.uint8)
-
+def _finalize_norange(bg_rgb, bg_depth, bg_mask, fg_rgb, fg_depth, fg_mask,
+                      g_rgb, g_alpha):
+    """The four output streams that do NOT need the global depth range —
+    finalized and downloadable per batch, so no f32 stream has to stay
+    resident across the whole video. Single-channel streams leave the
+    device as [T, H, W] uint8 and are repeated to 3 channels on the HOST:
+    the axon tunnel downloads at ~19 MB/s (measured) while uploads run
+    ~650 MB/s, so shipping the repeat would triple the dominant cost of
+    the whole render stage."""
     merged = merge_masks(bg_depth, fg_depth, bg_mask, fg_mask)
     gauss_rgb = g_rgb * g_alpha[..., None] * 255.0
     # background + gaussian preview (blend, then depth-composite vs bg)
@@ -140,18 +143,19 @@ def _finalize(bg_rgb, bg_depth, bg_mask, fg_rgb, fg_depth, fg_mask,
     gvis = g_alpha > 0.001
     prev_rgb, _ = composite_by_depth(bg_rgb, bg_depth, blend, fg_depth,
                                      gvis)
-    # single-channel streams leave the device as [T, H, W] uint8 and are
-    # repeated to 3 channels on the HOST: the axon tunnel downloads at
-    # ~19 MB/s (measured) while uploads run ~650 MB/s, so shipping the
-    # repeat would triple the dominant cost of the whole render stage
     return {
-        "background_RGB": u8(bg_rgb),
-        "background_depth": u8(gray(bg_depth)),
-        "3D_gaussian_RGB": u8(gauss_rgb),
-        "3D_gaussian_depth": u8(gray(fg_depth)),
+        "background_RGB": _u8(bg_rgb),
+        "3D_gaussian_RGB": _u8(gauss_rgb),
         "merged_mask": (merged * 255).astype(jnp.uint8),
-        "background_and_3D_gaussian": u8(prev_rgb),
+        "background_and_3D_gaussian": _u8(prev_rgb),
     }
+
+
+@jax.jit
+def _gray_u8(depth, dmin, dmax):
+    # depth_to_grayscale with a TRACED range (dmin/dmax as args, not baked
+    # constants -> no recompile per clip)
+    return _u8(depth_to_grayscale(depth, dmin, dmax))
 
 
 def render_control_maps(
@@ -193,14 +197,18 @@ def render_control_maps(
     # CACHED on the static geometry (resident serving processes render per
     # request — fresh jit objects would re-trace every time).
     #
-    # Memory: ONE render pass that stores the PER-BATCH device arrays (no
-    # whole-video concat, no whole-video finalize) — the original
-    # full-concat version peaked ~14 GB at 720p x 81f (stream concat
-    # copies + whole-video finalize transients) and OOM'd the 16 GB v5e,
-    # while a re-render-per-pass variant measured ~100 s of duplicated
-    # device compute at 720p (raycast dominates, not the splat). Stored
-    # batches keep ~4.2 GB resident at 720p x 81f; finalize runs per batch
-    # from the stored arrays and frees each batch after download.
+    # Memory: ONE render pass; the four streams that don't need the global
+    # depth range are finalized to uint8 and downloaded per batch, and only
+    # the two f32 DEPTH streams (~0.6 GB at 720p x 81f) stay resident until
+    # the on-device percentile fixes dmin/dmax, after which a tiny second
+    # loop grayscales them. History: the original full-concat version
+    # peaked ~14 GB (concat copies + whole-video finalize transients) and
+    # OOM'd; a re-render-per-pass variant fit easily but duplicated ~100 s
+    # of device compute at 720p (raycast dominates, not the splat); storing
+    # ALL eight streams (~4.2 GB) ALSO hit RESOURCE_EXHAUSTED on the chip —
+    # the axon allocator's per-program working-set budget is much tighter
+    # than nominal HBM. This split keeps both compute and residency at the
+    # proven two-pass level without re-rendering.
     splat_batch, ell_batch, proj_batch = _render_fns(
         H, W, radius_px, footprint, ellipsoid_scale, gaussian_threshold)
 
@@ -224,37 +232,44 @@ def render_control_maps(
         g = proj_batch(m_b, c_b, ocols, p_b, Kj, w_b)  # rgb, alpha
         return bg, fg, g
 
-    # render once, storing per-batch device arrays; accumulate the global
-    # depth range on device as we go (the percentile is exact over ALL
-    # positive values — the reference subsamples 1M with a host rng purely
-    # to bound host memory, rendering_4D_control_maps.py:541-571; exact
-    # quantiles are within its sampling noise and golden-parity floors
-    # don't move)
-    stored = []
+    def pull(v, n):
+        a = np.asarray(v[:n])
+        if a.ndim == 3:  # grayscale stream: host-side channel repeat
+            a = np.repeat(a[..., None], 3, -1)
+        return a
+
+    # render once: range-free streams finalize + download per batch; the
+    # depth streams and the percentile inputs stay on device (the
+    # percentile is exact over ALL positive values — the reference
+    # subsamples 1M with a host rng purely to bound host memory,
+    # rendering_4D_control_maps.py:541-571; exact quantiles are within its
+    # sampling noise and golden-parity floors don't move)
+    outs = {k: [] for k in ("background_RGB", "background_depth",
+                            "3D_gaussian_RGB", "3D_gaussian_depth",
+                            "merged_mask", "background_and_3D_gaussian")}
+    depths = []
     depth_parts = []
     for n, pb in batches():
         bg, fg, g = render_batch(pb)
         _, comp_d = _composite_jit(bg[0], bg[1], fg[0], fg[1], fg[2])
         depth_parts.append(_positive_quantile_input(
             bg[1][:n], fg[1][:n], comp_d[:n]))
-        stored.append((n, bg, fg, g))
+        out = _finalize_norange(bg[0], bg[1], bg[2], fg[0], fg[1], fg[2],
+                                g[0], g[1])
+        for k, v in out.items():
+            outs[k].append(pull(v, n))
+        depths.append((n, bg[1], fg[1]))
     dmin, dmax = _device_depth_range(depth_parts)
     del depth_parts
 
-    # finalize each stored batch to uint8 and free it after download — one
-    # batch of finalize transients alive at a time
-    outs = None
-    for i, (n, bg, fg, g) in enumerate(stored):
-        out = _finalize(bg[0], bg[1], bg[2], fg[0], fg[1], fg[2],
-                        g[0], g[1], jnp.float32(dmin), jnp.float32(dmax))
-        if outs is None:
-            outs = {k: [] for k in out}
-        for k, v in out.items():
-            a = np.asarray(v[:n])
-            if a.ndim == 3:  # grayscale stream: host-side channel repeat
-                a = np.repeat(a[..., None], 3, -1)
-            outs[k].append(a)
-        stored[i] = None
+    # second tiny loop: grayscale the kept depth streams with the global
+    # range (~0.2 GB per batch at 720p), freeing each after download
+    for i, (n, bg_d, fg_d) in enumerate(depths):
+        outs["background_depth"].append(
+            pull(_gray_u8(bg_d, jnp.float32(dmin), jnp.float32(dmax)), n))
+        outs["3D_gaussian_depth"].append(
+            pull(_gray_u8(fg_d, jnp.float32(dmin), jnp.float32(dmax)), n))
+        depths[i] = None
     return {k: (v[0] if len(v) == 1 else np.concatenate(v))
             for k, v in outs.items()}
 

@@ -95,13 +95,16 @@ def _render_fns(H, W, radius_px, footprint, ellipsoid_scale,
     return splat_batch, ell_batch, proj_batch
 
 
-_composite_jit = jax.jit(composite_by_depth)
-
-
-@jax.jit
-def _positive_quantile_input(bg_d, fg_d, comp_d):
-    """Flatten a batch's depth streams with nonpositive values masked to NaN
-    so the global range can be taken with one on-device nanquantile."""
+@functools.partial(jax.jit, static_argnums=3)
+def _positive_quantile_input(bg_d, fg_d, fg_mask, n):
+    """Flatten a batch's depth streams (bg, fg, and the composited depth —
+    derived HERE from depths+mask with composite_by_depth's exact `take`
+    expression, so the batch's rgb streams need not stay alive for it)
+    with nonpositive values masked to NaN so the global range can be taken
+    with one on-device nanquantile. `n` trims tail-batch padding."""
+    bg_d, fg_d, fg_mask = bg_d[:n], fg_d[:n], fg_mask[:n]
+    take = fg_mask & ((bg_d <= 0) | ((fg_d > 0) & (fg_d < bg_d - 1e-6)))
+    comp_d = jnp.where(take, fg_d, bg_d)
     flat = jnp.concatenate([bg_d.ravel(), fg_d.ravel(), comp_d.ravel()])
     return jnp.where(flat > 0, flat, jnp.nan)
 
@@ -207,8 +210,12 @@ def render_control_maps(
     # of device compute at 720p (raycast dominates, not the splat); storing
     # ALL eight streams (~4.2 GB) ALSO hit RESOURCE_EXHAUSTED on the chip —
     # the axon allocator's per-program working-set budget is much tighter
-    # than nominal HBM. This split keeps both compute and residency at the
-    # proven two-pass level without re-rendering.
+    # than nominal HBM; and even this split OOM'd while the render/finalize/
+    # quantile programs were QUEUED together (async dispatch keeps every
+    # queued program's buffers alive at once). Hence the strict per-batch
+    # serialization below: download the finalized streams before the
+    # quantile flatten dispatches, free everything but the depth planes
+    # between stages.
     splat_batch, ell_batch, proj_batch = _render_fns(
         H, W, radius_px, footprint, ellipsoid_scale, gaussian_threshold)
 
@@ -251,14 +258,25 @@ def render_control_maps(
     depth_parts = []
     for n, pb in batches():
         bg, fg, g = render_batch(pb)
-        _, comp_d = _composite_jit(bg[0], bg[1], fg[0], fg[1], fg[2])
-        depth_parts.append(_positive_quantile_input(
-            bg[1][:n], fg[1][:n], comp_d[:n]))
+        # STRICT per-batch serialization + early frees: with async dispatch
+        # the render, finalize, and quantile programs' buffers all coexist,
+        # which RESOURCE_EXHAUSTED the chip (Aug 19) even though each
+        # program fits on its own. Download the range-free streams FIRST
+        # (forces the render+finalize chain to retire), drop every ref
+        # except the two depth planes + fg mask, and only then dispatch the
+        # quantile flatten — so at most one heavy program's working set is
+        # live at a time.
         out = _finalize_norange(bg[0], bg[1], bg[2], fg[0], fg[1], fg[2],
                                 g[0], g[1])
         for k, v in out.items():
             outs[k].append(pull(v, n))
-        depths.append((n, bg[1], fg[1]))
+        bg_d, fg_d, fg_mask = bg[1], fg[1], fg[2]
+        del out, bg, fg, g
+        part = _positive_quantile_input(bg_d, fg_d, fg_mask, n)
+        part.block_until_ready()
+        del fg_mask
+        depth_parts.append(part)
+        depths.append((n, bg_d, fg_d))
     dmin, dmax = _device_depth_range(depth_parts)
     del depth_parts
 

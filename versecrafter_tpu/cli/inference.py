@@ -78,10 +78,82 @@ def parse_args(argv=None):
     p.add_argument("--offline_smoke", action="store_true",
                    help="random-init model, tiny shapes (no weights env)")
     p.add_argument("--smoke_scale", type=str, default="1.3b",
-                   choices=["1.3b", "tiny"],
+                   choices=["1.3b", "tiny", "14b"],
                    help="offline_smoke model size (tiny: wiring checks on "
-                        "slow backends, e.g. the virtual CPU mesh)")
+                        "slow backends, e.g. the virtual CPU mesh; 14b: the "
+                        "real flagship shapes — use with --staged)")
+    p.add_argument("--staged", action="store_true",
+                   help="staged weight residency: T5 -> encode -> free, "
+                        "VAE -> encode -> free, quantized DiT -> denoise "
+                        "-> free, VAE -> decode. Sequential (batch-1) CFG. "
+                        "The single-16GB-chip path for the 14B flagship")
     return p.parse_args(argv)
+
+
+def _main_staged(args, h, w):
+    """Staged-residency generation (--staged): the single-16GB-chip path
+    for the 14B flagship — T5, VAE and the quantized DiT are resident one
+    at a time (sampling/staged.py), CFG runs sequentially (batch-1).
+    Covers the reference's canonical 14B generate
+    (versecrafter_inference.py:180-261 -> pipeline:650-948) on hardware
+    that cannot co-host umT5-xxl + the DiT."""
+    import json as _json
+
+    from versecrafter_tpu.sampling.pipeline import VerseCrafterPipeline
+    from versecrafter_tpu.sampling.staged import (
+        checkpoint_factories, fresh_init_factories, generate_staged)
+    from versecrafter_tpu.serve.model_server import (
+        load_request_inputs, save_generated_video)
+
+    bits = (args.quantize_bits
+            if (args.quantize_int8 or args.int8_compute) else 0)
+    if args.model_name:
+        factories, dit_cfg, vae_cfg, t5_cfg = checkpoint_factories(
+            args.model_name, transformer_path=args.transformer_path,
+            geoada_in_dim=args.geoada_in_dim, bits=bits,
+            int8_compute=args.int8_compute)
+    else:
+        factories, dit_cfg, vae_cfg, t5_cfg = fresh_init_factories(
+            scale=args.smoke_scale, bits=bits,
+            int8_compute=args.int8_compute)
+
+    pipe = VerseCrafterPipeline(
+        dit_params=None, dit_cfg=dit_cfg, vae_params=None, vae_cfg=vae_cfg,
+        t5_params=None, t5_cfg=t5_cfg,
+        scheduler_name={"Flow": "euler", "Flow_Unipc": "unipc",
+                        "Flow_DPM++": "dpm++"}[args.sampler],
+        cfg_parallel=False)
+    if args.teacache_threshold > 0:
+        pipe.enable_teacache(args.teacache_threshold, args.teacache_skip_start)
+    if args.cfg_skip_ratio > 0:
+        pipe.enable_cfg_skip(args.cfg_skip_ratio)
+    if args.int8_attention:
+        pipe.enable_int8_attention()
+
+    controls, mask = load_request_inputs({
+        "rendering_maps_path": args.rendering_maps_path,
+        "input_image_path": args.input_image_path,
+        "height": h, "width": w, "num_frames": args.video_length,
+        "fps": args.fps})
+
+    def progress(i, n):
+        print(f"denoise {i} / {n}", flush=True)
+
+    video = generate_staged(
+        pipe, factories, args.prompt, NEGATIVE_PROMPT,
+        control_videos=controls, mask_video=mask,
+        height=h, width=w, num_frames=args.video_length,
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale, shift=args.shift,
+        seed=args.seed, geoada_context_scale=args.geoada_context_scale,
+        progress=progress)
+    out = save_generated_video(
+        video, {"save_path": args.save_path, "fps": args.fps})
+    print(_json.dumps({"staged_profile_s": pipe.last_stage_profile}),
+          flush=True)
+    print(args.prompt)
+    print(out)
+    return out
 
 
 def main(argv=None):
@@ -104,6 +176,9 @@ def main(argv=None):
         args.video_length = smoke_defaults[2]
     if args.num_inference_steps is None:
         args.num_inference_steps = smoke_defaults[3]
+
+    if args.staged:
+        return _main_staged(args, h, w)
 
     # the reference's torchrun --ulysses_degree x --ring_degree becomes one
     # sp mesh axis; --tp composes (versecrafter_inference.py:271-281)

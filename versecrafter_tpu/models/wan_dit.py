@@ -27,6 +27,7 @@ leading layer axis. See core/convert.py for torch-checkpoint conversion.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 from typing import Any, Dict, Optional, Tuple
@@ -300,6 +301,95 @@ def init_wan_dit(key: jax.Array, cfg: WanDiTConfig,
             "norm_out": {"scale": jnp.ones((cfg.dim,), jnp.float32),
                          "bias": jnp.zeros((cfg.dim,), jnp.float32)},
         }
+    return params
+
+
+def _alloc_stack(blk: Params, n: int) -> Params:
+    """Preallocate an n-layer stack matching one (possibly quantized)
+    block's tree. Zero-size leaves (quantize's `qdtype` tokens) are
+    per-TREE markers, not per-layer data — kept unstacked so the result
+    matches `quantize_tree` applied to an eagerly stacked tree."""
+    return jax.tree.map(
+        lambda a: a if a.size == 0 else jnp.zeros((n, *a.shape), a.dtype),
+        blk)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_stack(stacked: Params, blk: Params, i) -> Params:
+    return jax.tree.map(
+        lambda s, b: s if b.size == 0
+        else jax.lax.dynamic_update_index_in_dim(s, b, i, 0),
+        stacked, blk)
+
+
+def init_wan_dit_quantized(key: jax.Array, cfg: WanDiTConfig,
+                           dtype=jnp.bfloat16, bits: int = 8,
+                           int8_compute: bool = False,
+                           act_scales=None) -> Params:
+    """Build a DiT DIRECTLY in quantized form on device.
+
+    Blocks (base and GeoAdapter) initialize ONE AT A TIME (bf16 transient
+    ~0.7 GB at 14B scale), quantize on device, and write into preallocated
+    stacks with donated buffers — peak HBM stays ~quantized weights + one
+    bf16 block. This is the single-chip 14B residency strategy: the eager
+    `quantize_tree(init_wan_dit(...))` would transiently materialize the
+    full bf16 tree (~28 GB at 14B, ~42 GB with the GeoAdapter) and OOM a
+    16 GB v5e. The reference's analogue is fp8 weight conversion
+    (convert_model_weight_to_float8, versecrafter_inference.py:288-301).
+
+    Key schedule matches init_wan_dit exactly, so at small scale
+    `init_wan_dit_quantized(k, cfg) == quantize_tree(init_wan_dit(k, cfg))`
+    leaf for leaf (tests/test_staged.py asserts this).
+    """
+    from versecrafter_tpu.utils.quantize import quantize_tree, tag_int8_compute
+
+    gs = 0 if (bits == 4 and int8_compute) else None
+    quant_one = jax.jit(lambda p: quantize_tree(p, bits=bits, group_size=gs))
+
+    def build_stack(keys, geoada: bool):
+        init_one = jax.jit(
+            lambda k: _init_block(k, cfg, dtype, geoada=geoada))
+        init_first = jax.jit(
+            lambda k: _init_block(k, cfg, dtype, geoada=geoada,
+                                  geoada_first=True))
+        stacked = None
+        for i, k in enumerate(keys):
+            blk = (init_first if (geoada and i == 0) else init_one)(k)
+            if geoada and i == 0:
+                blk.pop("before_proj")  # zero-init; rebuilt in `small` below
+            blk = quant_one(blk)
+            if stacked is None:
+                stacked = _alloc_stack(blk, len(keys))
+            stacked = _write_stack(stacked, blk, i)
+        return stacked
+
+    ks = jax.random.split(key, 10)
+    blocks = build_stack(jax.random.split(ks[8], cfg.num_layers), False)
+    gblocks = None
+    if cfg.has_geoadapter:
+        glayers = cfg.resolved_geoada_layers
+        gkeys = jax.random.split(ks[9], len(glayers) + 1)
+        gblocks = build_stack(gkeys[:-1], True)
+
+    # small non-block params via init_wan_dit at num_layers=1 — the key
+    # schedule is layer-count independent (ks = split(key, 10) up front),
+    # and the only key-dependent geoada leaf outside the stacks
+    # (geoada_before_proj) is zero-init, so its value is key-independent
+    def small(k):
+        scfg = dataclasses.replace(cfg, num_layers=1)
+        if cfg.has_geoadapter:
+            scfg = dataclasses.replace(scfg, geoada_layers=(0,))
+        p = init_wan_dit(k, scfg, dtype)
+        p.pop("blocks")
+        p.pop("geoada_blocks", None)
+        return quantize_tree(p, bits=bits, group_size=gs)
+
+    params = jax.jit(small)(key)
+    params["blocks"] = blocks
+    if gblocks is not None:
+        params["geoada_blocks"] = gblocks
+    if int8_compute:
+        params = tag_int8_compute(params, act_scales)
     return params
 
 

@@ -97,6 +97,15 @@ class VerseCrafterPipeline:
     teacache_skip_start: int = 5
     teacache_coefficients: Tuple[float, ...] = tc.VERSECRAFTER_COEFFS
     cfg_skip_ratio: float = 0.0
+    # CFG execution layout. True (default): cond+uncond concatenated as one
+    # batch-2 forward (pipeline_wan_versecrafter.py:878 — best throughput).
+    # False: the two branches run SEQUENTIALLY as batch-1 forwards of the
+    # same compiled program — HALF the activation working set, which is what
+    # lets the 14B GeoAdapter (W4A8 ~11 GB weights) denoise at the full
+    # 480p x 81f shape beside its weights on one 16 GB v5e. TeaCache tracks
+    # cond/uncond with separate per-branch states (the reference does the
+    # same, wan_transformer3d.py:1057-1080).
+    cfg_parallel: bool = True
     # TeaCache observability: when True, per-step accumulator snapshots are
     # collected into teacache_accum_history, reset at each __call__ (accum
     # != 0 after a step == that CFG row skipped — a computed step resets its
@@ -249,10 +258,13 @@ class VerseCrafterPipeline:
         self.teacache_record = []
         old_thresh = self.teacache_threshold
         old_skip = self.cfg_skip_ratio
+        old_par = self.cfg_parallel
         self.teacache_threshold = 0.0
         # cfg-skip slices the recorded tensors from 2B to B rows mid-run —
-        # the stats must come from a FULL (never-skipping) trajectory
+        # the stats must come from a FULL (never-skipping) trajectory; the
+        # recorder also assumes the batched [2B] CFG layout
         self.cfg_skip_ratio = 0.0
+        self.cfg_parallel = True
         try:
             kwargs.setdefault("output_type", "latent")
             self(*args, **kwargs)
@@ -261,6 +273,7 @@ class VerseCrafterPipeline:
             self.teacache_record = None
             self.teacache_threshold = old_thresh
             self.cfg_skip_ratio = old_skip
+            self.cfg_parallel = old_par
         mods = np.stack([r[0] for r in rec])      # [steps, B, 6, D]
         rel_res = np.stack([r[1] for r in rec])   # [steps, B]
         prev, cur = mods[:-1], mods[1:]
@@ -467,6 +480,15 @@ class VerseCrafterPipeline:
 
         return jax.jit(fn, donate_argnums=(8,))
 
+    def _cfg_combine(self):
+        """uncond + g * (cond - uncond), the same expression the batched
+        program applies after its split (one tiny compiled op — eager jnp
+        here would be an extra ~0.3 s remote dispatch per step on axon)."""
+        key = ("cfg_combine",)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(lambda u, c, g: u + g * (c - u))
+        return self._jit_cache[key]
+
     def _shard_tea_state(self, state: tc.TeaCacheState) -> tc.TeaCacheState:
         """Place TeaCache state on the mesh: residuals sharded like the token
         activations (dp, sp), the small per-row stats replicated — the
@@ -662,9 +684,18 @@ class VerseCrafterPipeline:
             latents = jnp.asarray(latents, dtype)
 
         do_cfg = guidance_scale > 1.0
-        tea_batch = 2 * batch if do_cfg else batch
+        seq_cfg = do_cfg and not self.cfg_parallel
+        tea_batch = 2 * batch if (do_cfg and not seq_cfg) else batch
         tea_state = tc.init_state(tea_batch, seq_len, self.dit_cfg.dim, dtype)
         tea_state = self._shard_tea_state(tea_state)
+        tea_state_u = (self._shard_tea_state(
+            tc.init_state(batch, seq_len, self.dit_cfg.dim, dtype))
+            if seq_cfg else None)
+        # sequential CFG reuses the cond-only compiled program (which reads
+        # the SECOND half of context) for both branches: [pos, neg] ordering
+        # makes its second-half slice pick the negative prompts
+        context_sw = (jnp.concatenate([context[batch:], context[:batch]])
+                      if seq_cfg else None)
         if self.teacache_debug:
             # per-generation snapshots — without the reset a resident server
             # pipeline accumulates stale cross-request history unboundedly
@@ -678,7 +709,8 @@ class VerseCrafterPipeline:
             for i, t in enumerate(timesteps):
                 use_cfg = do_cfg and not (
                     self.cfg_skip_ratio > 0.0 and i >= skip_from)
-                if use_cfg != (tea_state.prev_residual.shape[0] == 2 * batch):
+                if not seq_cfg and use_cfg != (
+                        tea_state.prev_residual.shape[0] == 2 * batch):
                     # entering the cfg-skip window: keep the cond half of the
                     # cache (per-row accum/valid slice with it)
                     tea_state = self._shard_tea_state(tc.TeaCacheState(
@@ -686,8 +718,6 @@ class VerseCrafterPipeline:
                         prev_residual=tea_state.prev_residual[-batch:],
                         accum=tea_state.accum[-batch:],
                         valid=tea_state.valid[-batch:]))
-                fn = self._get_denoise(
-                    use_cfg, key_extra=tuple(sorted(extras)))
                 # Wan2.2 MoE expert selection by noise level (sigma = t / T)
                 sigma = float(t) / self.scheduler_cfg.num_train_timesteps
                 use_high = (self.dit_params_high is not None
@@ -695,10 +725,32 @@ class VerseCrafterPipeline:
                 dit_params = self.dit_params_high if use_high else self.dit_params
                 # np scalars ride the jit call's own transfer — an eager
                 # jnp.asarray would be one extra device round trip per step
-                noise_pred, tea_state = fn(
-                    dit_params, latents, np.float32(float(t)),
-                    np.int32(i), context, geoada_context, cos, sin,
-                    tea_state, guidance, gscale, extras)
+                if seq_cfg:
+                    fn = self._get_denoise(
+                        False, key_extra=tuple(sorted(extras)))
+                    noise_pred, tea_state = fn(
+                        dit_params, latents, np.float32(float(t)),
+                        np.int32(i), context, geoada_context, cos, sin,
+                        tea_state, guidance, gscale, extras)
+                    if use_cfg:
+                        # serialize the two halves: queued programs' working
+                        # sets COEXIST in the axon allocator's budget, and
+                        # halving that footprint is the entire point of
+                        # sequential CFG
+                        noise_pred.block_until_ready()
+                        pred_u, tea_state_u = fn(
+                            dit_params, latents, np.float32(float(t)),
+                            np.int32(i), context_sw, geoada_context, cos, sin,
+                            tea_state_u, guidance, gscale, extras)
+                        noise_pred = self._cfg_combine()(
+                            pred_u, noise_pred, guidance)
+                else:
+                    fn = self._get_denoise(
+                        use_cfg, key_extra=tuple(sorted(extras)))
+                    noise_pred, tea_state = fn(
+                        dit_params, latents, np.float32(float(t)),
+                        np.int32(i), context, geoada_context, cos, sin,
+                        tea_state, guidance, gscale, extras)
                 if self.teacache_record is not None:
                     self.teacache_record.append(
                         (np.asarray(tea_state.prev_mod),
@@ -724,6 +776,16 @@ class VerseCrafterPipeline:
         if output_type == "latent":
             self.last_wall_profile = {k: round(v, 2) for k, v in wall.items()}
             return latents
+        out = self.decode_latents(latents, output_type, _mark=_mark)
+        self.last_wall_profile = {k: round(v, 2) for k, v in wall.items()}
+        return out
+
+    def decode_latents(self, latents, output_type: str = "numpy",
+                       _mark=lambda name: None) -> np.ndarray:
+        """VAE-decode latents -> frames [B, T, H, W, 3] (the tail of
+        __call__, public for the staged-residency driver which swaps the
+        DiT out for the VAE before decoding — reference decode_latents,
+        pipeline_wan_versecrafter.py:550-555)."""
         latents = self._shard_vae_input(latents)
         out_voxels = (np.prod(latents.shape[2:])
                       * self.vae_cfg.temporal_compression_ratio
@@ -749,5 +811,4 @@ class VerseCrafterPipeline:
         _mark("vae_decode")
         out = np.asarray(video.transpose(0, 2, 3, 4, 1))
         _mark("download")
-        self.last_wall_profile = {k: round(v, 2) for k, v in wall.items()}
         return out

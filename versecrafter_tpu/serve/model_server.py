@@ -39,35 +39,10 @@ def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
     device — 4x less host transfer, and save_generated_video/mp4 encoding
     wants uint8 anyway). Consumers comparing against [0,1] float references
     must divide by 255 first."""
-    from versecrafter_tpu.utils.video import load_image, load_video
-
-    maps_dir = params["rendering_maps_path"]
     h = int(params.get("height", 480))
     w = int(params.get("width", 832))
     n = int(params.get("num_frames", 81))
-    fps = int(params.get("fps", 16))
-    control_names = ["background_RGB.mp4", "background_depth.mp4",
-                     "3D_gaussian_RGB.mp4", "3D_gaussian_depth.mp4"]
-    controls = []
-    for name in control_names:
-        p = os.path.join(maps_dir, name)
-        if os.path.exists(p):
-            controls.append(load_video(p, num_frames=n, size=(h, w), fps=fps))
-        elif controls:
-            controls.append(np.zeros_like(controls[0]))
-    if not controls:
-        raise FileNotFoundError(
-            f"no control maps in {maps_dir!r} (need at least "
-            f"{control_names[0]}; run the render step first)")
-    mask_p = os.path.join(maps_dir, "merged_mask.mp4")
-    if os.path.exists(mask_p):
-        mask = load_video(mask_p, num_frames=n, size=(h, w), fps=fps)[:, :1]
-        mask[:, :, 0] = 0.0  # frame 0 preserved (versecrafter_inference.py:394)
-    else:
-        mask = np.ones((1, 1, n, h, w), np.float32)
-    if params.get("input_image_path"):
-        img = load_image(params["input_image_path"], size=(h, w))
-        controls[0][:, :, 0] = img[:, :, 0]
+    controls, mask = load_request_inputs(params)
 
     # acceleration toggles, same surface the CLI exposes
     # (cli/inference.py:48-57); teacache/cfg-skip are per-request (restored
@@ -112,6 +87,45 @@ def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
         (pipe.teacache_threshold, pipe.teacache_skip_start,
          pipe.teacache_coefficients, pipe.cfg_skip_ratio) = saved
         wan_dit.INT8_QK_SCORE = saved_int8_attn
+
+
+def load_request_inputs(params: dict):
+    """(control_videos, mask_video) for a generate request: the reference's
+    exact filename contract (versecrafter_inference.py:351-417 — 4 control
+    mp4s + merged_mask, mask frame 0 zeroed, first control frame overwritten
+    with the input image). Shared by run_generate_request and the staged-
+    residency CLI path (which must NOT route through the pipeline-mutating
+    toggle application above)."""
+    from versecrafter_tpu.utils.video import load_image, load_video
+
+    maps_dir = params["rendering_maps_path"]
+    h = int(params.get("height", 480))
+    w = int(params.get("width", 832))
+    n = int(params.get("num_frames", 81))
+    fps = int(params.get("fps", 16))
+    control_names = ["background_RGB.mp4", "background_depth.mp4",
+                     "3D_gaussian_RGB.mp4", "3D_gaussian_depth.mp4"]
+    controls = []
+    for name in control_names:
+        p = os.path.join(maps_dir, name)
+        if os.path.exists(p):
+            controls.append(load_video(p, num_frames=n, size=(h, w), fps=fps))
+        elif controls:
+            controls.append(np.zeros_like(controls[0]))
+    if not controls:
+        raise FileNotFoundError(
+            f"no control maps in {maps_dir!r} (need at least "
+            f"{control_names[0]}; run the render step first)")
+    mask_p = os.path.join(maps_dir, "merged_mask.mp4")
+    if os.path.exists(mask_p):
+        mask = load_video(mask_p, num_frames=n, size=(h, w), fps=fps)[:, :1]
+        mask[:, :, 0] = 0.0  # frame 0 preserved (versecrafter_inference.py:394)
+    else:
+        mask = np.ones((1, 1, n, h, w), np.float32)
+    if params.get("input_image_path"):
+        img = load_image(params["input_image_path"], size=(h, w))
+        controls[0][:, :, 0] = img[:, :, 0]
+    return controls, mask
 
 
 def _requested_quant_mode(params):

@@ -15,11 +15,54 @@ import numpy as np
 
 from .client import ApiClient
 from .scene_math import (
-    camera_fov_x, cov_to_ellipsoid, ellipsoid_to_cov, export_camera_npz,
-    export_gaussian_json, pointcloud_quads)
+    camera_fov_x, cov_from_vertices, cov_to_ellipsoid, ellipsoid_to_cov,
+    export_camera_npz, export_gaussian_json, pointcloud_quads)
 
 COLLECTION = "VerseCrafter"
 TOTAL_FRAMES = 81
+
+
+def _maybe_autosave():
+    """Save the .blend before processing when the preference is on
+    (reference preferences auto_save_blend, properties.py:211-215)."""
+    try:
+        prefs = bpy.context.preferences.addons[__package__].preferences
+        if getattr(prefs, "auto_save_blend", False) and bpy.data.is_saved:
+            bpy.ops.wm.save_mainfile()
+    except (KeyError, AttributeError):
+        pass  # addon not registered through preferences (e.g. script mode)
+
+
+def object_covariance(ob, sigma: float) -> np.ndarray:
+    """Covariance for one ellipsoid object, reference-parity precedence
+    (export_blender_custom_trajectories.py:163-202):
+
+    1. stored eigen-decomposition custom properties (scenes built by the
+       reference's standalone script) composed with the user's rotation
+       and mean squared scale;
+    2. the object's own transform (our loader represents the fit as a
+       transformed unit sphere) via ellipsoid_to_cov;
+    3. vertex statistics of the baked mesh when the transform is identity
+       (covariance lives in the vertices, nothing else to read)."""
+    M = ob.matrix_world
+    if "eigenvectors" in ob and "eigenvalues" in ob:
+        V = np.array(ob["eigenvectors"], np.float64).reshape(3, 3)
+        lam = np.array(ob["eigenvalues"], np.float64)
+        R_user = np.array(M.to_3x3().normalized(), np.float64)
+        scale = np.array(M.to_scale(), np.float64)
+        V = R_user @ V
+        lam = lam * float(np.mean(scale)) ** 2
+        return (V @ np.diag(lam) @ V.T).astype(np.float32)
+    R = np.array(M.to_3x3().normalized(), np.float64)
+    scale = np.array(M.to_scale(), np.float64)
+    if (np.allclose(R, np.eye(3), atol=1e-6)
+            and np.allclose(scale, 1.0, atol=1e-6)
+            and getattr(ob.data, "vertices", None) is not None
+            and len(ob.data.vertices) > 3):
+        verts = np.array([M @ v.co for v in ob.data.vertices], np.float64)
+        center = np.array(M.translation, np.float64)
+        return cov_from_vertices(verts, center)
+    return ellipsoid_to_cov(R, scale, sigma)
 
 
 def _client(ctx) -> ApiClient:
@@ -96,13 +139,17 @@ class VERSECRAFTER_OT_preprocess(bpy.types.Operator):
         if not os.path.isfile(img):
             self.report({"ERROR"}, "set a valid input image")
             return {"CANCELLED"}
+        _maybe_autosave()
         name = os.path.basename(img)
         client.upload(img, name)
         task_id = client.start("preprocess", image=name,
                                text_prompt=s.text_prompt,
                                box_threshold=s.box_threshold,
                                min_area_ratio=s.min_area_ratio,
-                               max_area_ratio=s.max_area_ratio)
+                               max_area_ratio=s.max_area_ratio,
+                               model_version=s.depth_model_version,
+                               resolution_level=s.resolution_level,
+                               use_fp16=s.use_fp16)
         wd = _workdir(context)
 
         def done(st):
@@ -112,6 +159,8 @@ class VERSECRAFTER_OT_preprocess(bpy.types.Operator):
             client.download(res["gaussian_params"].replace(os.sep, "/"),
                             os.path.join(wd, "gaussian_params.json"))
             s.preprocess_done = True
+            # reference step granularity: depth / segment / gaussian fit
+            s.step1_complete = s.step2_complete = s.step3_complete = True
             s.is_processing = False
             s.status_text = f"preprocess done ({res['num_objects']} objects)"
             bpy.ops.versecrafter.load_scene()
@@ -243,9 +292,7 @@ class VERSECRAFTER_OT_export_trajectories(bpy.types.Operator):
             objs = {}
             for ob in ellipsoids:
                 oid = str(ob["vc_object_id"])
-                R = np.array(ob.matrix_world.to_3x3().normalized(), np.float64)
-                scale = np.array(ob.matrix_world.to_scale(), np.float64)
-                cov = ellipsoid_to_cov(R, scale, s.ellipsoid_sigma)
+                cov = object_covariance(ob, s.ellipsoid_sigma)
                 mean = np.array(ob.matrix_world.translation, np.float64)
                 objs[oid] = (mean, cov)
             frames.append(objs)
@@ -262,6 +309,7 @@ class VERSECRAFTER_OT_export_trajectories(bpy.types.Operator):
         client.upload(cam_npz, "custom_camera_trajectory.npz")
         client.upload(gj, "custom_3D_gaussian_trajectory.json")
         s.exported = True
+        s.step4_complete = True
         s.status_text = "trajectories exported + uploaded"
         return {"FINISHED"}
 
@@ -286,6 +334,7 @@ class VERSECRAFTER_OT_postprocess(bpy.types.Operator):
 
         def after_render(st):
             s.render_done = True
+            s.step5_complete = True
             extra = {}
             if s.teacache_threshold > 0:
                 extra["teacache_threshold"] = s.teacache_threshold
@@ -307,6 +356,7 @@ class VERSECRAFTER_OT_postprocess(bpy.types.Operator):
                                 chunked=True)
                 s.generated_video = local
                 s.generate_done = True
+                s.step6_complete = True
                 s.is_processing = False
                 s.status_text = f"video ready: {local}"
 

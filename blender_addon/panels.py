@@ -23,7 +23,12 @@ class VERSECRAFTER_PT_main(bpy.types.Panel):
         box = col.box()
         box.label(text="Step 1 — Preprocess")
         box.prop(s, "image_path")
+        box.prop(s, "workdir")
         box.prop(s, "text_prompt")
+        box.prop(s, "depth_model_version")
+        row = box.row()
+        row.prop(s, "resolution_level")
+        row.prop(s, "use_fp16")
         box.prop(s, "box_threshold")
         row = box.row()
         row.prop(s, "min_area_ratio")
@@ -35,6 +40,7 @@ class VERSECRAFTER_PT_main(bpy.types.Panel):
         box.label(text="Step 2 — Author Trajectories")
         box.operator("versecrafter.load_scene",
                      icon="CHECKMARK" if s.scene_loaded else "NONE")
+        box.prop(s, "output_name")
         box.prop(s, "ellipsoid_sigma")
         box.operator("versecrafter.export_trajectories",
                      icon="CHECKMARK" if s.exported else "NONE")
@@ -58,10 +64,12 @@ class VERSECRAFTER_PT_main(bpy.types.Panel):
             icon="CHECKMARK" if s.generate_done else "NONE")
         box.operator("versecrafter.open_folder")
 
-        # per-step completion summary (reference step1..6_complete flags)
-        done = [s.preprocess_done, s.scene_loaded, s.exported,
-                s.render_done, s.generate_done]
-        col.label(text="Progress: " + " ".join(
+        # per-step completion summary at the reference's 6-step granularity
+        # (step1..6_complete, reference panels.py:33-70: depth / segment /
+        # gaussian fit / trajectories / render / generate)
+        done = [s.step1_complete, s.step2_complete, s.step3_complete,
+                s.step4_complete, s.step5_complete, s.step6_complete]
+        col.label(text=f"Progress: {sum(done)}/6  " + " ".join(
             ("[x]" if d else "[ ]") for d in done))
         if s.is_processing:
             col.label(text="processing...", icon="TIME")

@@ -28,6 +28,15 @@ class VerseCrafterSettings(bpy.types.PropertyGroup):
         name="Objects", default="object.",
         description="Text prompt for segmentation, e.g. 'car. person.'")
 
+    # depth model selection (reference properties.py:84-92; the server
+    # maps v1/v2 to its MoGe checkpoints via the model_version param)
+    depth_model_version: bpy.props.EnumProperty(
+        name="Depth Model",
+        description="MoGe depth estimation model version",
+        items=[("v2", "MoGe-V2", "Latest model with normal estimation"),
+               ("v1", "MoGe-V1", "Original model")],
+        default="v2")
+
     # detection knobs (reference properties.py:109-137)
     box_threshold: bpy.props.FloatProperty(
         name="Detection Threshold", default=0.4, min=0.0, max=1.0,
@@ -47,7 +56,10 @@ class VerseCrafterSettings(bpy.types.PropertyGroup):
         description="Name prefix for exported trajectories/outputs")
 
     prompt: bpy.props.StringProperty(
-        name="Prompt", default="a cinematic scene")
+        name="Prompt", default="a cinematic scene",
+        description="Text description of the video to generate (the "
+                    "reference's video_prompt; its generation_prompt twin "
+                    "is defined but never consumed — merged here)")
     negative_prompt: bpy.props.StringProperty(name="Negative Prompt", default="")
     num_frames: bpy.props.IntProperty(name="Frames", default=81, min=1,
                                       max=241, update=_update_num_frames)
@@ -79,14 +91,62 @@ class VerseCrafterSettings(bpy.types.PropertyGroup):
     render_done: bpy.props.BoolProperty(default=False)
     generate_done: bpy.props.BoolProperty(default=False)
     generated_video: bpy.props.StringProperty(default="")
+    # reference-granularity step flags (properties.py:173-179): 1 depth,
+    # 2 segment, 3 gaussian fit (all three set by preprocess), 4 trajectory
+    # export, 5 render, 6 generate. The coarse *_done flags above remain
+    # the operators' primary state; these mirror them for the reference's
+    # 6-step progress display
+    step1_complete: bpy.props.BoolProperty(name="Step 1 Complete", default=False)
+    step2_complete: bpy.props.BoolProperty(name="Step 2 Complete", default=False)
+    step3_complete: bpy.props.BoolProperty(name="Step 3 Complete", default=False)
+    step4_complete: bpy.props.BoolProperty(name="Step 4 Complete", default=False)
+    step5_complete: bpy.props.BoolProperty(name="Step 5 Complete", default=False)
+    step6_complete: bpy.props.BoolProperty(name="Step 6 Complete", default=False)
+
+
+class VerseCrafterPreferences(bpy.types.AddonPreferences):
+    """Addon preferences (reference properties.py:189-229): default server
+    URL, server-side model paths, auto-save toggle."""
+
+    bl_idname = __package__
+
+    default_server_url: bpy.props.StringProperty(
+        name="Default Server URL",
+        description="Default API server URL",
+        default="http://127.0.0.1:8190")
+    model_path: bpy.props.StringProperty(
+        name="VerseCrafter Model Path",
+        description="Path to VerseCrafter model on server",
+        default="model/VerseCrafter")
+    base_model_path: bpy.props.StringProperty(
+        name="Base Model Path",
+        description="Path to Wan2.1 base model on server",
+        default="model/Wan2.1-T2V-14B")
+    auto_save_blend: bpy.props.BoolProperty(
+        name="Auto-save .blend",
+        description="Automatically save the .blend file before processing",
+        default=True)
+
+    def draw(self, context):
+        layout = self.layout
+        layout.label(text="Server Settings:")
+        layout.prop(self, "default_server_url")
+        layout.separator()
+        layout.label(text="Model Paths (on Server):")
+        layout.prop(self, "model_path")
+        layout.prop(self, "base_model_path")
+        layout.separator()
+        layout.prop(self, "auto_save_blend")
 
 
 def register():
     bpy.utils.register_class(VerseCrafterSettings)
+    bpy.utils.register_class(VerseCrafterPreferences)
     bpy.types.Scene.versecrafter = bpy.props.PointerProperty(
         type=VerseCrafterSettings)
 
 
 def unregister():
     del bpy.types.Scene.versecrafter
+    bpy.utils.unregister_class(VerseCrafterPreferences)
     bpy.utils.unregister_class(VerseCrafterSettings)

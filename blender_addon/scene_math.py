@@ -43,6 +43,53 @@ def camera_fov_x(fx_pixels: float, width: int) -> float:
     return 2.0 * np.arctan(width / (2.0 * fx_pixels))
 
 
+def cov_from_vertices(vertices_world: np.ndarray, center: np.ndarray,
+                      scale_factor: float = 2.0) -> np.ndarray:
+    """Vertex-statistics covariance fallback (reference exporter,
+    export_blender_custom_trajectories.py:185-202): when an ellipsoid
+    object carries no stored eigen-decomposition, recover its covariance
+    from the mesh vertex distribution. Vertices uniformly distributed on a
+    unit sphere have per-axis variance 1/3, so for a mesh baked at the
+    scale_factor-sigma iso-surface: cov = sample_cov / sf^2 * 3."""
+    v = (np.asarray(vertices_world, np.float64)
+         - np.asarray(center, np.float64))
+    sample_cov = np.cov(v.T)
+    return (sample_cov / (scale_factor ** 2) * 3.0).astype(np.float32)
+
+
+def frustum_corners(K: np.ndarray, E: np.ndarray, width: int, height: int,
+                    near: float = 0.5) -> Tuple[np.ndarray, List[Tuple[int, int]]]:
+    """Camera-frustum wireframe geometry in world space (reference scene
+    builder create_camera_frustum, build_4d_control_scene.py:329-392):
+    ([5,3] vertices — apex followed by the near-plane quad — and the 8
+    wireframe edge index pairs). E is a [4,4] w2c extrinsic; the near
+    plane sits along Blender's +Y after the camera->Blender axis swap."""
+    K = np.asarray(K, np.float64)
+    E = np.asarray(E, np.float64)
+    R, t = E[:3, :3], E[:3, 3]
+    C = -R.T @ t
+    R_cam = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float64)
+    R_b2w = R.T @ R_cam
+    fov_y = 2.0 * np.arctan(height / (2.0 * K[1, 1]))
+    h = near * np.tan(fov_y / 2.0)
+    w = h * (width / height)
+    local = np.array([[0, 0, 0],
+                      [-w, near, h], [w, near, h],
+                      [w, near, -h], [-w, near, -h]], np.float64)
+    world = local @ R_b2w.T + C
+    world[0] = C
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (4, 1)]
+    return world.astype(np.float32), edges
+
+
+def camera_centers(extrinsics: np.ndarray) -> np.ndarray:
+    """Per-frame camera centers C = -R^T t from [T,4,4] w2c extrinsics —
+    the polyline of the reference's camera-path visualization
+    (build_4d_control_scene.py:630-666)."""
+    E = np.asarray(extrinsics, np.float64)
+    return np.stack([-(e[:3, :3].T @ e[:3, 3]) for e in E]).astype(np.float32)
+
+
 def export_camera_npz(matrices: Sequence[np.ndarray], path: str) -> str:
     ext = np.stack([np.asarray(m, np.float32) for m in matrices])
     assert ext.shape[1:] == (4, 4), ext.shape

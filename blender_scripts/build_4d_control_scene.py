@@ -3,11 +3,15 @@
 Usage:
   blender --python build_4d_control_scene.py -- \
       --npz depth_intrinsics.npz --gaussians gaussian_params.json \
-      [--image input.png]
+      [--image input.png] [--trajectory custom_camera_trajectory.npz \
+       --show_frustum --show_camera_path]
 
 Re-implements the reference's inference/blender_script/
 build_4d_control_scene.py capability: background point-cloud quads,
-ellipsoids with vc_object_id custom properties, camera with FOV from fx.
+ellipsoids with vc_object_id custom properties, camera with FOV from fx,
+plus the optional frustum snapshots / camera-path polyline visualization
+(reference :329-462 and :630-666; geometry in the bpy-free
+blender_addon.scene_math so it is unit-testable without Blender).
 """
 
 import argparse
@@ -25,11 +29,93 @@ def parse():
     p.add_argument("--image", default="")
     p.add_argument("--point_size", type=float, default=0.004)
     p.add_argument("--sigma", type=float, default=2.0)
+    # visualization extras (reference config block :36-64)
+    p.add_argument("--trajectory", default="",
+                   help="custom_camera_trajectory.npz to visualize "
+                        "(Blender c2w [T,4,4]); frustums/path need it")
+    p.add_argument("--show_frustum", action="store_true",
+                   help="wireframe camera frustums at snapshot frames "
+                        "(reference SHOW_CAMERA_FRUSTUM)")
+    p.add_argument("--show_camera_path", action="store_true",
+                   help="camera-center polyline curve "
+                        "(reference SHOW_CAMERA_PATH)")
+    p.add_argument("--num_snapshots", type=int, default=5,
+                   help="frustum snapshot count (reference "
+                        "NUM_SNAPSHOT_FRAMES)")
+    p.add_argument("--frustum_size", type=float, default=0.5,
+                   help="near-plane distance (reference "
+                        "CAMERA_FRUSTUM_SIZE)")
+    p.add_argument("--path_radius", type=float, default=0.002,
+                   help="path curve bevel radius (reference "
+                        "CAMERA_PATH_RADIUS)")
     return p.parse_args(argv)
+
+
+def _emission_material(name, color=(1.0, 1.0, 0.0, 1.0), strength=2.0):
+    """Bright unlit wireframe material (reference :370-384)."""
+    import bpy
+
+    mat = bpy.data.materials.new(name=name)
+    mat.use_nodes = True
+    nodes, links = mat.node_tree.nodes, mat.node_tree.links
+    for n in list(nodes):
+        nodes.remove(n)
+    out = nodes.new("ShaderNodeOutputMaterial")
+    emit = nodes.new("ShaderNodeEmission")
+    emit.inputs["Color"].default_value = color
+    emit.inputs["Strength"].default_value = strength
+    links.new(emit.outputs["Emission"], out.inputs["Surface"])
+    return mat
+
+
+def add_camera_frustums(extrinsics, K, width, height, num_snapshots,
+                        near):
+    """Wireframe frustum meshes at evenly spaced snapshot frames
+    (reference create_camera_frustum, build_4d_control_scene.py:329-392)."""
+    import bpy
+    import numpy as np
+
+    from blender_addon.scene_math import frustum_corners
+
+    n = len(extrinsics)
+    idxs = (np.linspace(0, n - 1, min(num_snapshots, n), dtype=int)
+            .tolist())
+    for si, fi in enumerate(idxs):
+        verts, edges = frustum_corners(K, extrinsics[fi], width, height,
+                                       near=near)
+        mesh = bpy.data.meshes.new(f"CameraFrustum_{si}")
+        mesh.from_pydata([tuple(map(float, v)) for v in verts], edges, [])
+        mesh.update()
+        obj = bpy.data.objects.new(f"Camera_{si}", mesh)
+        bpy.context.scene.collection.objects.link(obj)
+        obj.data.materials.append(_emission_material(f"CameraMat_{si}"))
+
+
+def add_camera_path(extrinsics, radius):
+    """Beveled polyline through the camera centers (reference camera-path
+    viz, build_4d_control_scene.py:649-666)."""
+    import bpy
+
+    from blender_addon.scene_math import camera_centers
+
+    centers = camera_centers(extrinsics)
+    if len(centers) < 2:
+        return
+    curve = bpy.data.curves.new(name="CamPath", type="CURVE")
+    curve.dimensions = "3D"
+    spline = curve.splines.new("POLY")
+    spline.points.add(len(centers) - 1)
+    for i, c in enumerate(centers):
+        spline.points[i].co = (float(c[0]), float(c[1]), float(c[2]), 1.0)
+    curve.bevel_depth = radius
+    curve.bevel_resolution = 2
+    obj = bpy.data.objects.new("CamPath", curve)
+    bpy.context.scene.collection.objects.link(obj)
 
 
 def main():
     import bpy
+    import numpy as np
 
     from blender_addon import operators, panels, properties
 
@@ -55,6 +141,23 @@ def main():
         if os.path.abspath(src) != dst:
             shutil.copy(src, dst)
     bpy.ops.versecrafter.load_scene()
+
+    if args.trajectory and (args.show_frustum or args.show_camera_path):
+        # the trajectory npz stores Blender c2w; the viz helpers consume
+        # w2c extrinsics (the reference builder's convention, :638-642)
+        traj = np.load(args.trajectory)["extrinsics"].astype(np.float64)
+        w2c = np.stack([np.linalg.inv(m) for m in traj])
+        depth_npz = np.load(os.path.join(wd, "depth_intrinsics.npz"))
+        K = depth_npz["intrinsics"]
+        K = K[0] if K.ndim == 3 else K
+        h, w = depth_npz["depth"].shape[-2:]
+        if abs(float(K[0, 0])) < 10:  # normalized intrinsics
+            K = K * np.array([[w, 1, w], [1, h, h], [1, 1, 1]], np.float64)
+        if args.show_frustum:
+            add_camera_frustums(w2c, K, w, h, args.num_snapshots,
+                                args.frustum_size)
+        if args.show_camera_path:
+            add_camera_path(w2c, args.path_radius)
     print("scene built")
 
 

@@ -31,8 +31,9 @@ def parse():
 def main():
     import bpy
 
+    from blender_addon.operators import object_covariance
     from blender_addon.scene_math import (
-        ellipsoid_to_cov, export_camera_npz, export_gaussian_json)
+        export_camera_npz, export_gaussian_json)
 
     args = parse()
     os.makedirs(args.out, exist_ok=True)
@@ -47,11 +48,12 @@ def main():
         mats.append(np.array(cam.matrix_world, np.float32))
         objs = {}
         for ob in ellipsoids:
-            R = np.array(ob.matrix_world.to_3x3().normalized(), np.float64)
-            scale = np.array(ob.matrix_world.to_scale(), np.float64)
+            # object_covariance: stored eigen-decomposition, object
+            # transform, or vertex-statistics fallback (reference exporter
+            # :163-202 precedence)
             objs[str(ob["vc_object_id"])] = (
                 np.array(ob.matrix_world.translation, np.float64),
-                ellipsoid_to_cov(R, scale, args.sigma))
+                object_covariance(ob, args.sigma))
         frames.append(objs)
 
     export_camera_npz(mats, os.path.join(args.out, "custom_camera_trajectory.npz"))

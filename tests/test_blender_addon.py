@@ -120,3 +120,56 @@ def test_client_poll_task(live_server):
     st = client.poll(tid, interval=0.2, timeout=60)
     assert st["status"] == "FAILED"
     assert st["error"]
+
+
+def test_cov_from_vertices_recovers_covariance():
+    """Vertex-statistics fallback (reference exporter :185-202): sampling
+    the 2-sigma iso-surface of a known covariance and running the fallback
+    recovers that covariance (up to surface-vs-volume sampling bias, which
+    the reference's *3 / sf^2 correction absorbs for uniform sphere
+    points)."""
+    from blender_addon.scene_math import cov_from_vertices
+
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((3, 3))
+    cov = A @ A.T + 0.2 * np.eye(3)
+    R, scale = cov_to_ellipsoid(cov, scale_factor=2.0)
+    # uniform points on the unit sphere -> per-axis variance 1/3
+    pts = rng.standard_normal((20000, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    center = np.array([1.0, -2.0, 0.5])
+    verts = pts * scale @ R.T + center
+    rec = cov_from_vertices(verts, center, scale_factor=2.0)
+    np.testing.assert_allclose(rec, cov, rtol=0.08, atol=0.02)
+
+
+def test_frustum_corners_geometry():
+    """Frustum apex sits at the camera center; the near-plane quad is
+    `near` along the viewing axis with the fov_y-derived extent
+    (reference create_camera_frustum :329-362)."""
+    from blender_addon.scene_math import camera_centers, frustum_corners
+
+    fx = fy = 500.0
+    w, h = 640, 480
+    K = np.array([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]], np.float64)
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((3, 3))
+    u, _, vt = np.linalg.svd(q)
+    R = u @ vt
+    R *= np.sign(np.linalg.det(R))
+    t = rng.standard_normal(3)
+    E = np.eye(4)
+    E[:3, :3], E[:3, 3] = R, t
+    near = 0.5
+    verts, edges = frustum_corners(K, E, w, h, near=near)
+    C = -R.T @ t
+    np.testing.assert_allclose(verts[0], C, atol=1e-5)
+    assert len(edges) == 8
+    # quad corners are all at distance sqrt(near^2 + hh^2 + ww^2) from C
+    hh = near * np.tan(np.arctan(h / (2 * fy)))
+    ww = hh * (w / h)
+    expect = np.sqrt(near ** 2 + hh ** 2 + ww ** 2)
+    d = np.linalg.norm(verts[1:] - C, axis=1)
+    np.testing.assert_allclose(d, expect, rtol=1e-5)
+    # camera_centers agrees with the apex
+    np.testing.assert_allclose(camera_centers(E[None])[0], C, atol=1e-5)

@@ -242,10 +242,20 @@ def raster_ellipsoids(means: jnp.ndarray, covs: jnp.ndarray,
 # compositing / visualization (reference semantics)
 # ---------------------------------------------------------------------------
 
+def composite_take(bg_depth, fg_depth, fg_mask):
+    """The compositing predicate: foreground wins where it exists and is
+    closer (epsilon-tested). Shared by composite_by_depth and render.py's
+    depth-range pass (_positive_quantile_input derives the composited depth
+    without keeping rgb streams alive) — one definition so the two can
+    never drift."""
+    return fg_mask & ((bg_depth <= 0)
+                      | ((fg_depth > 0) & (fg_depth < bg_depth - 1e-6)))
+
+
 def composite_by_depth(bg_rgb, bg_depth, fg_rgb, fg_depth, fg_mask):
     """Foreground wins where it exists and is closer
     (rendering_4D_control_maps.py:398-411)."""
-    take = fg_mask & ((bg_depth <= 0) | ((fg_depth > 0) & (fg_depth < bg_depth - 1e-6)))
+    take = composite_take(bg_depth, fg_depth, fg_mask)
     rgb = jnp.where(take[..., None], fg_rgb, bg_rgb)
     depth = jnp.where(take, fg_depth, bg_depth)
     return rgb, depth

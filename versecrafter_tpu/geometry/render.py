@@ -98,12 +98,13 @@ def _render_fns(H, W, radius_px, footprint, ellipsoid_scale,
 @functools.partial(jax.jit, static_argnums=3)
 def _positive_quantile_input(bg_d, fg_d, fg_mask, n):
     """Flatten a batch's depth streams (bg, fg, and the composited depth —
-    derived HERE from depths+mask with composite_by_depth's exact `take`
-    expression, so the batch's rgb streams need not stay alive for it)
+    derived here from depths+mask via the shared composite_take predicate,
+    so the batch's rgb streams need not stay alive for it)
     with nonpositive values masked to NaN so the global range can be taken
     with one on-device nanquantile. `n` trims tail-batch padding."""
+    from versecrafter_tpu.geometry.rasterize import composite_take
     bg_d, fg_d, fg_mask = bg_d[:n], fg_d[:n], fg_mask[:n]
-    take = fg_mask & ((bg_d <= 0) | ((fg_d > 0) & (fg_d < bg_d - 1e-6)))
+    take = composite_take(bg_d, fg_d, fg_mask)
     comp_d = jnp.where(take, fg_d, bg_d)
     flat = jnp.concatenate([bg_d.ravel(), fg_d.ravel(), comp_d.ravel()])
     return jnp.where(flat > 0, flat, jnp.nan)

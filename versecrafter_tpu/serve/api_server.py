@@ -144,7 +144,8 @@ class ApiServer:
             pimg = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge") \
                 if ph or pw else img
 
-            mparams = self._moge_params(params.get("moge_checkpoint"))
+            mparams = self._moge_params(params.get("moge_checkpoint"),
+                                        params.get("model_version", "v2"))
             out = moge.infer(mparams, pimg.astype(np.float32) / 255.0)
             depth = out["depth"][: img.shape[0], : img.shape[1]]
             out["depth"] = depth
@@ -185,10 +186,18 @@ class ApiServer:
             self.tasks.update(task_id, status=FAILED, error=str(e),
                               message=traceback.format_exc()[-2000:])
 
-    def _moge_params(self, ckpt: Optional[str]):
+    def _moge_params(self, ckpt: Optional[str], version: str = "v2"):
+        """MoGe parameters for a preprocess request. Explicit checkpoint
+        wins; otherwise `version` ('v1'/'v2', the Blender addon's depth-
+        model knob) selects from self.moge_checkpoints — the analogue of
+        the reference's DEFAULT_MODELS[model_version] (api_server.py:
+        203-218). With neither configured, a cached random init serves the
+        no-weights environment."""
         from versecrafter_tpu.perception import moge
         import jax
 
+        if not ckpt:
+            ckpt = getattr(self, "moge_checkpoints", {}).get(version)
         if ckpt:
             return moge.load_checkpoint(self.safe_path(ckpt))
         if not hasattr(self, "_moge_cache"):

@@ -64,8 +64,18 @@ def maybe_init_distributed() -> bool:
             or "JAX_COORDINATOR_ADDRESS" in os.environ)
     if not want:
         return False
+    # explicit coordinator env (CPU/GPU clusters, and the 2-process CPU
+    # dryrun — __graft_entry__.dryrun_multihost): pass through; TPU pods
+    # auto-detect with no arguments
+    kwargs = {}
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
+        kwargs["coordinator_address"] = os.environ["JAX_COORDINATOR_ADDRESS"]
+        if "JAX_NUM_PROCESSES" in os.environ:
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if "JAX_PROCESS_ID" in os.environ:
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
         return True
     except RuntimeError:
         # already initialized (idempotent callers: CLI + factory + server)

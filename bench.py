@@ -82,12 +82,56 @@ def main():
     _ = float(jnp.abs(out).astype(jnp.float32).sum())
     ms = (time.perf_counter() - t0) / n * 1e3
 
+    render = _render_device_fps()
+
     print(json.dumps({
         "metric": f"denoise_step_ms_wan1.3b_geoada_480p81f_seq{seq}_cfg2",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(ms / 2000.0, 4),
+        # control-map render device fps (BASELINE.json "control-map render
+        # fps"): device-time frames/s of the full render path (splat +
+        # raycast + EWA + composite + finalize) at 480p on synthetic
+        # geometry; the wall additionally includes the worker-thread
+        # downloads, which overlap device work (geometry/render.py)
+        **{f"render_{k}": v for k, v in render.items()},
     }))
+
+
+def _render_device_fps(n_points=500_000, n_frames=54, n_objects=4):
+    """Device-time control-map render fps at 480p (synthetic geometry —
+    same programs as the demo render: sort-splat, analytic ellipsoid
+    raycast, EWA projection, compositing, uint8 finalize)."""
+    import jax
+    import numpy as np
+
+    from versecrafter_tpu.geometry import render as R
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform([-2, -2, 2], [2, 2, 8],
+                      (n_points, 3)).astype(np.float32)
+    cols = rng.uniform(0, 255, (n_points, 3)).astype(np.float32)
+    K = np.array([[600.0, 0, 416], [0, 600.0, 240], [0, 0, 1]], np.float32)
+    w2cs = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
+    w2cs[:, 0, 3] = np.linspace(0, 0.5, n_frames)  # slow truck
+    means = rng.uniform([-1, -1, 3], [1, 1, 6],
+                        (n_frames, n_objects, 3)).astype(np.float32)
+    a = rng.standard_normal((n_objects, 3, 3)).astype(np.float32) * 0.1
+    covs = np.einsum("oij,okj->oik", a, a) + 0.02 * np.eye(3, dtype=np.float32)
+    covs = np.tile(covs, (n_frames, 1, 1, 1))
+    present = np.ones((n_frames, n_objects), bool)
+    obj_colors = rng.uniform(0, 1, (n_objects, 3)).astype(np.float32)
+
+    try:
+        R.render_control_maps(pts, cols, K, w2cs, means, covs, present,
+                              obj_colors, (480, 832), frame_batch=27)
+        prof = dict(R.last_render_profile)
+        return {"device_fps": prof.get("device_fps"),
+                "device_s": prof.get("device_s"),
+                "wall_s": prof.get("wall_s"),
+                "frames": prof.get("frames")}
+    except Exception as e:  # pragma: no cover — bench must never die here
+        return {"device_fps": None, "error": str(e)[:200]}
 
 
 if __name__ == "__main__":

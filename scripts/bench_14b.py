@@ -43,6 +43,14 @@ def main():
                          "(32,760 tok) instead of extrapolating to it; "
                          "with --int8_compute this is the W4A8 mode "
                          "(int4 weights + s8 MXU dots)")
+    ap.add_argument("--res720", action="store_true",
+                    help="additionally attempt the reference's canonical "
+                         "720p x 81f shape (720x1280 -> latents "
+                         "[21,90,160] -> 75,600 tokens, seq formula "
+                         "pipeline_wan_versecrafter.py:861-865) — CFG-1 "
+                         "first (comparable activation rows to the "
+                         "measured CFG-2 480p point), then CFG-2; OOMs "
+                         "report as JSON error lines, not crashes")
     args = ap.parse_args()
 
     import jax
@@ -170,6 +178,11 @@ def main():
             (21, 60, 104, 1, "480p81f_cfg1"),
             (21, 60, 104, 2, "480p81f_cfg2"),
         ] + shapes
+    if args.res720:
+        shapes = shapes + [
+            (21, 90, 160, 1, "720p81f_cfg1"),
+            (21, 90, 160, 2, "720p81f_cfg2"),
+        ]
     if args.tiny:
         shapes = [(2, 8, 8, 2, "tiny_cfg2")]
     for (f_lat, h, w, B, tag) in shapes:

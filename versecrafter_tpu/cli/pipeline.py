@@ -36,6 +36,11 @@ def main(argv=None):
                    default="people walk through the scene, cinematic")
     p.add_argument("--text_prompt", default="person. car.",
                    help="segmentation phrases")
+    p.add_argument("--segment_backend", default="saliency",
+                   help="segmenter backend: 'neural' selects the "
+                        "GroundingDINO->SAM2 path (the reference's "
+                        "grounded_sam2_infer.py stack; needs converted "
+                        "weights), classical fallbacks otherwise")
     p.add_argument("--sample_size", default="480,832")
     p.add_argument("--num_inference_steps", type=int, default=30)
     p.add_argument("--video_length", type=int, default=None,
@@ -78,6 +83,7 @@ def main(argv=None):
     stage("segment", lambda: segment.main([
         "-i", os.path.join(data, "0001.png"), "-t", args.text_prompt,
         "-o", os.path.join(out, "object_mask"),
+        "--backend", args.segment_backend,
         "--depth_npz",
         os.path.join(out, "estimated_depth", "depth_intrinsics.npz")]))
 

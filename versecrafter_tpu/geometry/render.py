@@ -252,45 +252,108 @@ def render_control_maps(
     # subsamples 1M with a host rng purely to bound host memory,
     # rendering_4D_control_maps.py:541-571; exact quantiles are within its
     # sampling noise and golden-parity floors don't move)
+    #
+    # DOWNLOAD OVERLAP (round 4): device programs stay STRICTLY serialized
+    # — block_until_ready retires render+finalize before the quantile
+    # flatten dispatches (the async-queue coexistence that RESOURCE_
+    # EXHAUSTED the chip involved multiple HEAVY programs; retirement is
+    # what matters, not download). But the finalized uint8 streams are
+    # tiny (~0.3 GB/batch at 720p) next to the f32 working sets, so their
+    # ~19 MB/s tunnel download moves to a worker thread and overlaps the
+    # NEXT batch's device work instead of idling the chip.
+    import queue as _queuelib
+    import threading
+    import time as _time
+
+    prof = {"device_s": 0.0, "download_s": 0.0, "frames": T}
+    _t0 = _time.perf_counter()
     outs = {k: [] for k in ("background_RGB", "background_depth",
                             "3D_gaussian_RGB", "3D_gaussian_depth",
                             "merged_mask", "background_and_3D_gaussian")}
+
+    dl_q: "_queuelib.Queue" = _queuelib.Queue(maxsize=2)
+    dl_err = []
+
+    def _downloader():
+        while True:
+            item = dl_q.get()
+            if item is None:
+                return
+            t0 = _time.perf_counter()
+            try:
+                for key, v, n in item:
+                    outs[key].append(pull(v, n))
+            except Exception as e:  # noqa: BLE001 — surfaced after join
+                dl_err.append(e)
+            finally:
+                prof["download_s"] += _time.perf_counter() - t0
+                dl_q.task_done()
+
+    worker = threading.Thread(target=_downloader, daemon=True)
+    worker.start()
+
     depths = []
     depth_parts = []
-    for n, pb in batches():
-        bg, fg, g = render_batch(pb)
-        # STRICT per-batch serialization + early frees: with async dispatch
-        # the render, finalize, and quantile programs' buffers all coexist,
-        # which RESOURCE_EXHAUSTED the chip (Aug 19) even though each
-        # program fits on its own. Download the range-free streams FIRST
-        # (forces the render+finalize chain to retire), drop every ref
-        # except the two depth planes + fg mask, and only then dispatch the
-        # quantile flatten — so at most one heavy program's working set is
-        # live at a time.
-        out = _finalize_norange(bg[0], bg[1], bg[2], fg[0], fg[1], fg[2],
-                                g[0], g[1])
-        for k, v in out.items():
-            outs[k].append(pull(v, n))
-        bg_d, fg_d, fg_mask = bg[1], fg[1], fg[2]
-        del out, bg, fg, g
-        part = _positive_quantile_input(bg_d, fg_d, fg_mask, n)
-        part.block_until_ready()
-        del fg_mask
-        depth_parts.append(part)
-        depths.append((n, bg_d, fg_d))
-    dmin, dmax = _device_depth_range(depth_parts)
-    del depth_parts
+    try:
+        for n, pb in batches():
+            t0 = _time.perf_counter()
+            bg, fg, g = render_batch(pb)
+            out = _finalize_norange(bg[0], bg[1], bg[2], fg[0], fg[1],
+                                    fg[2], g[0], g[1])
+            # retire render+finalize BEFORE the next dispatch (allocator
+            # counts queued programs' working sets) — but do NOT download
+            # here; the worker overlaps that with the next batch
+            jax.block_until_ready(list(out.values()))
+            bg_d, fg_d, fg_mask = bg[1], fg[1], fg[2]
+            del bg, fg, g
+            part = _positive_quantile_input(bg_d, fg_d, fg_mask, n)
+            part.block_until_ready()
+            prof["device_s"] += _time.perf_counter() - t0
+            del fg_mask
+            dl_q.put([(key, v, n) for key, v in out.items()])
+            del out
+            depth_parts.append(part)
+            depths.append((n, bg_d, fg_d))
+        t0 = _time.perf_counter()
+        dmin, dmax = _device_depth_range(depth_parts)
+        del depth_parts
+        prof["device_s"] += _time.perf_counter() - t0
 
-    # second tiny loop: grayscale the kept depth streams with the global
-    # range (~0.2 GB per batch at 720p), freeing each after download
-    for i, (n, bg_d, fg_d) in enumerate(depths):
-        outs["background_depth"].append(
-            pull(_gray_u8(bg_d, jnp.float32(dmin), jnp.float32(dmax)), n))
-        outs["3D_gaussian_depth"].append(
-            pull(_gray_u8(fg_d, jnp.float32(dmin), jnp.float32(dmax)), n))
-        depths[i] = None
+        # second tiny loop: grayscale the kept depth streams with the
+        # global range (~0.2 GB per batch at 720p); downloads overlap the
+        # next batch's grayscale the same way. The queue put sits OUTSIDE
+        # the timed span — a full queue blocks on downloads, which must
+        # count as download backpressure, not device time
+        for i, (n, bg_d, fg_d) in enumerate(depths):
+            t0 = _time.perf_counter()
+            gb = _gray_u8(bg_d, jnp.float32(dmin), jnp.float32(dmax))
+            gf = _gray_u8(fg_d, jnp.float32(dmin), jnp.float32(dmax))
+            jax.block_until_ready((gb, gf))
+            prof["device_s"] += _time.perf_counter() - t0
+            dl_q.put([("background_depth", gb, n),
+                      ("3D_gaussian_depth", gf, n)])
+            depths[i] = None
+    finally:
+        dl_q.put(None)
+        worker.join()
+    if dl_err:
+        raise dl_err[0]
+    prof["wall_s"] = round(_time.perf_counter() - _t0, 2)
+    prof["device_s"] = round(prof["device_s"], 2)
+    prof["download_s"] = round(prof["download_s"], 2)
+    prof["device_fps"] = round(T / max(prof["device_s"], 1e-9), 2)
+    global last_render_profile
+    last_render_profile = prof
     return {k: (v[0] if len(v) == 1 else np.concatenate(v))
             for k, v in outs.items()}
+
+
+# wall/device split of the most recent render_control_maps call — the
+# "control-map render fps" metric BASELINE.json names. device_s includes
+# dispatch+execute time the host spent blocked on device programs (they
+# are strictly serialized, see above); download_s is worker-thread time
+# and OVERLAPS device_s, so wall_s < device_s + download_s by design.
+last_render_profile: Dict[str, float] = {}
 
 
 def render_from_files(
@@ -315,6 +378,10 @@ def render_from_files(
     videos = render_control_maps(
         bg_points, bg_colors, K, w2cs[:T], means[:T], covs[:T], present[:T],
         obj_colors, (H, W), point_size=point_size, frame_batch=frame_batch)
+
+    if last_render_profile:
+        print(json.dumps({"render_profile": last_render_profile}),
+              flush=True)
 
     os.makedirs(output_dir, exist_ok=True)
     paths = {}

@@ -593,3 +593,58 @@ def test_run_generate_request_quant_mode_conflict(tmp_path):
                              lambda i, n: None)
     finally:
         qz.MIN_SIZE = old_min
+
+
+def test_run_generate_request_staged_residency(tmp_path):
+    """Staged serving mode (single-16GB-chip 14B path at toy scale): the
+    resident pipeline is a config-only shell, every component builds and
+    frees per request stage, and a second request works against the same
+    shell (the per-request rebuild path). Quantize params are rejected —
+    the factories own quantization."""
+    import numpy as np
+    import pytest as _pytest
+
+    import versecrafter_tpu.utils.quantize as qz
+    from versecrafter_tpu.sampling.staged import staged_pipeline_factory
+    from versecrafter_tpu.serve.model_server import run_generate_request
+    from versecrafter_tpu.utils.video import save_image, save_video
+
+    rng = np.random.default_rng(0)
+    t, h, w = 5, 16, 16
+    maps = tmp_path / "maps"
+    maps.mkdir()
+    save_image(rng.random((h, w, 3)).astype(np.float32),
+               str(tmp_path / "0001.png"))
+    for name in ["background_RGB", "background_depth", "3D_gaussian_RGB",
+                 "3D_gaussian_depth", "merged_mask"]:
+        save_video(rng.random((t, h, w, 3)).astype(np.float32),
+                   str(maps / f"{name}.mp4"), fps=5)
+
+    old_min = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 10
+    try:
+        factory, staged = staged_pipeline_factory(scale="tiny", bits=4,
+                                                  int8_compute=True)
+        pipe = factory()
+        assert pipe.dit_params is None and pipe.t5_params is None
+        common = {
+            "rendering_maps_path": str(maps),
+            "input_image_path": str(tmp_path / "0001.png"),
+            "prompt": "staged", "height": h, "width": w, "num_frames": t,
+            "num_inference_steps": 1, "guidance_scale": 2.0, "fps": 5,
+        }
+        video = run_generate_request(pipe, common, lambda i, n: None,
+                                     staged_factories=staged)
+        assert np.isfinite(np.asarray(video, np.float32)).all()
+        assert pipe.dit_params is None  # freed after the stage
+        assert "denoise" in pipe.last_stage_profile
+        # second request on the same shell: rebuild path
+        video2 = run_generate_request(pipe, common, lambda i, n: None,
+                                      staged_factories=staged)
+        np.testing.assert_array_equal(np.asarray(video),
+                                      np.asarray(video2))
+        with _pytest.raises(ValueError, match="staged"):
+            run_generate_request(pipe, {**common, "quantize_int8": True},
+                                 lambda i, n: None, staged_factories=staged)
+    finally:
+        qz.MIN_SIZE = old_min

@@ -27,13 +27,20 @@ from versecrafter_tpu.serve.http import Router, make_server
 from versecrafter_tpu.serve.tasks import COMPLETED, FAILED, RUNNING, TaskRegistry
 
 
-def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
+def run_generate_request(pipe, params: dict, progress=None,
+                         staged_factories=None) -> np.ndarray:
     """Execute one generation request against a pipeline: load the control
     maps by the reference's exact filename contract
     (versecrafter_inference.py:351-417 — 4 control mp4s + merged_mask, mask
     frame 0 zeroed, first control frame overwritten with the input image)
     and run the pipeline. Shared by the model server, the API server's
     in-process tier, and the inference CLI.
+
+    staged_factories (sampling.staged.StageFactories): run with STAGED
+    weight residency — `pipe` is a config-only shell and each component is
+    built/freed per stage (the single-16GB-chip 14B serving mode,
+    sampling/staged.py). Quantization is fixed by the factories there;
+    per-request quantize params are rejected rather than silently ignored.
 
     Returns UINT8 frames [T, H, W, 3] in 0..255 (the pipeline quantizes on
     device — 4x less host transfer, and save_generated_video/mp4 encoding
@@ -70,6 +77,13 @@ def run_generate_request(pipe, params: dict, progress=None) -> np.ndarray:
         if "cfg_skip_ratio" in params:
             pipe.enable_cfg_skip(float(params["cfg_skip_ratio"]))
         qmode = _requested_quant_mode(params)
+        if staged_factories is not None:
+            if qmode is not None:
+                raise ValueError(
+                    "staged-residency host: quantization is fixed by the "
+                    "stage factories; drop the quantize params")
+            return _call_pipe_staged(pipe, params, controls, mask, h, w, n,
+                                     progress, staged_factories)
         if qmode is not None:
             resident = getattr(pipe, "_quantized", None)
             if resident is None:
@@ -139,6 +153,21 @@ def _requested_quant_mode(params):
             bool(params.get("int8_compute")))
 
 
+def _call_pipe_staged(pipe, params, controls, mask, h, w, n, progress,
+                      factories):
+    from versecrafter_tpu.sampling.staged import generate_staged
+    return generate_staged(
+        pipe, factories, params.get("prompt", ""),
+        negative_prompt=params.get("negative_prompt", ""),
+        control_videos=controls, mask_video=mask,
+        height=h, width=w, num_frames=n,
+        num_inference_steps=int(params.get("num_inference_steps", 30)),
+        guidance_scale=float(params.get("guidance_scale", 5.0)),
+        shift=float(params.get("shift", 16.0)),
+        seed=int(params.get("seed", 2025)),
+        progress=progress, output_type="uint8")
+
+
 def _call_pipe(pipe, params, controls, mask, h, w, n, progress):
     return pipe(
         params.get("prompt", ""),
@@ -174,11 +203,19 @@ def save_generated_video(video: np.ndarray, params: dict,
 
 class ModelServer:
     def __init__(self, pipeline_factory: Callable[[], Any],
-                 output_dir: str = "outputs/serve"):
+                 output_dir: str = "outputs/serve",
+                 staged_factories=None):
         """pipeline_factory builds the (possibly sharded) VerseCrafterPipeline
         lazily on first use; generations are serialized through one queue —
-        the TPU mesh runs one request at a time."""
+        the TPU mesh runs one request at a time.
+
+        staged_factories (sampling.staged.StageFactories): serve with
+        staged weight residency — the resident pipeline is a config-only
+        shell; T5/VAE/quantized-DiT build and free per request stage. The
+        single-16GB-chip 14B serving mode (use
+        sampling.staged.staged_pipeline_factory to build both)."""
         self.pipeline_factory = pipeline_factory
+        self.staged_factories = staged_factories
         self.output_dir = output_dir
         self.tasks = TaskRegistry()
         self.queue: "queue.Queue" = queue.Queue()
@@ -226,7 +263,8 @@ class ModelServer:
                                   message=traceback.format_exc()[-2000:])
 
     def _generate(self, pipe, params: dict, progress):
-        return run_generate_request(pipe, params, progress)
+        return run_generate_request(pipe, params, progress,
+                                    staged_factories=self.staged_factories)
 
     def _save(self, video: np.ndarray, params: dict) -> str:
         return save_generated_video(video, params, self.output_dir)
@@ -364,6 +402,15 @@ def main(argv=None):
     p.add_argument("--auto_mesh", action="store_true",
                    help="factorize all visible devices into (sp, tp) "
                         "automatically (reference model_server.py:149-191)")
+    p.add_argument("--staged", action="store_true",
+                   help="staged weight residency (single-16GB-chip 14B "
+                        "serving): T5/VAE/quantized-DiT build per request "
+                        "stage instead of staying resident")
+    p.add_argument("--staged_scale", default="14b",
+                   choices=["14b", "1.3b", "tiny"],
+                   help="with --staged and no --model_path: fresh-init size")
+    p.add_argument("--quantize_bits", type=int, default=4, choices=(8, 4),
+                   help="with --staged: DiT weight width (4 = W4A8)")
     args = p.parse_args(argv)
 
     from versecrafter_tpu.utils.cache import enable_persistent_cache
@@ -371,11 +418,19 @@ def main(argv=None):
 
     from versecrafter_tpu.core.mesh import spec_from_degrees
     spec = spec_from_degrees(args.ulysses_degree, args.ring_degree, args.tp)
-    server = ModelServer(
-        default_pipeline_factory(args.model_path,
-                                 mesh_spec=spec if spec.size > 1 else None,
-                                 auto_mesh=args.auto_mesh),
-        output_dir=args.output_dir)
+    if args.staged:
+        from versecrafter_tpu.sampling.staged import staged_pipeline_factory
+        factory, staged_factories = staged_pipeline_factory(
+            args.model_path, scale=args.staged_scale,
+            bits=args.quantize_bits, int8_compute=True)
+        server = ModelServer(factory, output_dir=args.output_dir,
+                             staged_factories=staged_factories)
+    else:
+        server = ModelServer(
+            default_pipeline_factory(args.model_path,
+                                     mesh_spec=spec if spec.size > 1 else None,
+                                     auto_mesh=args.auto_mesh),
+            output_dir=args.output_dir)
     httpd = make_server(build_router(server), args.host, args.port)
     print(f"model server on {args.host}:{args.port}")
     httpd.serve_forever()

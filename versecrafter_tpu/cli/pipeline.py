@@ -49,9 +49,14 @@ def main(argv=None):
     p.add_argument("--skip", default="",
                    help="comma-separated stage names to skip "
                         "(depth,segment,gaussian,render,generate)")
-    p.add_argument("--smoke_scale", default="1.3b", choices=["1.3b", "tiny"],
+    p.add_argument("--smoke_scale", default="1.3b",
+                   choices=["1.3b", "tiny", "14b"],
                    help="offline-smoke model size when --model is absent "
-                        "(tiny: wiring checks on slow backends)")
+                        "(tiny: wiring checks on slow backends; 14b with "
+                        "--staged)")
+    p.add_argument("--staged", action="store_true",
+                   help="generate with staged weight residency + W4A8 "
+                        "(single-16GB-chip 14B; cli/inference.py --staged)")
     args = p.parse_args(argv)
 
     from versecrafter_tpu.utils.cache import enable_persistent_cache
@@ -118,6 +123,9 @@ def main(argv=None):
         gen_args += ["--model_name", args.model]
     else:
         gen_args += ["--offline_smoke", "--smoke_scale", args.smoke_scale]
+    if args.staged:
+        gen_args += ["--staged", "--quantize_int8", "--int8_compute",
+                     "--quantize_bits", "4", "--teacache_threshold", "0"]
     stage("generate", lambda: inference.main(gen_args))
 
     print(json.dumps({"stage_wall_s": times,

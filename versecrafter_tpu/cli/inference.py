@@ -87,6 +87,12 @@ def parse_args(argv=None):
                         "VAE -> encode -> free, quantized DiT -> denoise "
                         "-> free, VAE -> decode. Sequential (batch-1) CFG. "
                         "The single-16GB-chip path for the 14B flagship")
+    p.add_argument("--fit_teacache", nargs="?", const="", default=None,
+                   metavar="OUT_JSON",
+                   help="with --staged: record a full trajectory first, "
+                        "fit TeaCache coefficients (record -> fit -> fire "
+                        "in one command), then generate with them; "
+                        "optionally save the fit as OUT_JSON")
     return p.parse_args(argv)
 
 
@@ -123,7 +129,13 @@ def _main_staged(args, h, w):
         scheduler_name={"Flow": "euler", "Flow_Unipc": "unipc",
                         "Flow_DPM++": "dpm++"}[args.sampler],
         cfg_parallel=False)
-    if args.teacache_threshold > 0:
+    if args.teacache_coeffs:
+        with open(args.teacache_coeffs) as f:
+            fit = _json.load(f)
+        pipe.enable_teacache(
+            float(fit.get("threshold", args.teacache_threshold)),
+            args.teacache_skip_start, coefficients=tuple(fit["coefficients"]))
+    elif args.teacache_threshold > 0 and args.fit_teacache is None:
         pipe.enable_teacache(args.teacache_threshold, args.teacache_skip_start)
     if args.cfg_skip_ratio > 0:
         pipe.enable_cfg_skip(args.cfg_skip_ratio)
@@ -138,6 +150,35 @@ def _main_staged(args, h, w):
 
     def progress(i, n):
         print(f"denoise {i} / {n}", flush=True)
+
+    if args.fit_teacache is not None and not args.teacache_coeffs:
+        # record -> fit -> fire, staged (the TeaCache method for models too
+        # large to stay resident; reference recipe versecrafter_inference.py
+        # :306-313 with the polynomial fit run HERE instead of shipped)
+        import numpy as np
+
+        from versecrafter_tpu.sampling import teacache as tc
+
+        rel_e0, rel_res = generate_staged(
+            pipe, factories, args.prompt, NEGATIVE_PROMPT,
+            control_videos=controls, mask_video=mask,
+            height=h, width=w, num_frames=args.video_length,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale, shift=args.shift,
+            seed=args.seed, record_teacache=True, progress=progress)
+        coeffs = tc.fit_teacache_coefficients(rel_e0, rel_res, degree=4)
+        pred = np.polyval(coeffs, rel_e0)
+        thresh = float(np.median(pred) * 1.5)  # ~40% skip target
+        pipe.enable_teacache(max(thresh, 1e-6), args.teacache_skip_start,
+                             coefficients=coeffs)
+        fit = {"coefficients": [float(c) for c in coeffs],
+               "threshold": thresh}
+        print(_json.dumps({"teacache_fit": fit,
+                           "record_profile_s": pipe.last_stage_profile}),
+              flush=True)
+        if args.fit_teacache:
+            with open(args.fit_teacache, "w") as f:
+                _json.dump(fit, f)
 
     video = generate_staged(
         pipe, factories, args.prompt, NEGATIVE_PROMPT,

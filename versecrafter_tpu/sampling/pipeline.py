@@ -258,13 +258,13 @@ class VerseCrafterPipeline:
         self.teacache_record = []
         old_thresh = self.teacache_threshold
         old_skip = self.cfg_skip_ratio
-        old_par = self.cfg_parallel
         self.teacache_threshold = 0.0
         # cfg-skip slices the recorded tensors from 2B to B rows mid-run —
-        # the stats must come from a FULL (never-skipping) trajectory; the
-        # recorder also assumes the batched [2B] CFG layout
+        # the stats must come from a FULL (never-skipping) trajectory.
+        # Under SEQUENTIAL CFG (cfg_parallel=False — the 14B staged mode)
+        # only the COND branch's state is recorded ([B] rows): one branch's
+        # trajectory is what the reference's published fit uses too.
         self.cfg_skip_ratio = 0.0
-        self.cfg_parallel = True
         try:
             kwargs.setdefault("output_type", "latent")
             self(*args, **kwargs)
@@ -273,7 +273,6 @@ class VerseCrafterPipeline:
             self.teacache_record = None
             self.teacache_threshold = old_thresh
             self.cfg_skip_ratio = old_skip
-            self.cfg_parallel = old_par
         mods = np.stack([r[0] for r in rec])      # [steps, B, 6, D]
         rel_res = np.stack([r[1] for r in rec])   # [steps, B]
         prev, cur = mods[:-1], mods[1:]

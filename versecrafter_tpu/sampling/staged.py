@@ -69,6 +69,7 @@ def generate_staged(
     output_type: str = "uint8",
     dtype=jnp.bfloat16,
     progress: Optional[Callable[[int, int], None]] = None,
+    record_teacache: bool = False,
     **call_kwargs,
 ) -> np.ndarray:
     """Run one generation with staged weight residency.
@@ -78,6 +79,11 @@ def generate_staged(
     times (build + run per stage) land on `pipe.last_stage_profile`.
     call_kwargs pass through to the denoise __call__ (num_inference_steps,
     guidance_scale, shift, seed, ...).
+
+    record_teacache=True: instead of generating, run the DiT stage as a
+    TeaCache trajectory recording (pipe.record_teacache_stats) and return
+    (rel_e0, rel_residual) — the staged-residency path to FITTING TeaCache
+    coefficients for models too large to stay resident (14B on one v5e).
     """
     profile: Dict[str, float] = {}
 
@@ -111,6 +117,22 @@ def generate_staged(
 
     # -- stage 3: denoise ---------------------------------------------------
     pipe.dit_params = timed("dit_build", factories.dit)
+    if record_teacache:
+        # full (never-skipping) trajectory recording with the DiT resident
+        # — feeds tc.fit_teacache_coefficients; see record_teacache_stats
+        stats = timed(
+            "record",
+            lambda: pipe.record_teacache_stats(
+                prompt_embeds=pos_embeds,
+                negative_prompt_embeds=neg_embeds,
+                geoada_context=geoada_context,
+                height=height, width=width, num_frames=num_frames,
+                dtype=dtype, progress=progress, **call_kwargs))
+        _free(pipe, "dit_params")
+        profile["total"] = round(sum(
+            v for v in profile.values() if isinstance(v, float)), 2)
+        pipe.last_stage_profile = profile
+        return stats
     latents = timed(
         "denoise",
         lambda: pipe(

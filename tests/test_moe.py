@@ -66,3 +66,25 @@ def test_moe_identical_experts_match_single():
     low_only = _run(_pipe())
     moe = _run(_pipe(dit_params_high=_live(0), moe_boundary=0.5))
     np.testing.assert_allclose(low_only, moe, rtol=1e-5, atol=1e-6)
+
+
+def test_staged_expert_swap_matches_resident_moe():
+    """expert_swap (staged timestep-MoE: experts are time-sequential, so
+    only one is ever resident — the single-16GB-chip Wan2.2-14B mode)
+    produces the SAME video as the both-resident dit_params_high path, and
+    each expert is built exactly once (sigma descends monotonically)."""
+    high, low = _live(7), _live(0)
+    resident = _run(_pipe(dit_params_high=high, moe_boundary=0.5))
+
+    calls = []
+
+    def swap(which):
+        calls.append(which)
+        return high if which == "high" else low
+
+    pipe = _pipe(moe_boundary=0.5, expert_swap=swap)
+    pipe.dit_params = None  # staged shell: nothing resident up front
+    staged = _run(pipe)
+
+    assert calls == ["high", "low"], calls
+    np.testing.assert_allclose(staged, resident, atol=1e-6)

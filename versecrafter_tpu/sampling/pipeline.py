@@ -92,6 +92,14 @@ class VerseCrafterPipeline:
     # dit_params, so both experts share one compiled step.
     dit_params_high: Any = None
     moe_boundary: float = 0.875
+    # STAGED timestep-MoE (Wan2.2 two-expert at 14B on one 16 GB chip):
+    # the experts are TIME-sequential — denoising descends sigma, so the
+    # high-noise expert finishes before the low-noise one starts. When set,
+    # expert_swap("high"|"low") is called at the boundary crossing and must
+    # return that expert's params; the previous expert's params are dropped
+    # FIRST so only one ~8-11 GB expert is ever resident. Mutually
+    # exclusive with a resident dit_params_high.
+    expert_swap: Optional[Callable[[str], Any]] = None
     # acceleration state (enable_* mirror the reference's runtime toggles)
     teacache_threshold: float = 0.0
     teacache_skip_start: int = 5
@@ -719,6 +727,16 @@ class VerseCrafterPipeline:
                         valid=tea_state.valid[-batch:]))
                 # Wan2.2 MoE expert selection by noise level (sigma = t / T)
                 sigma = float(t) / self.scheduler_cfg.num_train_timesteps
+                if self.expert_swap is not None:
+                    want = "high" if sigma >= self.moe_boundary else "low"
+                    if getattr(self, "_resident_expert", None) != want:
+                        # drop the old expert BEFORE building the new one —
+                        # both never coexist (the point of staged MoE)
+                        self.dit_params = None
+                        import gc as _gc
+                        _gc.collect()
+                        self.dit_params = self.expert_swap(want)
+                        self._resident_expert = want
                 use_high = (self.dit_params_high is not None
                             and sigma >= self.moe_boundary)
                 dit_params = self.dit_params_high if use_high else self.dit_params

@@ -254,6 +254,8 @@ class ModelServer:
                 self.last_step_stats = timer.summary()
                 self.last_wall_profile = getattr(
                     pipe, "last_wall_profile", {})
+                self.last_stage_profile = getattr(
+                    pipe, "last_stage_profile", {})
                 out_path = self._save(video, params)
                 self.tasks.update(task_id, status=COMPLETED, progress=100,
                                   result={"video_path": out_path})
@@ -309,6 +311,9 @@ def build_router(server: ModelServer) -> Router:
             "last_generation_step_ms": getattr(server, "last_step_stats", {}),
             "last_generation_wall_profile_s": getattr(
                 server, "last_wall_profile", {}),
+            # staged-residency hosts: per-stage build/run wall split
+            "last_generation_stage_profile_s": getattr(
+                server, "last_stage_profile", {}),
         }
 
     return r

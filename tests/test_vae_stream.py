@@ -64,3 +64,35 @@ def test_wan_full_topology_small(vae):
     yc = vae_decode_chunked(params, cfg, chunked)
     np.testing.assert_allclose(np.asarray(yc), np.asarray(yf),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_pipeline_streaming_decode_overlapped_matches_plain(vae):
+    """decode_latents' overlapped streaming path (chunk downloads on a
+    worker thread) == the plain whole-video decode, both output types."""
+    import numpy as np
+
+    from versecrafter_tpu.core.config import T5Config, WanDiTConfig
+    from versecrafter_tpu.models.t5 import init_t5
+    from versecrafter_tpu.models.wan_dit import init_wan_dit
+    from versecrafter_tpu.sampling.pipeline import VerseCrafterPipeline
+
+    dit_cfg = WanDiTConfig(in_dim=TINY.z_dim, dim=32, ffn_dim=64,
+                           freq_dim=16, text_dim=16, out_dim=TINY.z_dim,
+                           num_heads=2, num_layers=1, text_len=8,
+                           geoada_layers=None)
+    t5_cfg = T5Config(vocab=64, dim=16, dim_attn=16, dim_ffn=32, num_heads=2,
+                      num_layers=1, num_buckets=4, text_length=8)
+    pipe = VerseCrafterPipeline(
+        dit_params=init_wan_dit(jax.random.key(0), dit_cfg, jnp.float32),
+        dit_cfg=dit_cfg, vae_params=vae, vae_cfg=TINY,
+        t5_params=init_t5(jax.random.key(1), t5_cfg, jnp.float32),
+        t5_cfg=t5_cfg)
+    lat = jax.random.normal(jax.random.key(2), (1, TINY.z_dim, 3, 4, 4),
+                            jnp.float32)
+    plain = pipe.decode_latents(lat, "numpy")
+    for out_type in ("numpy", "uint8"):
+        got = pipe._decode_stream_overlapped(lat, out_type)
+        want = plain if out_type == "numpy" else (
+            np.clip(plain, 0, 1) * 255.0).astype(np.uint8)
+        np.testing.assert_allclose(got, want, atol=2e-5 if
+                                   out_type == "numpy" else 1)

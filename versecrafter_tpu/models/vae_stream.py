@@ -199,15 +199,24 @@ def vae_encode_chunked(params: Params, cfg: VAEConfig, x: jnp.ndarray,
     return jnp.concatenate(outs, axis=2)
 
 
-def vae_decode_chunked(params: Params, cfg: VAEConfig, z: jnp.ndarray,
-                       latent_chunk: int = 1) -> jnp.ndarray:
-    """Exact streaming decode: latents [B,z,T',h,w] -> video [B,3,4(T'-1)+1,H,W]."""
+def vae_decode_stream(params: Params, cfg: VAEConfig, z: jnp.ndarray,
+                      latent_chunk: int = 1):
+    """Yield per-chunk decoded pixel tensors (device arrays, temporal
+    order) — the overlap-friendly form: the caller can download chunk N
+    while chunk N+1 decodes (pipeline.decode_latents does exactly that;
+    the same worker-thread pattern as geometry/render.py's batches)."""
     T = z.shape[2]
     first, steady = _decode_fns(cfg)
 
     y0, caches = first(params, z[:, :, :1])
-    outs = [y0]
+    yield y0
     for s in range(1, T, latent_chunk):
         yc, caches = steady(params, z[:, :, s:s + latent_chunk], caches)
-        outs.append(yc)
-    return jnp.concatenate(outs, axis=2)
+        yield yc
+
+
+def vae_decode_chunked(params: Params, cfg: VAEConfig, z: jnp.ndarray,
+                       latent_chunk: int = 1) -> jnp.ndarray:
+    """Exact streaming decode: latents [B,z,T',h,w] -> video [B,3,4(T'-1)+1,H,W]."""
+    return jnp.concatenate(
+        list(vae_decode_stream(params, cfg, z, latent_chunk)), axis=2)

@@ -808,9 +808,8 @@ class VerseCrafterPipeline:
                       * self.vae_cfg.temporal_compression_ratio
                       * self.vae_cfg.spatial_compression_ratio ** 2)
         if latents.shape[2] > 1 and out_voxels > self.VAE_STREAM_THRESHOLD:
-            from versecrafter_tpu.models.vae_stream import vae_decode_chunked
-            video = vae_decode_chunked(self.vae_params, self.vae_cfg, latents)
-            video = jnp.clip(video.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+            return self._decode_stream_overlapped(latents, output_type,
+                                                  _mark)
         else:
             key = ("vae_decode",)
             if key not in self._jit_cache:
@@ -827,5 +826,65 @@ class VerseCrafterPipeline:
         video.block_until_ready()
         _mark("vae_decode")
         out = np.asarray(video.transpose(0, 2, 3, 4, 1))
+        _mark("download")
+        return out
+
+    def _finalize_pixels_fn(self, output_type: str):
+        key = ("vae_finalize", output_type)
+        if key not in self._jit_cache:
+            if output_type == "uint8":
+                self._jit_cache[key] = jax.jit(lambda y: (jnp.clip(
+                    y.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+                    * 255.0).astype(jnp.uint8))
+            else:
+                self._jit_cache[key] = jax.jit(lambda y: jnp.clip(
+                    y.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0))
+        return self._jit_cache[key]
+
+    def _decode_stream_overlapped(self, latents, output_type: str,
+                                  _mark=lambda name: None) -> np.ndarray:
+        """Streaming decode with chunk downloads OVERLAPPED: chunk N
+        downloads on a worker thread while chunk N+1 decodes (the same
+        pattern as geometry/render.py's batch loop — device programs stay
+        strictly serialized via block_until_ready, only the host transfer
+        overlaps; on the 19 MB/s axon tunnel the download otherwise
+        serializes behind ~seconds of decode)."""
+        import queue as queuelib
+        import threading
+
+        from versecrafter_tpu.models.vae_stream import vae_decode_stream
+
+        finalize = self._finalize_pixels_fn(output_type)
+        chunks: list = []
+        err: list = []
+        q: "queuelib.Queue" = queuelib.Queue(maxsize=2)
+
+        def downloader():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                try:
+                    chunks.append(np.asarray(item.transpose(0, 2, 3, 4, 1)))
+                except Exception as e:  # noqa: BLE001 — re-raised by caller
+                    err.append(e)
+                finally:
+                    q.task_done()
+
+        worker = threading.Thread(target=downloader, daemon=True)
+        worker.start()
+        try:
+            for yc in vae_decode_stream(self.vae_params, self.vae_cfg,
+                                        latents):
+                u = finalize(yc)
+                u.block_until_ready()  # retire before the next chunk queues
+                q.put(u)
+        finally:
+            q.put(None)
+            worker.join()
+        if err:
+            raise err[0]
+        _mark("vae_decode")
+        out = np.concatenate(chunks, axis=1)
         _mark("download")
         return out

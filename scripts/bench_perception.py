@@ -63,8 +63,8 @@ def bench_sam2(tiny: bool):
                         jnp.float32)
 
     def run():
-        masks, iou, _ = sam2.predict_boxes(params, cfg, img, boxes,
-                                           multimask_output=True)
+        masks, iou, _ = sam2.predict_boxes_jit(params, cfg, img, boxes,
+                                               multimask_output=True)
         _drain(iou)
 
     _timed("sam2_hiera_" + ("tiny" if tiny else "large_1024"), run,
@@ -129,7 +129,7 @@ def bench_gdino(tiny: bool):
     ids = np.array([[101, 2711, 1012, 2482, 1012, 102]], np.int64)
 
     def run():
-        logits, boxes = gdino_hf.gdino_forward(params, cfg, px, ids)
+        logits, boxes = gdino_hf.gdino_forward_jit(params, cfg, px, ids)
         _drain(logits)
 
     _timed("gdino_swin" + ("_tiny" if tiny else "t_896"), run,

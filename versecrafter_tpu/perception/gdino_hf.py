@@ -301,15 +301,21 @@ def deformable_attention(p: Params, query, reference_points, value, shapes,
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
 
-        flat = lvl.reshape(B, ht * wd, heads * hd)
+        # Head folded into the gather index: fetching [.., heads*hd] rows and
+        # then taking the head diagonal (as a literal grid_sample port would)
+        # moves heads× more bytes through the gather than needed — on TPU
+        # these gathers ARE the deformable-attention cost (chip-measured:
+        # the Swin-T 896² forward is gather-bound). [B, HW*heads, hd] rows
+        # with idx*heads+head fetch exactly the per-head slice.
+        flat = lvl.reshape(B, ht * wd * heads, hd)
+        hidx = jnp.arange(heads, dtype=jnp.int32)[None, None, :, None]
 
         def sample(yy, xx):
             ok = (xx >= 0) & (xx < wd) & (yy >= 0) & (yy < ht)
             idx = jnp.clip(yy, 0, ht - 1) * wd + jnp.clip(xx, 0, wd - 1)
+            idx = idx * heads + hidx                       # [B,Q,heads,P]
             g_ = jax.vmap(lambda fm, ii: fm[ii])(flat, idx.reshape(B, -1))
-            g_ = g_.reshape(B, Q, heads, n_points, heads, hd)
-            hsel = jnp.arange(heads)
-            g_ = g_[:, :, hsel, :, hsel].transpose(1, 2, 0, 3, 4)
+            g_ = g_.reshape(B, Q, heads, n_points, hd)
             return jnp.where(ok[..., None], g_, 0.0)
 
         s00 = sample(y0i, x0i)
@@ -447,15 +453,20 @@ def decoder_forward(params: Params, cfg: dict, target, ref_boxes, vis, txt,
 # ---------------------------------------------------------------------------
 
 def gdino_forward(params: Params, cfg: dict, pixel_values: jnp.ndarray,
-                  input_ids: np.ndarray):
+                  input_ids, attn3d=None, pos_ids=None):
     """pixel_values [B, 3, H, W] (ImageNet-normalized, H=W multiple of 32 *
     window*patch tiles); input_ids [B, L] BERT tokens.
-    Returns (logits [B, Q, max_text_len], boxes [B, Q, 4] cxcywh)."""
+    Returns (logits [B, Q, max_text_len], boxes [B, Q, 4] cxcywh).
+
+    attn3d/pos_ids: precomputed text_masks_and_positions outputs — pass
+    them to make this function jit-traceable (gdino_forward_jit does;
+    they're the only value-dependent host computation)."""
     B = pixel_values.shape[0]
     d = cfg["d_model"]
-    attn3d_np, pos_np = text_masks_and_positions(np.asarray(input_ids))
-    attn3d = jnp.asarray(attn3d_np)
-    pos_ids = jnp.asarray(pos_np)
+    if attn3d is None or pos_ids is None:
+        attn3d_np, pos_np = text_masks_and_positions(np.asarray(input_ids))
+        attn3d = jnp.asarray(attn3d_np)
+        pos_ids = jnp.asarray(pos_np)
     text_token_mask = jnp.ones(input_ids.shape, bool)
 
     txt = bert_forward(params["text_backbone"], cfg, jnp.asarray(input_ids),
@@ -520,6 +531,29 @@ def gdino_forward(params: Params, cfg: dict, pixel_values: jnp.ndarray,
         logits = jnp.pad(logits, ((0, 0), (0, 0), (0, pad)),
                          constant_values=-jnp.inf)
     return logits, boxes
+
+
+_GDINO_JIT: dict = {}
+
+
+def gdino_forward_jit(params: Params, cfg: dict, pixel_values, input_ids):
+    """Cached jitted gdino_forward. Eager per-op execution costs one remote
+    dispatch per op on the axon backend — the Swin-T 896² detection
+    measured 8.3 s/image eager; ONE compiled program removes that. The
+    value-dependent host step (text_masks_and_positions) runs here, before
+    the trace; the proposal grids inside depend only on static shapes and
+    fold to constants. Cache key = the static cfg (+ jit's own shape
+    cache underneath)."""
+    key = tuple(sorted(
+        (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+        for k, v in cfg.items()))
+    if key not in _GDINO_JIT:
+        _GDINO_JIT[key] = jax.jit(
+            lambda p, px, ids, a3, pos, _cfg=dict(cfg): gdino_forward(
+                p, _cfg, px, ids, attn3d=a3, pos_ids=pos))
+    a3, pos = text_masks_and_positions(np.asarray(input_ids))
+    return _GDINO_JIT[key](params, pixel_values, jnp.asarray(input_ids),
+                           jnp.asarray(a3), jnp.asarray(pos))
 
 
 def _gn_conv(p, x, stride: int = 1):

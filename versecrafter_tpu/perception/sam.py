@@ -320,6 +320,35 @@ def predict_boxes(params: Params, cfg: dict, pixels: jnp.ndarray,
     return masks[:, :, :1], iou[:, :, :1], None
 
 
+_SAM_JIT: dict = {}
+
+
+def predict_boxes_jit(params: Params, cfg: dict, pixels, boxes,
+                      multimask_output: bool = True):
+    """Cached jitted predict_boxes (same rationale as
+    sam2.predict_boxes_jit: eager per-op dispatch is ruinous over the axon
+    tunnel). The decoder's "_heads"/"_iou_depth" int leaves are STATIC
+    config smuggled through the params tree — jit would trace them into
+    shape arithmetic, so they're stripped from the traced tree and closed
+    over instead."""
+    statics = {k: v for k, v in params["decoder"].items()
+               if k.startswith("_")}
+    key = (tuple(sorted(
+        (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+        for k, v in cfg.items())), bool(multimask_output),
+        tuple(sorted(statics.items())))
+    if key not in _SAM_JIT:
+        def fn(p, px, bx, _cfg=dict(cfg), _m=bool(multimask_output),
+               _s=dict(statics)):
+            p = dict(p, decoder={**p["decoder"], **_s})
+            return predict_boxes(p, _cfg, px, bx, _m)
+        _SAM_JIT[key] = jax.jit(fn)
+    stripped = dict(params, decoder={
+        k: v for k, v in params["decoder"].items()
+        if not k.startswith("_")})
+    return _SAM_JIT[key](stripped, pixels, boxes)
+
+
 # ---------------------------------------------------------------------------
 # HF conversion
 # ---------------------------------------------------------------------------

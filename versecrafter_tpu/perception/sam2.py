@@ -425,6 +425,24 @@ def predict_boxes(params: Params, cfg: dict, pixels: jnp.ndarray,
     return decode_masks(params, cfg, embeds, sparse, multimask_output)
 
 
+_SAM2_JIT: dict = {}
+
+
+def predict_boxes_jit(params: Params, cfg: dict, pixels, boxes,
+                      multimask_output: bool = True):
+    """Cached jitted predict_boxes — eager per-op execution pays one remote
+    dispatch per op on the axon backend (Hiera-L 1024² measured 1.35 s/img
+    eager); one compiled program per (cfg, multimask) key."""
+    key = (tuple(sorted(
+        (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+        for k, v in cfg.items())), bool(multimask_output))
+    if key not in _SAM2_JIT:
+        _SAM2_JIT[key] = jax.jit(
+            lambda p, px, bx, _cfg=dict(cfg), _m=bool(multimask_output):
+            predict_boxes(p, _cfg, px, bx, _m))
+    return _SAM2_JIT[key](params, pixels, boxes)
+
+
 # ---------------------------------------------------------------------------
 # conversion / init
 # ---------------------------------------------------------------------------

@@ -171,7 +171,9 @@ class ImageSegmenter:
         gimg = (gimg - mean) / std
 
         ids, spans = gdino_hf.phrase_token_spans(self.tokenizer, labels)
-        logits, boxes = gdino_hf.gdino_forward(
+        # jitted: eager per-op execution is one remote dispatch per op on
+        # the axon backend (8.3 s/image at Swin-T 896² before jitting)
+        logits, boxes = gdino_hf.gdino_forward_jit(
             gparams, gcfg,
             jnp.asarray(gimg.transpose(2, 0, 1))[None].astype(jnp.float32), ids)
         found = gdino_hf.postprocess_grounded_detections(
@@ -194,7 +196,7 @@ class ImageSegmenter:
         simg, sch, scw = self._letterbox(image, s_size)
         simg = (simg - mean) / std
         sboxes = pix_boxes * np.array([scw / ow, sch / oh] * 2)
-        masks, iou, _ = sam2_mod.predict_boxes(
+        masks, iou, _ = sam2_mod.predict_boxes_jit(
             sparams, scfg, jnp.asarray(simg, jnp.float32)[None],
             jnp.asarray(sboxes, jnp.float32)[None], multimask_output=True)
         best = np.asarray(jnp.argmax(iou[0], axis=-1))  # [Q]

@@ -101,21 +101,8 @@ def bench_gdino(tiny: bool):
                    swin_out_stages=(0, 1, 2), bert_heads=2)
     else:
         det = 896  # the segmenter's production letterbox (segmenter.py:60)
-        swin = transformers.SwinConfig(
-            image_size=224, patch_size=4, embed_dim=96, depths=[2, 2, 6, 2],
-            num_heads=[3, 6, 12, 24], window_size=7, out_indices=[2, 3, 4])
-        bert = transformers.BertConfig()  # bert-base
-        hf_cfg = transformers.GroundingDinoConfig(
-            backbone_config=swin, text_config=bert, d_model=256,
-            encoder_layers=6, decoder_layers=6, encoder_attention_heads=8,
-            decoder_attention_heads=8, encoder_ffn_dim=2048,
-            decoder_ffn_dim=2048, num_queries=900, max_text_len=256,
-            positional_embedding_temperature=20)
-        cfg = dict(d_model=256, enc_heads=8, dec_heads=8, fusion_heads=4,
-                   enc_points=4, dec_points=4, num_queries=900,
-                   max_text_len=256, pos_temperature=20.0, swin_patch=4,
-                   swin_window=7, swin_heads=(3, 6, 12, 24),
-                   swin_out_stages=(1, 2, 3), bert_heads=12)
+        hf_cfg = gdino_hf.hf_swint_config()
+        cfg = dict(gdino_hf.SWINT_CFG)
 
     torch.manual_seed(0)
     t0 = time.perf_counter()

@@ -208,3 +208,13 @@ def test_unknown_mask_backend_raises(tokenizer):
                          tokenizer=tokenizer)
     with pytest.raises(ValueError, match="mask_backend"):
         seg.segment_image(np.zeros((32, 32, 3), np.uint8), "car.")
+
+
+def test_build_neural_guards():
+    """The factory's cheap validation fires before any model build."""
+    with pytest.raises(RuntimeError, match="gdino_checkpoint"):
+        ImageSegmenter.build_neural()
+    with pytest.raises(RuntimeError, match="sam1"):
+        ImageSegmenter.build_neural(mask_backend="sam1", fresh_init=True)
+    with pytest.raises(ValueError, match="mask_backend"):
+        ImageSegmenter.build_neural(mask_backend="nope", fresh_init=True)

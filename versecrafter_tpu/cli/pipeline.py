@@ -41,6 +41,12 @@ def main(argv=None):
                         "GroundingDINO->SAM2 path (the reference's "
                         "grounded_sam2_infer.py stack; needs converted "
                         "weights), classical fallbacks otherwise")
+    p.add_argument("--sam2_checkpoint", default=None)
+    p.add_argument("--gdino_checkpoint", default=None)
+    p.add_argument("--bert_vocab", default=None)
+    p.add_argument("--neural_fresh_init", action="store_true",
+                   help="neural segmenter with random real-scale weights "
+                        "(smoke; no checkpoints ship here)")
     p.add_argument("--sample_size", default="480,832")
     p.add_argument("--num_inference_steps", type=int, default=30)
     p.add_argument("--video_length", type=int, default=None,
@@ -85,12 +91,19 @@ def main(argv=None):
         "-i", os.path.join(data, "0001.png"),
         "-o", os.path.join(out, "estimated_depth"), "--maps"]))
 
+    seg_extra = []
+    for flag in ("sam2_checkpoint", "gdino_checkpoint", "bert_vocab"):
+        if getattr(args, flag):
+            seg_extra += [f"--{flag}", getattr(args, flag)]
+    if args.neural_fresh_init:
+        seg_extra.append("--neural_fresh_init")
     stage("segment", lambda: segment.main([
         "-i", os.path.join(data, "0001.png"), "-t", args.text_prompt,
         "-o", os.path.join(out, "object_mask"),
         "--backend", args.segment_backend,
         "--depth_npz",
-        os.path.join(out, "estimated_depth", "depth_intrinsics.npz")]))
+        os.path.join(out, "estimated_depth", "depth_intrinsics.npz")]
+        + seg_extra))
 
     stage("gaussian", lambda: fit_gaussian.main([
         "--npz_path",

@@ -21,6 +21,18 @@ def main(argv=None):
     p.add_argument("--box_threshold", type=float, default=0.25)
     p.add_argument("--text_threshold", type=float, default=0.25)
     p.add_argument("--max_objects", type=int, default=5)
+    # neural backend (GDINO -> SAM2, grounded_sam2_infer.py parity)
+    p.add_argument("--sam2_checkpoint", default=None,
+                   help="HF Sam2Model (or SamModel for --mask_backend sam1) "
+                        "torch state dict")
+    p.add_argument("--gdino_checkpoint", default=None,
+                   help="HF GroundingDinoForObjectDetection torch state dict")
+    p.add_argument("--bert_vocab", default=None,
+                   help="BERT vocab.txt for the GDINO text tower")
+    p.add_argument("--mask_backend", default="sam2", choices=["sam2", "sam1"])
+    p.add_argument("--neural_fresh_init", action="store_true",
+                   help="random real-scale weights (smoke/bench; no "
+                        "checkpoints ship in this environment)")
     args = p.parse_args(argv)
 
     import cv2
@@ -37,10 +49,17 @@ def main(argv=None):
         d = np.load(args.depth_npz)["depth"].astype(np.float32)
         depth = d[0] if d.ndim == 3 else d
 
-    seg = ImageSegmenter(backend=args.backend,
-                         box_threshold=args.box_threshold,
-                         text_threshold=args.text_threshold,
-                         max_objects=args.max_objects)
+    kw = dict(box_threshold=args.box_threshold,
+              text_threshold=args.text_threshold,
+              max_objects=args.max_objects)
+    if args.backend == "neural":
+        seg = ImageSegmenter.build_neural(
+            sam2_checkpoint=args.sam2_checkpoint,
+            gdino_checkpoint=args.gdino_checkpoint,
+            bert_vocab=args.bert_vocab, mask_backend=args.mask_backend,
+            fresh_init=args.neural_fresh_init, **kw)
+    else:
+        seg = ImageSegmenter(backend=args.backend, **kw)
     dets = seg.segment_image(img, args.text, depth=depth)
     paths = seg.save_results(img, dets, args.output)
     print(f"segmented {len(dets)} objects -> {args.output}")

@@ -39,6 +39,32 @@ Params = Dict[str, Any]
 
 SPECIAL_TOKENS = (101, 102, 1012, 1029)  # [CLS] [SEP] . ?
 
+# The production GroundingDINO Swin-T + BERT-base shape (the public
+# grounding-dino-tiny the reference's Grounded-SAM-2 submodule loads,
+# grounded_sam2_infer.py:104-143): 900 queries, 4-level deformable
+# encoder/decoder, d_model 256.
+SWINT_CFG = dict(d_model=256, enc_heads=8, dec_heads=8, fusion_heads=4,
+                 enc_points=4, dec_points=4, num_queries=900,
+                 max_text_len=256, pos_temperature=20.0, swin_patch=4,
+                 swin_window=7, swin_heads=(3, 6, 12, 24),
+                 swin_out_stages=(1, 2, 3), bert_heads=12)
+
+
+def hf_swint_config():
+    """The matching transformers.GroundingDinoConfig — used to fresh-init
+    real-scale weights through the HF model (smoke/bench; no checkpoints
+    ship in this environment) so the converter path is always exercised."""
+    import transformers
+    swin = transformers.SwinConfig(
+        image_size=224, patch_size=4, embed_dim=96, depths=[2, 2, 6, 2],
+        num_heads=[3, 6, 12, 24], window_size=7, out_indices=[2, 3, 4])
+    return transformers.GroundingDinoConfig(
+        backbone_config=swin, text_config=transformers.BertConfig(),
+        d_model=256, encoder_layers=6, decoder_layers=6,
+        encoder_attention_heads=8, decoder_attention_heads=8,
+        encoder_ffn_dim=2048, decoder_ffn_dim=2048, num_queries=900,
+        max_text_len=256, positional_embedding_temperature=20)
+
 
 def _ln(x, p, eps=1e-5):
     xf = x.astype(jnp.float32)

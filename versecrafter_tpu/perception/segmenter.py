@@ -121,6 +121,104 @@ class ImageSegmenter:
                 dets.append(Detection(label, 0.5, (x, y, x + bw, y + bh), mask))
         return dets
 
+    # -- neural backend construction -----------------------------------------
+    @classmethod
+    def build_neural(cls, sam2_checkpoint: Optional[str] = None,
+                     gdino_checkpoint: Optional[str] = None,
+                     bert_vocab: Optional[str] = None,
+                     mask_backend: str = "sam2",
+                     fresh_init: bool = False, **kwargs) -> "ImageSegmenter":
+        """Build the neural (GDINO->SAM2) segmenter from torch checkpoints
+        (HuggingFace GroundingDinoForObjectDetection / Sam2Model / SamModel
+        state-dict layouts — what grounded_sam2_infer.py:104-143 loads), or
+        with `fresh_init=True` random real-scale weights (Swin-T 896² +
+        Hiera-L 1024²) for smoke/bench runs — no weights ship in this
+        environment, so the fresh path builds THROUGH the HF model and the
+        converter, keeping the conversion exercised.
+
+        Tokenizer resolution: `bert_vocab` (a vocab.txt) > the locally
+        cached bert-base-uncased > (fresh_init only) a minimal smoke vocab
+        where unknown prompt words map to [UNK]."""
+        if mask_backend not in ("sam2", "sam1"):
+            raise ValueError(f"unknown mask_backend {mask_backend!r}")
+        if mask_backend == "sam1" and not sam2_checkpoint:
+            raise RuntimeError("mask_backend='sam1' needs a checkpoint "
+                               "(no fresh-init shape for SAM1)")
+        if not (gdino_checkpoint or fresh_init):
+            raise RuntimeError(
+                "neural backend needs --gdino_checkpoint (or fresh_init)")
+
+        import torch
+        import transformers
+
+        from versecrafter_tpu.perception import gdino_hf, sam2 as sam2_mod
+
+        def load_sd(path):
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            return sd["model"] if "model" in sd and not hasattr(
+                sd["model"], "shape") else sd
+
+        gcfg = dict(gdino_hf.SWINT_CFG)
+        if gdino_checkpoint:
+            gparams = gdino_hf.convert_hf_gdino(load_sd(gdino_checkpoint), gcfg)
+        elif fresh_init:
+            hf = transformers.GroundingDinoForObjectDetection(
+                gdino_hf.hf_swint_config()).eval()
+            gparams = gdino_hf.convert_hf_gdino(hf.state_dict(), gcfg)
+            del hf
+        else:
+            raise RuntimeError(
+                "neural backend needs --gdino_checkpoint (or fresh_init)")
+
+        if mask_backend == "sam2":
+            scfg = dict(sam2_mod.HIERA_LARGE)
+            if sam2_checkpoint:
+                sparams = sam2_mod.convert_hf_sam2(load_sd(sam2_checkpoint),
+                                                   scfg)
+            elif fresh_init:
+                import jax
+                import jax.numpy as jnp
+                sparams = jax.jit(
+                    lambda k: sam2_mod.init_sam2(k, scfg, jnp.float32)
+                )(jax.random.key(0))
+            else:
+                raise RuntimeError(
+                    "neural backend needs --sam2_checkpoint (or fresh_init)")
+        elif mask_backend == "sam1":
+            from versecrafter_tpu.perception import sam as sam1_mod
+            if not sam2_checkpoint:
+                raise RuntimeError("mask_backend='sam1' needs a checkpoint "
+                                   "(no fresh-init shape for SAM1)")
+            scfg = dict(sam1_mod.VIT_H, img_size=1024)
+            sparams = sam1_mod.convert_hf_sam(load_sd(sam2_checkpoint), scfg)
+        else:
+            raise ValueError(f"unknown mask_backend {mask_backend!r}")
+
+        if bert_vocab:
+            tokenizer = transformers.BertTokenizer(bert_vocab)
+        else:
+            try:
+                tokenizer = transformers.BertTokenizer.from_pretrained(
+                    "bert-base-uncased", local_files_only=True)
+            except Exception:
+                if not fresh_init:
+                    raise RuntimeError(
+                        "neural backend needs --bert_vocab (no cached "
+                        "bert-base-uncased in this environment)")
+                import tempfile
+                vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "."] \
+                    + ["car", "person", "cat", "dog", "chair", "table",
+                       "tree", "building", "object", "ball", "cup", "box"]
+                f = tempfile.NamedTemporaryFile(
+                    "w", suffix=".txt", delete=False)
+                f.write("\n".join(vocab))
+                f.close()
+                tokenizer = transformers.BertTokenizer(f.name)
+
+        return cls(backend="neural", mask_backend=mask_backend,
+                   sam2_params=(sparams, scfg), gdino_params=(gparams, gcfg),
+                   tokenizer=tokenizer, **kwargs)
+
     # -- neural backend: GroundingDino boxes -> SAM2 masks -------------------
     @staticmethod
     def _letterbox(image, size):
@@ -191,11 +289,20 @@ class ImageSegmenter:
         found = [found[i] for i in keep]
         pix_boxes = pix_boxes[keep]
 
-        # SAM masks, all kept boxes in one prompt batch
+        # SAM masks, all kept boxes in one prompt batch — PADDED to the
+        # static max (max_objects*2): a data-dependent prompt count would
+        # recompile the Hiera forward (~90 s on chip) for every new
+        # detection count; padded dummy prompts cost one decoder row each
+        # and are sliced off below.
         s_size = scfg[size_key]
         simg, sch, scw = self._letterbox(image, s_size)
         simg = (simg - mean) / std
         sboxes = pix_boxes * np.array([scw / ow, sch / oh] * 2)
+        n_found = len(found)
+        pad_to = self.max_objects * 2
+        if n_found < pad_to:
+            dummy = np.tile([[0.0, 0.0, 8.0, 8.0]], (pad_to - n_found, 1))
+            sboxes = np.concatenate([sboxes, dummy], 0)
         masks, iou, _ = sam2_mod.predict_boxes_jit(
             sparams, scfg, jnp.asarray(simg, jnp.float32)[None],
             jnp.asarray(sboxes, jnp.float32)[None], multimask_output=True)

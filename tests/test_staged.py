@@ -184,3 +184,45 @@ def test_fresh_init_factories_tiny_staged_run():
         assert qz.has_quantized is not None  # module sanity
     finally:
         q.MIN_SIZE = old
+
+
+def test_fresh_init_staged_moe_run():
+    """Staged Wan2.2 timestep-MoE (the --moe CLI path): experts build
+    lazily at the sigma-boundary crossings, one resident at a time, and
+    each expert is built exactly once for a monotone sigma descent."""
+    import versecrafter_tpu.utils.quantize as q
+
+    old = q.MIN_SIZE
+    q.MIN_SIZE = 1 << 10
+    try:
+        factories, dit_cfg, vae_cfg, t5_cfg = fresh_init_factories(
+            scale="tiny", bits=4, int8_compute=True, dtype=jnp.float32)
+        factories_hi, *_ = fresh_init_factories(
+            scale="tiny", bits=4, int8_compute=True, dtype=jnp.float32,
+            seed=1)
+        shell = VerseCrafterPipeline(
+            dit_params=None, dit_cfg=dit_cfg, vae_params=None,
+            vae_cfg=vae_cfg, t5_params=None, t5_cfg=t5_cfg,
+            scheduler_name="unipc", cfg_parallel=False)
+        built = []
+
+        def swap(which):
+            built.append(which)
+            return (factories_hi.dit if which == "high" else factories.dit)()
+
+        shell.expert_swap = swap
+        shell.moe_boundary = 0.5
+        rng = np.random.default_rng(0)
+        controls = [rng.random((1, 3, 5, 16, 16)).astype(np.float32)
+                    for _ in range(4)]
+        out = generate_staged(
+            shell, factories, "a car",
+            control_videos=controls, height=16, width=16, num_frames=5,
+            num_inference_steps=4, guidance_scale=2.0, shift=3.0, seed=1,
+            output_type="numpy", dtype=jnp.float32)
+        assert out.shape[0] == 1 and np.isfinite(out).all()
+        assert built == ["high", "low"], built
+        assert shell.dit_params is None
+        assert "dit_build" not in shell.last_stage_profile
+    finally:
+        q.MIN_SIZE = old

@@ -87,6 +87,17 @@ def parse_args(argv=None):
                         "VAE -> encode -> free, quantized DiT -> denoise "
                         "-> free, VAE -> decode. Sequential (batch-1) CFG. "
                         "The single-16GB-chip path for the 14B flagship")
+    p.add_argument("--moe", action="store_true",
+                   help="Wan2.2 two-expert timestep MoE "
+                        "(transformer_combination_type 'moe', "
+                        "config/wan2.2/wan_civitai_t2v.yaml:3-8). With "
+                        "--staged only ONE expert is ever resident: the "
+                        "experts are time-sequential during denoising, so "
+                        "each is built at the sigma-boundary crossing")
+    p.add_argument("--moe_boundary", type=float, default=0.875,
+                   help="sigma >= boundary selects the high-noise expert")
+    p.add_argument("--transformer_high_path", type=str, default=None,
+                   help="high-noise expert checkpoint dir (Wan2.2)")
     p.add_argument("--fit_teacache", nargs="?", const="", default=None,
                    metavar="OUT_JSON",
                    help="with --staged: record a full trajectory first, "
@@ -123,6 +134,23 @@ def _main_staged(args, h, w):
             scale=args.smoke_scale, bits=bits,
             int8_compute=args.int8_compute)
 
+    high_dit = None
+    if args.moe:
+        # second (high-noise) expert: same architecture, its own weights —
+        # a different checkpoint dir, or a different seed for fresh-init
+        if args.model_name:
+            fh, *_ = checkpoint_factories(
+                args.model_name,
+                transformer_path=(args.transformer_high_path
+                                  or args.transformer_path),
+                geoada_in_dim=args.geoada_in_dim, bits=bits,
+                int8_compute=args.int8_compute)
+        else:
+            fh, *_ = fresh_init_factories(
+                scale=args.smoke_scale, bits=bits,
+                int8_compute=args.int8_compute, seed=1)
+        high_dit = fh.dit
+
     pipe = VerseCrafterPipeline(
         dit_params=None, dit_cfg=dit_cfg, vae_params=None, vae_cfg=vae_cfg,
         t5_params=None, t5_cfg=t5_cfg,
@@ -141,6 +169,19 @@ def _main_staged(args, h, w):
         pipe.enable_cfg_skip(args.cfg_skip_ratio)
     if args.int8_attention:
         pipe.enable_int8_attention()
+    if args.moe:
+        import time as _time
+
+        def expert_swap(which, _lo=factories.dit, _hi=high_dit):
+            t0 = _time.perf_counter()
+            params = (_hi if which == "high" else _lo)()
+            print(_json.dumps({"expert_build": which,
+                               "s": round(_time.perf_counter() - t0, 1)}),
+                  flush=True)
+            return params
+
+        pipe.expert_swap = expert_swap
+        pipe.moe_boundary = args.moe_boundary
 
     controls, mask = load_request_inputs({
         "rendering_maps_path": args.rendering_maps_path,

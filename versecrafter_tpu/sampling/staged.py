@@ -116,7 +116,14 @@ def generate_staged(
     _free(pipe, "vae_params")
 
     # -- stage 3: denoise ---------------------------------------------------
-    pipe.dit_params = timed("dit_build", factories.dit)
+    if getattr(pipe, "expert_swap", None) is not None:
+        # staged timestep-MoE: experts build lazily at the sigma-boundary
+        # crossings inside the denoise loop (pipeline.py expert_swap hook);
+        # their build times land inside the denoise wall
+        pipe.dit_params = None
+        pipe._resident_expert = None
+    else:
+        pipe.dit_params = timed("dit_build", factories.dit)
     if record_teacache:
         # full (never-skipping) trajectory recording with the DiT resident
         # — feeds tc.fit_teacache_coefficients; see record_teacache_stats
@@ -129,6 +136,7 @@ def generate_staged(
                 height=height, width=width, num_frames=num_frames,
                 dtype=dtype, progress=progress, **call_kwargs))
         _free(pipe, "dit_params")
+        pipe._resident_expert = None
         profile["total"] = round(sum(
             v for v in profile.values() if isinstance(v, float)), 2)
         pipe.last_stage_profile = profile
@@ -142,6 +150,7 @@ def generate_staged(
             output_type="latent", dtype=dtype, progress=progress,
             **call_kwargs))
     _free(pipe, "dit_params")
+    pipe._resident_expert = None
     if n_ref:  # strip prepended reference-frame slots (pipeline:927-930)
         latents = latents[:, :, n_ref:]
 

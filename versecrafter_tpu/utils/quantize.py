@@ -328,15 +328,22 @@ def int8_compute_dot(leaf: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     int4-packed leaves (W4A8) unpack to s8 values in [-7, 7] in-graph —
     the same MXU dot runs, just with coarser weight levels (scales are
     already absmax/7)."""
-    xf = x.astype(jnp.float32)
+    # absmax straight off x (bf16): |.| and max of bf16 values are exact,
+    # so this equals the f32-upcast absmax bit-for-bit — and NOT writing
+    # `xf = x.astype(f32)` matters: with two consumers (reduce + quantize)
+    # XLA materialized the f32 activations as 1.44 GB HLO temps per
+    # projection at 75,600 tok, the allocations that pushed the 14B
+    # GeoAdapter 720p step to 18.5 GB > 15.75 GB HBM. With the convert
+    # inside the single-consumer quantize chain it fuses into the s8 kLoop.
     if "a_scale" in leaf:
         a = jnp.maximum(leaf["a_scale"].astype(jnp.float32), 1e-8)
     elif ROW_ACT_SCALES:
-        a = jnp.maximum(
-            jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+        a = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+                        .astype(jnp.float32), 1e-8) / 127.0
     else:
-        a = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(xf / a), -127, 127).astype(jnp.int8)
+        a = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a),
+                  -127, 127).astype(jnp.int8)
     w = (_unpack_int4(leaf["q4values"]) if "q4values" in leaf
          else leaf["qvalues"])
     y = jax.lax.dot_general(

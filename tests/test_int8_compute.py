@@ -398,3 +398,27 @@ def test_w4a8_mesh_sharding_preserved():
     assert np.isfinite(video).all()
     # int4 weights + int8 activations: coarser than the W8A8 test's 0.12
     np.testing.assert_allclose(np.asarray(video), np.asarray(ref), atol=0.25)
+
+
+@pytest.mark.parametrize("mode", ["row", "static", "tensor"])
+def test_int8_dot_chunked_bit_identical(mode, monkeypatch):
+    """Above INT8_DOT_CHUNK_ROWS the dot runs chunked via lax.map (the
+    720p-on-one-chip memory fix) — per-row and static scales are row-local
+    and the per-tensor dynamic absmax is hoisted, so chunking must be
+    BIT-identical, including a non-divisible row count (zero-padded rows
+    sliced off)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 103, 64)), jnp.bfloat16)
+    W = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    tree = _quantize_tagged({"p": {"kernel": W}}, stacked=False)
+    leaf = tree["p"]["kernel"]
+    if mode == "static":
+        leaf = dict(leaf, a_scale=jnp.asarray(0.02, jnp.float32))
+    if mode == "tensor":
+        monkeypatch.setattr(qz, "ROW_ACT_SCALES", False)
+    ref = qz.int8_compute_dot(leaf, x)
+    monkeypatch.setattr(qz, "INT8_DOT_CHUNK_ROWS", 16)
+    out = qz.int8_compute_dot(leaf, x)
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))

@@ -307,6 +307,7 @@ def fit_act_scales(stats_list, margin: float = 1.0) -> Dict[str, Any]:
 
 
 ROW_ACT_SCALES = True  # per-token dynamic activation scales (see below)
+INT8_DOT_CHUNK_ROWS = 40_000  # chunk the token axis above this (see below)
 
 
 def int8_compute_dot(leaf: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
@@ -327,21 +328,55 @@ def int8_compute_dot(leaf: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
 
     int4-packed leaves (W4A8) unpack to s8 values in [-7, 7] in-graph —
     the same MXU dot runs, just with coarser weight levels (scales are
-    already absmax/7)."""
-    # absmax straight off x (bf16): |.| and max of bf16 values are exact,
-    # so this equals the f32-upcast absmax bit-for-bit — and NOT writing
-    # `xf = x.astype(f32)` matters: with two consumers (reduce + quantize)
-    # XLA materialized the f32 activations as 1.44 GB HLO temps per
-    # projection at 75,600 tok, the allocations that pushed the 14B
-    # GeoAdapter 720p step to 18.5 GB > 15.75 GB HBM. With the convert
-    # inside the single-consumer quantize chain it fuses into the s8 kLoop.
+    already absmax/7).
+
+    Above INT8_DOT_CHUNK_ROWS total rows the dot runs CHUNKED over the
+    token axis through lax.map — BIT-IDENTICAL (per-row/static scales are
+    row-local; the per-tensor dynamic mode computes its global absmax
+    first), but only one chunk's f32 epilogue + s8 temps are ever live.
+    Unchunked, the 14B GeoAdapter 720p CFG-1 step held two 1.44 GB f32
+    dot epilogues + a 1 GB s8 activation simultaneously and needed
+    18.48 GB > 15.75 GB HBM; the 480p path (32,760 rows) is below the
+    gate and compiles exactly as before."""
+    d_in = x.shape[-1]
+    lead = x.shape[:-1]
+    rows = 1
+    for s in lead:
+        rows *= int(s)
+    a_global = None
     if "a_scale" in leaf:
-        a = jnp.maximum(leaf["a_scale"].astype(jnp.float32), 1e-8)
-    elif ROW_ACT_SCALES:
+        a_global = jnp.maximum(leaf["a_scale"].astype(jnp.float32), 1e-8)
+    elif not ROW_ACT_SCALES:
+        a_global = jnp.maximum(
+            jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-8) / 127.0
+    if rows > INT8_DOT_CHUNK_ROWS:
+        # target ~half-gate chunks: at 75,600 rows this gives 4 chunks of
+        # 18,900 (0.37 GB f32 epilogue each) rather than 2 of 37,800 —
+        # the extra headroom that actually clears the 15.75 GB HBM line
+        n = -(-rows // (INT8_DOT_CHUNK_ROWS // 2))
+        ch = -(-rows // n)
+        x2 = x.reshape(rows, d_in)
+        if n * ch != rows:  # zero rows quantize to zeros; sliced off below
+            x2 = jnp.pad(x2, ((0, n * ch - rows), (0, 0)))
+        y = jax.lax.map(
+            lambda xc: _int8_dot_rows(leaf, xc, a_global),
+            x2.reshape(n, ch, d_in))
+        return y.reshape(n * ch, -1)[:rows].reshape(*lead, -1)
+    return _int8_dot_rows(leaf, x, a_global)
+
+
+def _int8_dot_rows(leaf, x, a_global):
+    """One s8xs8->s32 MXU dot over [..., d_in] rows (the int8_compute_dot
+    body; a_global is the precomputed per-tensor scale, or None for the
+    per-row dynamic mode). The absmax reads bf16 x directly: |.| and max
+    of bf16 values are exact, so it equals the f32-upcast absmax
+    bit-for-bit without materializing f32 activations; the f32 convert in
+    the quantize chain is single-consumer and fuses into the s8 kLoop."""
+    if a_global is not None:
+        a = a_global
+    else:
         a = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True)
                         .astype(jnp.float32), 1e-8) / 127.0
-    else:
-        a = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a),
                   -127, 127).astype(jnp.int8)
     w = (_unpack_int4(leaf["q4values"]) if "q4values" in leaf

@@ -298,3 +298,17 @@ def test_geoada_only_quantized_forward():
     err = np.abs(np.asarray(got) - np.asarray(ref)).max()
     assert np.isfinite(np.asarray(got)).all()
     assert 0 < err < 0.5, err  # int8-close, and actually quantized
+
+
+def test_ffn_chunked_matches_unchunked(monkeypatch):
+    """The >70k-row chunked FFN (the 720p single-chip memory path) must
+    match the plain forward exactly — rows are independent through
+    linear->gelu->linear, including with a non-divisible row count."""
+    import versecrafter_tpu.models.wan_dit as wd
+
+    params = init_wan_dit(jax.random.key(0), TINY, jnp.float32)
+    x, t, ctx, cos, sin = _inputs(TINY, f=3, h=4, w=4)
+    ref = wan_dit_forward(params, TINY, x, t, ctx, cos, sin)
+    monkeypatch.setattr(wd, "FFN_CHUNK_ROWS", 7)  # 48 rows -> 7-row chunks
+    out = wan_dit_forward(params, TINY, x, t, ctx, cos, sin)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -137,6 +137,41 @@ def _gelu_tanh(x):
     return jax.nn.gelu(x, approximate=True)
 
 
+# Chunk the block FFN over tokens above this many rows: at 720p x 81f
+# (75,600 tok) the [S, ffn_dim] hidden is 1.95 GB bf16 (or ~1 GB as the
+# fused s8 for a W8A8 ffn_out) and its projection epilogues another
+# 1.4 GB f32 — the allocations that pushed the 14B GeoAdapter CFG-1 step
+# past the 15.75 GB v5e HBM. Rows are independent through
+# linear->gelu->linear, so ~15k-row chunks are numerically identical
+# (per-row/static int8 scales are row-local) and the hidden never fully
+# materializes. The gate sits ABOVE the chip-measured-and-fitting 480p
+# shapes (CFG-2 = 65,520 rows) so those programs compile unchanged; only
+# the 720p shapes (75,600+ rows) chunk.
+FFN_CHUNK_ROWS = 70_000
+
+
+def _ffn_chunked(p: Params, tmp: jnp.ndarray) -> jnp.ndarray:
+    """ffn_out(gelu(ffn_in(x))) over token chunks via fori_loop +
+    dynamic slices (NOT lax.map, whose stacked input materializes extra
+    full-size copies); the carried output updates in place."""
+    b, s, d = tmp.shape
+    rows = b * s
+    n = -(-rows // (FFN_CHUNK_ROWS // 4))
+    ch = -(-rows // n)
+    x2 = tmp.reshape(rows, d)
+    if n * ch != rows:
+        x2 = jnp.pad(x2, ((0, n * ch - rows), (0, 0)))
+    out = jnp.zeros_like(x2)
+
+    def body(i, out):
+        xc = jax.lax.dynamic_slice_in_dim(x2, i * ch, ch, 0)
+        yc = _linear(p["ffn_out"], _gelu_tanh(_linear(p["ffn_in"], xc)))
+        return jax.lax.dynamic_update_slice_in_dim(out, yc, i * ch, 0)
+
+    out = jax.lax.fori_loop(0, n, body, out)
+    return out[:rows].reshape(b, s, d)
+
+
 def _amax(x: jnp.ndarray) -> jnp.ndarray:
     """Per-tensor activation absmax (fp32 scalar) — the statistic behind
     calibrated static W8A8 scales (utils.quantize.fit_act_scales)."""
@@ -565,11 +600,14 @@ def wan_block_forward(p: Params, cfg: WanDiTConfig, x: jnp.ndarray,
 
     tmp = layer_norm(x, eps=cfg.eps).astype(jnp.float32)
     tmp = (tmp * (1.0 + e[:, 4][:, None]) + e[:, 3][:, None]).astype(dtype)
-    h = _gelu_tanh(_linear(p["ffn_in"], tmp))
-    if calib is not None:
-        calib["ffn_in/kernel"] = _amax(tmp)
-        calib["ffn_out/kernel"] = _amax(h)
-    y = _linear(p["ffn_out"], h)
+    if calib is None and tmp.shape[0] * tmp.shape[1] > FFN_CHUNK_ROWS:
+        y = _ffn_chunked(p, tmp)
+    else:
+        h = _gelu_tanh(_linear(p["ffn_in"], tmp))
+        if calib is not None:
+            calib["ffn_in/kernel"] = _amax(tmp)
+            calib["ffn_out/kernel"] = _amax(h)
+        y = _linear(p["ffn_out"], h)
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e[:, 5][:, None]).astype(dtype)
     return x
 

@@ -307,7 +307,8 @@ def fit_act_scales(stats_list, margin: float = 1.0) -> Dict[str, Any]:
 
 
 ROW_ACT_SCALES = True  # per-token dynamic activation scales (see below)
-INT8_DOT_CHUNK_ROWS = 40_000  # chunk the token axis above this (see below)
+INT8_DOT_CHUNK_ROWS = 70_000  # chunk the token axis above this: past the
+# chip-measured-and-fitting 480p CFG-2 shapes (65,520 rows), catching 720p
 
 
 def int8_compute_dot(leaf: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
@@ -350,18 +351,27 @@ def int8_compute_dot(leaf: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
         a_global = jnp.maximum(
             jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-8) / 127.0
     if rows > INT8_DOT_CHUNK_ROWS:
-        # target ~half-gate chunks: at 75,600 rows this gives 4 chunks of
-        # 18,900 (0.37 GB f32 epilogue each) rather than 2 of 37,800 —
-        # the extra headroom that actually clears the 15.75 GB HBM line
-        n = -(-rows // (INT8_DOT_CHUNK_ROWS // 2))
+        # fori_loop + dynamic_slice/update_slice, NOT lax.map: map stacks
+        # its input [n, ch, d_in], and at 720p XLA materialized that stack
+        # TWICE (once per loop layout) — 2 x 1.95 GB, worse than the
+        # problem. Slicing the original buffer adds only one chunk copy,
+        # and the carried output is updated in place by the while loop.
+        # ~10k-row chunks bound each epilogue at ~0.2 GB.
+        n = -(-rows // (INT8_DOT_CHUNK_ROWS // 4))
         ch = -(-rows // n)
         x2 = x.reshape(rows, d_in)
         if n * ch != rows:  # zero rows quantize to zeros; sliced off below
             x2 = jnp.pad(x2, ((0, n * ch - rows), (0, 0)))
-        y = jax.lax.map(
-            lambda xc: _int8_dot_rows(leaf, xc, a_global),
-            x2.reshape(n, ch, d_in))
-        return y.reshape(n * ch, -1)[:rows].reshape(*lead, -1)
+        d_out = int(leaf["qscales"].shape[-1])
+        out = jnp.zeros((n * ch, d_out), x.dtype)
+
+        def body(i, out):
+            xc = jax.lax.dynamic_slice_in_dim(x2, i * ch, ch, 0)
+            yc = _int8_dot_rows(leaf, xc, a_global)
+            return jax.lax.dynamic_update_slice_in_dim(out, yc, i * ch, 0)
+
+        out = jax.lax.fori_loop(0, n, body, out)
+        return out[:rows].reshape(*lead, d_out)
     return _int8_dot_rows(leaf, x, a_global)
 
 

@@ -300,16 +300,18 @@ class TestFusedRopeRmsAttention:
     def test_block_geometry_modes(self):
         """Pin the production operating points: 480p x 81f (32,760 tok)
         keeps the measured resident config with FULL-resident tables;
-        720p x 81f (75,600 tok) now runs resident with BLOCKED tables
-        (the full tables alone are 38.7 MiB there)."""
+        720p x 81f (75,600 tok) runs resident with BLOCKED tables and
+        PAD-FREE divisor blocks (above 70k tokens the 740 MB padded
+        q/k/v/out copies and their fragmentation outweigh block-alignment
+        speed — the 14B GeoAdapter 720p single-chip fit)."""
         import importlib
         fa = importlib.import_module(
             "versecrafter_tpu.kernels.flash_attention")
         bq, bkv, res, blocked = fa._fused_block_geometry(32760, 128)
         assert (bq, bkv, res, blocked) == (4096, 1024, True, False)
         bq, bkv, res, blocked = fa._fused_block_geometry(75600, 128)
-        assert (bkv, res, blocked) == (1024, True, True)
-        assert bq in (2048, 4096)
+        assert (bkv, res, blocked) == (1008, True, True)
+        assert bq == 1680 and 75600 % bq == 0 and 75600 % bkv == 0
         # windowed attention never runs resident (rotate-once skips tiles)
         _, _, res, _ = fa._fused_block_geometry(32760, 128, window=(512, 512))
         assert not res

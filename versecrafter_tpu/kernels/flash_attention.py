@@ -665,6 +665,15 @@ RESIDENT_BLOCK_Q_CANDIDATES = (4096, 2048)
 FUSED_BLOCK_KV_CAP = 1024
 
 
+def _divisor_block(seq: int, cap: int, step: int = 16) -> Optional[int]:
+    """Largest multiple-of-`step` block <= cap that divides seq exactly
+    (bf16 sublane tiling wants multiples of 16), or None."""
+    for b in range((min(cap, seq) // step) * step, step - 1, -step):
+        if seq % b == 0:
+            return b
+    return None
+
+
 def _fused_block_geometry(seq: int, head_dim: int, window: tuple = (-1, -1),
                           block_kv_cap: Optional[int] = None):
     """The (block_q, block_kv, resident_kv, blocked_tables) the fused
@@ -676,7 +685,13 @@ def _fused_block_geometry(seq: int, head_dim: int, window: tuple = (-1, -1),
     Divisor-of-S blocks that avoid the pad copies were MEASURED SLOWER than
     flat aligned blocks on the geoada step (bq 3,640 vs 4,096: +100 ms;
     bkv 936 vs 1,024: +273 ms) — block alignment beats pad avoidance, so
-    both dims keep the flat picks and the ~0.6 ms/call pad copies stay.
+    both dims keep the flat picks and the ~0.6 ms/call pad copies stay —
+    EXCEPT above 70k tokens, where the priority inverts from speed to
+    HBM: at 75,600 tok the padded q/k/v/out copies are 740 MB each and
+    pad-size mixing drove 32% temp fragmentation on the 14B GeoAdapter
+    720p step (2.1 GB), so there the dispatch prefers the largest
+    multiple-of-16 divisors (1680/1008 at 75,600) when resident-KV still
+    fits with them; the sub-1% step slowdown buys the single-chip fit.
 
     blocked_tables: at 32,760 tokens the full [S_pad, D] cos/sin residents
     fit next to the resident V + rotated-K scratch, and that measured
@@ -689,6 +704,14 @@ def _fused_block_geometry(seq: int, head_dim: int, window: tuple = (-1, -1),
         block_kv_cap = FUSED_BLOCK_KV_CAP
     block_q = _pick_block_q(seq)
     block_kv = min(block_kv_cap, _ceil_to(seq, 128))
+    if seq > 70_000:
+        dq = _divisor_block(seq, 2048)
+        dkv = _divisor_block(seq, block_kv_cap)
+        if dq and dkv:
+            for blocked in (False, True):
+                if _use_resident_kv(seq, seq, dq, dkv, head_dim, window,
+                                    blocked_tables=blocked):
+                    return dq, dkv, True, blocked
     for bq_res in RESIDENT_BLOCK_Q_CANDIDATES:
         bq_res = min(block_q, bq_res)
         for blocked in (False, True):

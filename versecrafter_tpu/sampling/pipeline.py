@@ -693,10 +693,17 @@ class VerseCrafterPipeline:
         do_cfg = guidance_scale > 1.0
         seq_cfg = do_cfg and not self.cfg_parallel
         tea_batch = 2 * batch if (do_cfg and not seq_cfg) else batch
-        tea_state = tc.init_state(tea_batch, seq_len, self.dit_cfg.dim, dtype)
+        # disabled TeaCache: zero-length states, not [B, S, D] ones — the
+        # state rides the jitted step as an argument either way, and at
+        # 75,600 tok the two sequential-CFG prev_residuals alone were
+        # 1.48 GB of pointless HBM arguments on the 720p 14B step
+        tea_seq = seq_len if (self.teacache_threshold > 0
+                              or getattr(self, "teacache_record", None)
+                              is not None) else 0
+        tea_state = tc.init_state(tea_batch, tea_seq, self.dit_cfg.dim, dtype)
         tea_state = self._shard_tea_state(tea_state)
         tea_state_u = (self._shard_tea_state(
-            tc.init_state(batch, seq_len, self.dit_cfg.dim, dtype))
+            tc.init_state(batch, tea_seq, self.dit_cfg.dim, dtype))
             if seq_cfg else None)
         # sequential CFG reuses the cond-only compiled program (which reads
         # the SECOND half of context) for both branches: [pos, neg] ordering

@@ -147,3 +147,97 @@ def test_record_fit_fire_end_to_end():
     assert np.isfinite(out).all()
     accums = np.stack(pipe.teacache_accum_history)  # [steps, rows]
     assert (accums != 0).any(), "no step ever skipped with fitted coefficients"
+
+
+def test_batch1_cond_path_matches_batched_semantics():
+    """Batch-1 gating goes through the structural lax.cond (the 720p
+    sequential-CFG memory fix) — outputs/state must match what the where()
+    formulation computes for that single row."""
+    rng = np.random.default_rng(2)
+    s, d = 5, 8
+    tokens = jnp.asarray(rng.standard_normal((1, s, d)), jnp.float32)
+    prev_mod = jnp.ones((1, 6, d), jnp.float32)
+    prev_res = jnp.asarray(rng.standard_normal((1, s, d)), jnp.float32)
+    state = tc.TeaCacheState(
+        prev_mod=prev_mod, prev_residual=prev_res,
+        accum=jnp.zeros((1,)), valid=jnp.ones((1,), jnp.bool_))
+
+    # skip: e0 ~ prev_mod, huge threshold
+    out, new = tc.gated_blocks(
+        _blocks, tokens, prev_mod * 1.001, state, step_index=jnp.asarray(9),
+        threshold=1e6, skip_start=0, coefficients=(1.0, 0.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(tokens + prev_res),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new.prev_residual),
+                               np.asarray(prev_res), rtol=1e-6)
+    assert float(new.accum[0]) > 0.0
+
+    # compute: threshold 0 forces fresh pass + residual refresh + reset
+    out2, new2 = tc.gated_blocks(
+        _blocks, tokens, prev_mod * 3.0, state, step_index=jnp.asarray(9),
+        threshold=1e-9, skip_start=0, coefficients=(1.0, 0.0))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(_blocks(tokens)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new2.prev_residual),
+                               np.asarray(_blocks(tokens) - tokens), rtol=1e-6)
+    assert float(new2.accum[0]) == 0.0
+
+
+def test_quantized_residual_storage():
+    """int8 residual storage (TEA_RES_QUANT_ROWS long-sequence mode): the
+    skip path reconstructs the cached residual to ~0.8% of its per-token
+    range, and the compute path stores a fresh quantized cache."""
+    rng = np.random.default_rng(3)
+    s, d = 7, 16
+    tokens = jnp.asarray(rng.standard_normal((1, s, d)), jnp.float32)
+    prev_mod = jnp.ones((1, 6, d), jnp.float32)
+    res = rng.standard_normal((1, s, d)).astype(np.float32)
+    state = tc.init_state(1, s, d, jnp.float32, quantize_residual=True)
+    assert isinstance(state.prev_residual, dict)
+    assert state.prev_residual["q"].dtype == jnp.int8
+    state = state._replace(prev_mod=prev_mod,
+                           prev_residual=tc._store_residual(
+                               jnp.asarray(res), True),
+                           valid=jnp.ones((1,), jnp.bool_))
+
+    out, new = tc.gated_blocks(
+        _blocks, tokens, prev_mod * 1.001, state, step_index=jnp.asarray(9),
+        threshold=1e6, skip_start=0, coefficients=(1.0, 0.0))
+    err = np.abs(np.asarray(out) - (np.asarray(tokens) + res))
+    tol = np.abs(res).max(axis=-1, keepdims=True) / 127.0
+    assert (err <= tol + 1e-7).all()
+
+    out2, new2 = tc.gated_blocks(
+        _blocks, tokens, prev_mod * 3.0, state, step_index=jnp.asarray(9),
+        threshold=1e-9, skip_start=0, coefficients=(1.0, 0.0))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(_blocks(tokens)),
+                               rtol=1e-6)
+    fresh_res = np.asarray(_blocks(tokens) - tokens)
+    got = np.asarray(new2.prev_residual["q"], np.float32) \
+        * np.asarray(new2.prev_residual["scale"])
+    assert np.abs(got - fresh_res).max() <= np.abs(fresh_res).max() / 100.0
+
+    # auto threshold: long sequences quantize, short ones stay exact
+    assert isinstance(
+        tc.init_state(1, tc.TEA_RES_QUANT_ROWS + 1, 4).prev_residual, dict)
+    assert not isinstance(tc.init_state(2, 16, 4).prev_residual, dict)
+    assert tc.res_shape(state) == (1, s, d)
+
+
+def test_estimate_denoise_gb_calibration():
+    """auto_cfg_parallel's memory model must agree with every chip ground
+    truth (analyze_14b_sp.py / COVERAGE.md): batched CFG allowed at the 14B
+    GeoAdapter 480p shape, refused at 720p."""
+    from versecrafter_tpu.core.config import WAN21_14B, versecrafter_14b
+    from versecrafter_tpu.sampling.staged import (
+        auto_cfg_parallel, estimate_denoise_gb)
+
+    geo = versecrafter_14b()
+    # measured to RUN on one v5e:
+    assert estimate_denoise_gb(WAN21_14B, 4, 32760, 2) <= 19.0   # 16.69 s/step
+    assert estimate_denoise_gb(geo, 4, 32760, 1) <= 19.0         # staged r4 e2e
+    assert estimate_denoise_gb(geo, 4, 75600, 1) <= 19.0         # 39.7 s/step
+    # measured to OOM (compile helper 500):
+    assert estimate_denoise_gb(geo, 4, 75600, 2) > 19.0
+    assert auto_cfg_parallel(geo, 4, 32760)       # 480p x 81f -> batched
+    assert not auto_cfg_parallel(geo, 4, 75600)   # 720p x 81f -> sequential

@@ -156,7 +156,9 @@ def _ffn_chunked(p: Params, tmp: jnp.ndarray) -> jnp.ndarray:
     full-size copies); the carried output updates in place."""
     b, s, d = tmp.shape
     rows = b * s
-    n = -(-rows // (FFN_CHUNK_ROWS // 4))
+    # ~9k-row chunks: the [chunk, ffn_dim] hidden stays ~0.24 GB bf16 and
+    # the dots are still far above MXU-saturating sizes
+    n = -(-rows // max(1, FFN_CHUNK_ROWS // 8))
     ch = -(-rows // n)
     x2 = tmp.reshape(rows, d)
     if n * ch != rows:
@@ -835,7 +837,6 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
             gcal = {} if calibrate else None
             cc = blk(gp, cfg, cc, e0, cos, sin, context, attn_impl, None,
                      rope_i, geo_fuse, gcal)
-            hint = _linear(gp["after_proj"], cc)
             bcals = []
             for j in range(stride):
                 bp = deq(jax.tree.map(lambda a: a[j], bps))
@@ -845,6 +846,11 @@ def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
                          geo_fuse, bcal)
                 bcals.append(bcal)
                 if j == 0:
+                    # the hint projection runs HERE, at its only use, not up
+                    # by the geoada block: computed early it is a [B, S, D]
+                    # buffer XLA keeps live across base block 0's whole
+                    # forward — 738 MB of the 720p 14B step's OOM margin
+                    hint = _linear(gp["after_proj"], cc)
                     xx = xx + (hint * jnp.asarray(geoada_scale, hint.dtype)
                                ).astype(xx.dtype)
             stats = None

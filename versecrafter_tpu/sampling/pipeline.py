@@ -505,14 +505,16 @@ class VerseCrafterPipeline:
             return state
         from jax.sharding import NamedSharding, PartitionSpec as P
         res_spec = P("dp", "sp", None)
-        b, s, _ = state.prev_residual.shape
+        b, s, _ = tc.res_shape(state)
         if b % self.mesh.shape["dp"] or s % self.mesh.shape["sp"]:
             res_spec = P()
         return tc.TeaCacheState(
             prev_mod=jax.device_put(
                 state.prev_mod, NamedSharding(self.mesh, P())),
-            prev_residual=jax.device_put(
-                state.prev_residual, NamedSharding(self.mesh, res_spec)),
+            prev_residual=jax.tree_util.tree_map(
+                lambda r: jax.device_put(
+                    r, NamedSharding(self.mesh, res_spec)),
+                state.prev_residual),
             accum=jax.device_put(state.accum, NamedSharding(self.mesh, P())),
             valid=jax.device_put(state.valid, NamedSharding(self.mesh, P())),
         )
@@ -724,12 +726,13 @@ class VerseCrafterPipeline:
                 use_cfg = do_cfg and not (
                     self.cfg_skip_ratio > 0.0 and i >= skip_from)
                 if not seq_cfg and use_cfg != (
-                        tea_state.prev_residual.shape[0] == 2 * batch):
+                        tc.res_shape(tea_state)[0] == 2 * batch):
                     # entering the cfg-skip window: keep the cond half of the
                     # cache (per-row accum/valid slice with it)
                     tea_state = self._shard_tea_state(tc.TeaCacheState(
                         prev_mod=tea_state.prev_mod[-batch:],
-                        prev_residual=tea_state.prev_residual[-batch:],
+                        prev_residual=jax.tree_util.tree_map(
+                            lambda r: r[-batch:], tea_state.prev_residual),
                         accum=tea_state.accum[-batch:],
                         valid=tea_state.valid[-batch:]))
                 # Wan2.2 MoE expert selection by noise level (sigma = t / T)

@@ -167,6 +167,57 @@ def generate_staged(
     return video
 
 
+def estimate_denoise_gb(dit_cfg, bits: int, tokens: int,
+                        cfg_batch: int = 2) -> float:
+    """Estimated peak HBM (GB) of one denoise step — the live-set model of
+    scripts/analyze_14b_sp.py made FFN-chunking aware (models.wan_dit
+    FFN_CHUNK_ROWS: above 70k rows the [rows, ffn] hidden never fully
+    materializes). Calibrated against chip ground truth on the 16 GB v5e:
+
+      RUNS:    480p81f CFG-2 base W4A8 (est 10.8), 480p81f CFG-1 geoada
+               W4A8 (est 15.3), 720p81f CFG-1 geoada W4A8 chunked (est 18.0)
+      OOM:     720p81f CFG-2 geoada W4A8 (est 23.6 — compile helper 500s)
+
+    so the fits-threshold sits at 19.0 GB-est: everything measured to run
+    is under it, the measured OOM point is well over. (Estimates exceed the
+    15.75 GB physical HBM because the 6x-token live set overcounts what XLA
+    actually keeps alive.)"""
+    GB = float(1 << 30)
+    d, f = dit_cfg.dim, dit_cfg.ffn_dim
+    n_geo = len(dit_cfg.geoada_layers or ())
+    per_block = 8 * d * d + 2 * d * f
+    params = (dit_cfg.num_layers + n_geo) * per_block
+    # bytes/param measured on chip (COVERAGE.md weight-footprint row):
+    # bf16 28.0 GB / int8 14.91 / W4A8 7.88 at the 14.05e9-param base model
+    bytes_pp = {0: 2.14, 8: 1.14, 4: 0.602}[bits]
+    weights = params * bytes_pp / GB
+    rows = tokens * cfg_batch
+    from versecrafter_tpu.models.wan_dit import FFN_CHUNK_ROWS
+    if rows > FFN_CHUNK_ROWS:  # same chunk split as wan_dit._ffn_chunked
+        ffn_rows = -(-rows // -(-rows // (FFN_CHUNK_ROWS // 4)))
+    else:
+        ffn_rows = rows
+    act = (6 * rows * d + 2 * ffn_rows * f) * 2.0 / GB
+    if n_geo:
+        act *= 1.3  # the adapter's interleaved hint stream
+    return weights + act
+
+
+# chip-calibrated: see estimate_denoise_gb. Batched CFG-2 is selected only
+# when its estimated step footprint clears this.
+BATCHED_CFG_FITS_EST_GB = 19.0
+
+
+def auto_cfg_parallel(dit_cfg, bits: int, tokens: int) -> bool:
+    """Whether staged generation should run CFG batched (batch-2, one pass
+    per step) instead of sequentially (two batch-1 passes). Sequential CFG
+    exists because 720p×81f CFG-2 at 14B provably overflows one v5e
+    (VERDICT r4 / analyze_14b_sp.py); at 480p×81f the batched step fits —
+    don't pay two dispatches where one works. Reference CFG batching:
+    pipeline_wan_versecrafter.py:878-906."""
+    return estimate_denoise_gb(dit_cfg, bits, tokens) <= BATCHED_CFG_FITS_EST_GB
+
+
 def fresh_init_factories(scale: str = "14b", bits: int = 4,
                          int8_compute: bool = True, dtype=jnp.bfloat16,
                          geoada: bool = True, seed: int = 0):

@@ -22,7 +22,7 @@ caches — a row below threshold always uses its own cached residual)."""
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,15 +36,57 @@ VERSECRAFTER_COEFFS = (
 
 class TeaCacheState(NamedTuple):
     prev_mod: jnp.ndarray       # [B, 6, D] fp32 — previous e0
-    prev_residual: jnp.ndarray  # [B, S, D] — previous blocks residual
+    prev_residual: jnp.ndarray  # [B, S, D] — previous blocks residual, OR
+    #                             {"q": s8 [B,S,D], "scale": f32 [B,S,1]}
+    #                             when int8-stored (see TEA_RES_QUANT_ROWS)
     accum: jnp.ndarray          # [B] fp32 accumulated rescaled distance
     valid: jnp.ndarray          # [B] bool — prev_mod/res populated
 
 
-def init_state(batch: int, seq: int, dim: int, dtype=jnp.bfloat16) -> TeaCacheState:
+# Store the cached residual int8 (per-token scales) above this many B*S
+# rows. At 720p x 81f sequential CFG the two branches' bf16 residuals are
+# 1.44 GB of step arguments on a chip where the 14B W4A8 step already
+# leaves <1 GB free — int8 halves... quarters them (0.72 GB total) at
+# ~0.4% relative error on the residual, far under the W4A8 model error.
+# The gate sits above the 480p shapes (CFG-2 batched = 65,520 rows) so
+# every chip-validated short-sequence program keeps exact bf16 caching.
+TEA_RES_QUANT_ROWS = 70_000
+
+
+def _store_residual(res: jnp.ndarray, quantize: bool):
+    if not quantize:
+        return res
+    f = res.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(f), axis=-1, keepdims=True),
+                        1e-8) / 127.0
+    return {"q": jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8),
+            "scale": scale}
+
+
+def _load_residual(stored, dtype):
+    if isinstance(stored, dict):
+        return (stored["q"].astype(jnp.float32) * stored["scale"]).astype(dtype)
+    return stored.astype(dtype)
+
+
+def res_shape(state: TeaCacheState):
+    """[B, S, D] of the cached residual, storage-format-agnostic."""
+    r = state.prev_residual
+    return (r["q"] if isinstance(r, dict) else r).shape
+
+
+def init_state(batch: int, seq: int, dim: int, dtype=jnp.bfloat16,
+               quantize_residual: Optional[bool] = None) -> TeaCacheState:
+    if quantize_residual is None:
+        quantize_residual = batch * seq > TEA_RES_QUANT_ROWS
+    if quantize_residual:
+        res = {"q": jnp.zeros((batch, seq, dim), jnp.int8),
+               "scale": jnp.full((batch, seq, 1), 1e-8 / 127.0, jnp.float32)}
+    else:
+        res = jnp.zeros((batch, seq, dim), dtype)
     return TeaCacheState(
         prev_mod=jnp.zeros((batch, 6, dim), jnp.float32),
-        prev_residual=jnp.zeros((batch, seq, dim), dtype),
+        prev_residual=res,
         accum=jnp.zeros((batch,), jnp.float32),
         valid=jnp.zeros((batch,), jnp.bool_),
     )
@@ -82,14 +124,36 @@ def gated_blocks(
         step_index < skip_start, jnp.logical_not(state.valid))
     should_calc = jnp.logical_or(must_calc, accum >= threshold)  # [B]
 
-    fresh = jax.lax.cond(jnp.any(should_calc), run_blocks,
-                         lambda tk: tk, tokens)
-    sel = should_calc[:, None, None]
-    cached = tokens + state.prev_residual.astype(tokens.dtype)
-    out = jnp.where(sel, fresh, cached)
-    residual = jnp.where(
-        sel, (fresh - tokens).astype(state.prev_residual.dtype),
-        state.prev_residual)
+    quantized = isinstance(state.prev_residual, dict)
+    res_dtype = (None if quantized else state.prev_residual.dtype)
+
+    if tokens.shape[0] == 1:
+        # batch-1 (sequential CFG): the decision is one scalar, so compute
+        # out/residual INSIDE the cond branches — XLA never holds the fresh
+        # and cached paths live together (the where() formulation below cost
+        # ~1.5 GB of extra [1,75600,5120] temps on the 720p 14B step)
+        def _calc(tk):
+            fresh = run_blocks(tk)
+            return fresh, _store_residual(
+                fresh - tk if quantized
+                else (fresh - tk).astype(res_dtype), quantized)
+
+        def _skip(tk):
+            return tk + _load_residual(state.prev_residual, tk.dtype), \
+                state.prev_residual
+
+        out, residual = jax.lax.cond(should_calc[0], _calc, _skip, tokens)
+    else:
+        fresh = jax.lax.cond(jnp.any(should_calc), run_blocks,
+                             lambda tk: tk, tokens)
+        sel = should_calc[:, None, None]
+        cached = tokens + _load_residual(state.prev_residual, tokens.dtype)
+        out = jnp.where(sel, fresh, cached)
+        new_res = _store_residual(
+            fresh - tokens if quantized
+            else (fresh - tokens).astype(res_dtype), quantized)
+        residual = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(sel, n, o), new_res, state.prev_residual)
     new_accum = jnp.where(should_calc, 0.0, accum)
     new_state = TeaCacheState(
         prev_mod=e0.astype(jnp.float32),
@@ -129,15 +193,18 @@ def recording_blocks(run_blocks, tokens, e0, state):
     (the quantity the rescale polynomial predicts) and prev_mod snapshots
     e0. VerseCrafterPipeline.record_teacache_stats drives this and pairs
     accum with the host-side rel-L1 of consecutive prev_mod snapshots."""
+    quantized = isinstance(state.prev_residual, dict)
     fresh = run_blocks(tokens)
     residual = fresh - tokens
     rf = residual.astype(jnp.float32)
-    pf = state.prev_residual.astype(jnp.float32)
+    pf = _load_residual(state.prev_residual, jnp.float32)
     rel_res = (jnp.mean(jnp.abs(rf - pf), axis=(1, 2))
                / jnp.maximum(jnp.mean(jnp.abs(pf), axis=(1, 2)), 1e-8))
     new_state = TeaCacheState(
         prev_mod=e0.astype(jnp.float32),
-        prev_residual=residual.astype(state.prev_residual.dtype),
+        prev_residual=_store_residual(
+            residual if quantized
+            else residual.astype(state.prev_residual.dtype), quantized),
         accum=rel_res,
         valid=jnp.ones_like(state.valid),
     )

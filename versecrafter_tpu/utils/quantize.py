@@ -356,8 +356,8 @@ def int8_compute_dot(leaf: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
         # TWICE (once per loop layout) — 2 x 1.95 GB, worse than the
         # problem. Slicing the original buffer adds only one chunk copy,
         # and the carried output is updated in place by the while loop.
-        # ~10k-row chunks bound each epilogue at ~0.2 GB.
-        n = -(-rows // (INT8_DOT_CHUNK_ROWS // 4))
+        # ~9k-row chunks bound each epilogue at ~0.18 GB.
+        n = -(-rows // max(1, INT8_DOT_CHUNK_ROWS // 8))
         ch = -(-rows // n)
         x2 = x.reshape(rows, d_in)
         if n * ch != rows:  # zero rows quantize to zeros; sliced off below

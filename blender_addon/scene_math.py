@@ -82,6 +82,21 @@ def frustum_corners(K: np.ndarray, E: np.ndarray, width: int, height: int,
     return world.astype(np.float32), edges
 
 
+def frame_plane(K: np.ndarray, E: np.ndarray, width: int, height: int,
+                near: float = 0.5):
+    """Textured video-frame plane at the camera frustum's near plane
+    (reference create_camera_frame_plane, build_4d_control_scene.py:
+    396-462): the frustum's four near-plane corners as one quad face with
+    the reference's UV assignment — corner order (top-left, top-right,
+    bottom-right, bottom-left) against UVs ((0,0),(1,0),(1,1),(0,1)), which
+    pairs with a flipud'd image buffer (Blender images store row 0 at the
+    bottom). Returns ([4,3] float32 verts, (0,1,2,3) face, [4,2] uvs)."""
+    verts, _ = frustum_corners(K, E, width, height, near=near)
+    quad = verts[1:5]
+    uvs = np.array([(0, 0), (1, 0), (1, 1), (0, 1)], np.float32)
+    return quad, (0, 1, 2, 3), uvs
+
+
 def camera_centers(extrinsics: np.ndarray) -> np.ndarray:
     """Per-frame camera centers C = -R^T t from [T,4,4] w2c extrinsics —
     the polyline of the reference's camera-path visualization

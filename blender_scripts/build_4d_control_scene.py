@@ -48,6 +48,16 @@ def parse():
     p.add_argument("--path_radius", type=float, default=0.002,
                    help="path curve bevel radius (reference "
                         "CAMERA_PATH_RADIUS)")
+    p.add_argument("--show_camera_frames", action="store_true",
+                   help="textured video-frame planes at the frustum near "
+                        "planes (reference SHOW_CAMERA_FRAMES / "
+                        "create_camera_frame_plane :396-462)")
+    p.add_argument("--frames", default="",
+                   help="video-frame source for --show_camera_frames: a "
+                        "directory of images (sorted) or an mp4; falls "
+                        "back to texturing every plane with --image")
+    p.add_argument("--frame_opacity", type=float, default=0.8,
+                   help="frame-plane alpha (reference CAMERA_FRAME_OPACITY)")
     return p.parse_args(argv)
 
 
@@ -89,6 +99,101 @@ def add_camera_frustums(extrinsics, K, width, height, num_snapshots,
         obj = bpy.data.objects.new(f"Camera_{si}", mesh)
         bpy.context.scene.collection.objects.link(obj)
         obj.data.materials.append(_emission_material(f"CameraMat_{si}"))
+
+
+def _load_frames(source, image_path, idxs):
+    """RGB uint8 frames for the snapshot indices: a directory of images
+    (sorted, indexed per snapshot frame), an mp4 (imageio), or the single
+    input image repeated."""
+    import numpy as np
+
+    if source and os.path.isdir(source):
+        import bpy
+        names = sorted(os.listdir(source))
+        out = []
+        for fi in idxs:
+            img = bpy.data.images.load(
+                os.path.join(source, names[min(fi, len(names) - 1)]))
+            w, h = img.size
+            px = np.array(img.pixels[:], np.float32).reshape(h, w, 4)
+            bpy.data.images.remove(img)
+            # bpy loads bottom-up; return top-down rows like a video reader
+            out.append((np.flipud(px[..., :3]) * 255).astype(np.uint8))
+        return out
+    if source:
+        import imageio.v2 as imageio
+        rd = imageio.get_reader(source)
+        frames = [f for f in rd]
+        rd.close()
+        return [np.asarray(frames[min(fi, len(frames) - 1)])[..., :3]
+                for fi in idxs]
+    if image_path:
+        import bpy
+        img = bpy.data.images.load(image_path)
+        w, h = img.size
+        px = np.array(img.pixels[:], np.float32).reshape(h, w, 4)
+        bpy.data.images.remove(img)
+        still = (np.flipud(px[..., :3]) * 255).astype(np.uint8)
+        return [still for _ in idxs]
+    raise SystemExit("--show_camera_frames needs --frames or --image")
+
+
+def add_camera_frame_planes(extrinsics, K, width, height, num_snapshots,
+                            near, frames_source, image_path, opacity):
+    """Textured video-frame planes at the frustum near planes (reference
+    create_camera_frame_plane, build_4d_control_scene.py:396-462): one quad
+    per snapshot, UV-mapped to that snapshot's video frame, emission +
+    alpha-blended principled material."""
+    import bpy
+    import numpy as np
+
+    from blender_addon.scene_math import frame_plane
+
+    n = len(extrinsics)
+    idxs = (np.linspace(0, n - 1, min(num_snapshots, n), dtype=int)
+            .tolist())
+    frames = _load_frames(frames_source, image_path, idxs)
+    for si, (fi, rgb) in enumerate(zip(idxs, frames)):
+        verts, face, uvs = frame_plane(K, extrinsics[fi], width, height,
+                                       near=near)
+        mesh = bpy.data.meshes.new(f"CameraFrame_{si}")
+        mesh.from_pydata([tuple(map(float, v)) for v in verts], [], [face])
+        mesh.update()
+        if not mesh.uv_layers:
+            mesh.uv_layers.new(name="UVMap")
+        uv = mesh.uv_layers[0]
+        for i, loop in enumerate(mesh.loops):
+            uv.data[loop.index].uv = tuple(map(float, uvs[i]))
+        obj = bpy.data.objects.new(f"CameraFrame_{si}", mesh)
+        bpy.context.scene.collection.objects.link(obj)
+
+        fh, fw = rgb.shape[:2]
+        img = bpy.data.images.new(f"CameraFrameImage_{si}", width=fw,
+                                  height=fh, alpha=True)
+        rgba = np.empty((fh, fw, 4), np.float32)
+        rgba[..., :3] = np.flipud(rgb).astype(np.float32) / 255.0
+        rgba[..., 3] = opacity
+        img.pixels = rgba.ravel()
+        img.pack()
+
+        mat = bpy.data.materials.new(name=f"CameraFrameMat_{si}")
+        mat.use_nodes = True
+        nodes, links = mat.node_tree.nodes, mat.node_tree.links
+        for nd in list(nodes):
+            nodes.remove(nd)
+        out = nodes.new("ShaderNodeOutputMaterial")
+        pr = nodes.new("ShaderNodeBsdfPrincipled")
+        tex = nodes.new("ShaderNodeTexImage")
+        tex.image = img
+        pr.inputs["Alpha"].default_value = opacity
+        pr.inputs["Emission Strength"].default_value = 1.0
+        links.new(tex.outputs["Color"], pr.inputs["Base Color"])
+        links.new(tex.outputs["Color"], pr.inputs["Emission Color"])
+        links.new(tex.outputs["Alpha"], pr.inputs["Alpha"])
+        links.new(pr.outputs["BSDF"], out.inputs["Surface"])
+        mat.blend_method = "BLEND"
+        mat.show_transparent_back = True
+        obj.data.materials.append(mat)
 
 
 def add_camera_path(extrinsics, radius):
@@ -142,7 +247,8 @@ def main():
             shutil.copy(src, dst)
     bpy.ops.versecrafter.load_scene()
 
-    if args.trajectory and (args.show_frustum or args.show_camera_path):
+    if args.trajectory and (args.show_frustum or args.show_camera_path
+                            or args.show_camera_frames):
         # the trajectory npz stores Blender c2w; the viz helpers consume
         # w2c extrinsics (the reference builder's convention, :638-642)
         traj = np.load(args.trajectory)["extrinsics"].astype(np.float64)
@@ -158,6 +264,10 @@ def main():
                                 args.frustum_size)
         if args.show_camera_path:
             add_camera_path(w2c, args.path_radius)
+        if args.show_camera_frames:
+            add_camera_frame_planes(w2c, K, w, h, args.num_snapshots,
+                                    args.frustum_size, args.frames,
+                                    args.image, args.frame_opacity)
     print("scene built")
 
 

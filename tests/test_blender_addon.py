@@ -173,3 +173,30 @@ def test_frustum_corners_geometry():
     np.testing.assert_allclose(d, expect, rtol=1e-5)
     # camera_centers agrees with the apex
     np.testing.assert_allclose(camera_centers(E[None])[0], C, atol=1e-5)
+
+
+def test_frame_plane_geometry():
+    """The textured frame plane is exactly the frustum's near-plane quad
+    with the reference's corner->UV pairing (create_camera_frame_plane
+    :396-462): UV (0,0) on the top-left corner, (1,1) bottom-right, and
+    the quad's image-space aspect matches width/height."""
+    from blender_addon.scene_math import frame_plane, frustum_corners
+
+    fx = fy = 400.0
+    w, h = 800, 450
+    K = np.array([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]], np.float64)
+    E = np.eye(4)
+    near = 0.5
+    quad, face, uvs = frame_plane(K, E, w, h, near=near)
+    verts, _ = frustum_corners(K, E, w, h, near=near)
+    np.testing.assert_allclose(quad, verts[1:5], atol=0)
+    assert face == (0, 1, 2, 3)
+    np.testing.assert_allclose(
+        uvs, [(0, 0), (1, 0), (1, 1), (0, 1)], atol=0)
+    # corners 0-1 and 3-2 span the image-width direction, 0-3 the height
+    np.testing.assert_allclose(quad[1] - quad[0], quad[2] - quad[3],
+                               atol=1e-6)
+    # aspect: width extent / height extent == w/h
+    wx = np.linalg.norm(quad[1] - quad[0])
+    hy = np.linalg.norm(quad[3] - quad[0])
+    np.testing.assert_allclose(wx / hy, w / h, rtol=1e-6)

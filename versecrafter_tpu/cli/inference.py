@@ -98,6 +98,15 @@ def parse_args(argv=None):
                    help="sigma >= boundary selects the high-noise expert")
     p.add_argument("--transformer_high_path", type=str, default=None,
                    help="high-noise expert checkpoint dir (Wan2.2)")
+    p.add_argument("--cfg_parallel", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="with --staged: batch the CFG pair into one forward "
+                        "(on) or run two batch-1 passes (off). auto picks "
+                        "batched whenever the chip-calibrated memory model "
+                        "says the batch-2 step fits one v5e "
+                        "(sampling.staged.auto_cfg_parallel) — batched at "
+                        "480p x 81f, sequential at 720p where CFG-2 "
+                        "provably overflows 16 GB")
     p.add_argument("--fit_teacache", nargs="?", const="", default=None,
                    metavar="OUT_JSON",
                    help="with --staged: record a full trajectory first, "
@@ -151,12 +160,29 @@ def _main_staged(args, h, w):
                 int8_compute=args.int8_compute, seed=1)
         high_dit = fh.dit
 
+    from versecrafter_tpu.sampling.staged import (
+        auto_cfg_parallel, estimate_denoise_gb)
+
+    t_lat = (args.video_length - 1) // vae_cfg.temporal_compression_ratio + 1
+    tokens = (t_lat * (h // vae_cfg.spatial_compression_ratio
+                       // dit_cfg.patch_size[1])
+              * (w // vae_cfg.spatial_compression_ratio
+                 // dit_cfg.patch_size[2]))
+    if args.cfg_parallel == "auto":
+        cfg_par = auto_cfg_parallel(dit_cfg, bits, tokens)
+    else:
+        cfg_par = args.cfg_parallel == "on"
+    print(_json.dumps({
+        "cfg_parallel": cfg_par, "tokens": tokens,
+        "est_step_gb": round(estimate_denoise_gb(
+            dit_cfg, bits, tokens, 2 if cfg_par else 1), 2)}), flush=True)
+
     pipe = VerseCrafterPipeline(
         dit_params=None, dit_cfg=dit_cfg, vae_params=None, vae_cfg=vae_cfg,
         t5_params=None, t5_cfg=t5_cfg,
         scheduler_name={"Flow": "euler", "Flow_Unipc": "unipc",
                         "Flow_DPM++": "dpm++"}[args.sampler],
-        cfg_parallel=False)
+        cfg_parallel=cfg_par)
     if args.teacache_coeffs:
         with open(args.teacache_coeffs) as f:
             fit = _json.load(f)

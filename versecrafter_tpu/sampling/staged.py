@@ -46,6 +46,8 @@ class StageFactories:
     t5: Callable[[], Any]
     vae: Callable[[], Any]
     dit: Callable[[], Any]
+    bits: int = 4  # DiT weight storage width (0 = unquantized bf16) — the
+    #                auto_cfg_parallel memory model needs it
 
 
 def _free(pipe, attr: str):
@@ -270,7 +272,7 @@ def fresh_init_factories(scale: str = "14b", bits: int = 4,
                                           int8_compute=int8_compute)
         return jax.jit(lambda k: init_wan_dit(k, dit_cfg, dtype))(key)
 
-    return StageFactories(t5_factory, vae_factory, dit_factory), \
+    return StageFactories(t5_factory, vae_factory, dit_factory, bits), \
         dit_cfg, vae_cfg, t5_cfg
 
 
@@ -387,5 +389,5 @@ def checkpoint_factories(model_dir: str, transformer_path: Optional[str] = None,
             out = tag_int8_compute(out)
         return out
 
-    return StageFactories(t5_factory, vae_factory, dit_factory), \
+    return StageFactories(t5_factory, vae_factory, dit_factory, bits), \
         dit_cfg, vae_cfg, t5_cfg

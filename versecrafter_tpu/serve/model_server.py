@@ -155,7 +155,21 @@ def _requested_quant_mode(params):
 
 def _call_pipe_staged(pipe, params, controls, mask, h, w, n, progress,
                       factories):
-    from versecrafter_tpu.sampling.staged import generate_staged
+    from versecrafter_tpu.sampling.staged import (
+        auto_cfg_parallel, generate_staged)
+    # per-request CFG batching: batched where the chip-calibrated memory
+    # model says the batch-2 step fits (480p), sequential where it provably
+    # overflows (720p). The request can pin it with cfg_parallel: true/false.
+    vc, dc = pipe.vae_cfg, pipe.dit_cfg
+    t_lat = (n - 1) // vc.temporal_compression_ratio + 1
+    tokens = (t_lat
+              * (h // vc.spatial_compression_ratio // dc.patch_size[1])
+              * (w // vc.spatial_compression_ratio // dc.patch_size[2]))
+    bits = factories.bits
+    if "cfg_parallel" in params:
+        pipe.cfg_parallel = bool(params["cfg_parallel"])
+    else:
+        pipe.cfg_parallel = auto_cfg_parallel(dc, bits, tokens)
     return generate_staged(
         pipe, factories, params.get("prompt", ""),
         negative_prompt=params.get("negative_prompt", ""),

@@ -82,6 +82,23 @@ def main():
     _ = float(jnp.abs(out).astype(jnp.float32).sum())
     ms = (time.perf_counter() - t0) / n * 1e3
 
+    # best-known operating point (W8A8-static step + the composed 30-step
+    # wall with fitted TeaCache + cfg-skip) — first-class fields so the
+    # driver-captured artifact carries the production numbers, not only the
+    # bf16 reference point. VC_BENCH_FAST=1 skips (~6 min extra warm).
+    import os
+    extra = {}
+    if not os.environ.get("VC_BENCH_FAST"):
+        try:
+            extra.update(_w8a8_static_step_ms(
+                params, cfg, cos, sin, x, t, ctx, geo))
+        except Exception as e:  # pragma: no cover
+            extra["best_step_error"] = str(e)[:200]
+        try:
+            extra.update(_composed_wall_s())
+        except Exception as e:  # pragma: no cover
+            extra["composed_error"] = str(e)[:200]
+
     render = _render_device_fps()
 
     print(json.dumps({
@@ -89,6 +106,7 @@ def main():
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(ms / 2000.0, 4),
+        **extra,
         # control-map render device fps (BASELINE.json "control-map render
         # fps"): device-time frames/s of the full render path (splat +
         # raycast + EWA + composite + finalize) at 480p on synthetic
@@ -96,6 +114,107 @@ def main():
         # downloads, which overlap device work (geometry/render.py)
         **{f"render_{k}": v for k, v in render.items()},
     }))
+
+
+def _w8a8_static_step_ms(params, cfg, cos, sin, x, t, ctx, geo):
+    """W8A8 static-calibrated step at the same shape — the chip-measured
+    best step mode (round 3: 5,226 -> 4,716 ms; int8 MXU dots ~1.6x bf16
+    at DiT shapes, scripts/bench_int8_step.py)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from versecrafter_tpu.models.wan_dit import wan_dit_forward
+    from versecrafter_tpu.utils import quantize as qz
+
+    _, stats = jax.jit(lambda p, x, t, c, g: wan_dit_forward(
+        p, cfg, x, t, c, cos, sin, geoada_context=g, calibrate=True))(
+            params, x, t, ctx, geo)
+    scales = qz.fit_act_scales([jax.device_get(stats)])
+    q = jax.jit(qz.quantize_tree)(params)
+    qstat = qz.tag_int8_compute(q, act_scales=scales)
+    fwd = jax.jit(lambda p, x, t, c, g: wan_dit_forward(
+        p, cfg, x, t, c, cos, sin, geoada_context=g))
+    out = fwd(qstat, x, t, ctx, geo)
+    _ = float(jnp.abs(out).astype(jnp.float32).sum())
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fwd(qstat, x, t, ctx, geo)
+    _ = float(jnp.abs(out).astype(jnp.float32).sum())
+    return {"best_step_ms": round((time.perf_counter() - t0) / n * 1e3, 2),
+            "best_step_config": "w8a8_static"}
+
+
+def _composed_wall_s(steps=30, cfg_skip=0.25, skip_frac=0.4):
+    """The composed 30-step 480p x 81f wall (W8A8-static + fitted TeaCache
+    + cfg-skip) — the full record -> fit -> fire loop of
+    scripts/bench_composed.py, so BENCH_r* carries the measured production
+    wall (round 4: 178.5 -> 111.0 s, 12/30 skipped)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from versecrafter_tpu.kernels.rope import grid_cos_sin, rope_3d_angles
+    from versecrafter_tpu.models import wan_dit
+    from versecrafter_tpu.sampling import teacache as tc
+    from versecrafter_tpu.serve.model_server import default_pipeline_factory
+    from versecrafter_tpu.utils import quantize as qz
+
+    pipe = default_pipeline_factory(scale="1.3b")()
+    h, w, frames = 480, 832, 81
+    kw = dict(control_videos=[np.random.default_rng(i).random(
+        (1, 3, frames, h, w)).astype(np.float32) for i in range(4)],
+        height=h, width=w, num_frames=frames, num_inference_steps=steps,
+        guidance_scale=5.0, shift=16.0, seed=2025)
+
+    cfg = pipe.dit_cfg
+    f_lat = (frames - 1) // pipe.vae_cfg.temporal_compression_ratio + 1
+    h_lat = h // pipe.vae_cfg.spatial_compression_ratio
+    w_lat = w // pipe.vae_cfg.spatial_compression_ratio
+    grid = (f_lat, h_lat // 2, w_lat // 2)
+    angles = tuple(jnp.asarray(a) for a in rope_3d_angles(cfg.head_dim))
+    ccos, csin = grid_cos_sin(angles, *grid)
+    ks = jax.random.split(jax.random.key(3), 3)
+    xc = jax.random.normal(
+        ks[0], (2, cfg.in_dim, f_lat, h_lat, w_lat), jnp.bfloat16)
+    cc = jax.random.normal(ks[1], (2, cfg.text_len, cfg.text_dim),
+                           jnp.bfloat16)
+    gc = jax.random.normal(
+        ks[2], (2, cfg.resolved_geoada_in_dim, f_lat, h_lat, w_lat),
+        jnp.bfloat16)
+    _, stats = jax.jit(lambda p, x, t, c, g: wan_dit.wan_dit_forward(
+        p, cfg, x, t, c, ccos, csin, geoada_context=g, calibrate=True))(
+            pipe.dit_params, xc, jnp.full((2,), 500.0, jnp.float32), cc, gc)
+    pipe.quantize_weights(int8_compute=True,
+                          act_scales=qz.fit_act_scales([jax.device_get(stats)]))
+
+    rel_e0, rel_res = pipe.record_teacache_stats("a cinematic scene", **kw)
+    coeffs = tc.fit_teacache_coefficients(rel_e0, rel_res, degree=4)
+    run_len = max(1, round(1.0 / max(skip_frac, 1e-3)) - 1)
+    thresh = float(np.median(np.polyval(coeffs, rel_e0)) * (run_len + 0.5))
+    pipe.enable_teacache(max(thresh, 1e-6), skip_start=5, coefficients=coeffs)
+    pipe.enable_cfg_skip(cfg_skip)
+    pipe.teacache_debug = True
+
+    def run_drained(**kwargs):
+        lat = pipe("a cinematic scene", output_type="latent", **kwargs)
+        float(jnp.abs(lat).astype(jnp.float32).sum())
+
+    run_drained(**dict(kw, num_inference_steps=2))  # compile warm
+    pipe.teacache_accum_history = []
+    t0 = time.perf_counter()
+    run_drained(**kw)
+    wall = time.perf_counter() - t0
+    skipped = sum(1 for a in pipe.teacache_accum_history
+                  if (np.asarray(a) != 0).all())
+    return {"composed_wall_s": round(wall, 1),
+            "composed_steps_skipped": int(skipped),
+            "composed_config":
+                f"w8a8_static+teacache_fit+cfg_skip{cfg_skip}_{steps}step"}
 
 
 def _render_device_fps(n_points=500_000, n_frames=54, n_objects=4):

@@ -361,12 +361,27 @@ class VerseCrafterPipeline:
         # per-video encode, deliberately NOT batch-stacked: batching even
         # two 480p x 81f controls through the streaming encoder
         # RESOURCE_EXHAUSTED the 16 GB chip next to the resident T5/DiT
-        # weights (pipe_warm3, Aug 18) — the ~18 s encode stays 4 dispatches
+        # weights (pipe_warm3, Aug 18). The host-side dtype convert +
+        # upload of the NEXT control runs in a worker thread UNDER the
+        # current encode's device work (the _decode_stream_overlapped
+        # pattern in reverse) — device programs stay strictly serialized
+        # via block_until_ready, only transfers overlap.
         lat = []
         encode = self._vae_encode_fn()
-        for cv in control_videos:
-            x = jnp.asarray(cv, dtype) * 2.0 - 1.0  # image processor normalize
-            lat.append(encode(x).astype(dtype))
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _upload(cv):
+            return jnp.asarray(cv, dtype)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(_upload, control_videos[0])
+            for i in range(len(control_videos)):
+                x = nxt.result()
+                if i + 1 < len(control_videos):
+                    nxt = pool.submit(_upload, control_videos[i + 1])
+                z = encode(x * 2.0 - 1.0)  # image processor normalize
+                del x
+                lat.append(jax.block_until_ready(z.astype(dtype)))
         zs = jnp.concatenate(lat, axis=1)
         stride = (self.vae_cfg.temporal_compression_ratio,
                   self.vae_cfg.spatial_compression_ratio,

@@ -156,6 +156,38 @@ def test_generate_staged_matches_resident():
     np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
+def test_record_pass_latents_decode_to_the_ungated_video():
+    """generate_staged(record_teacache=True) keeps the record trajectory's
+    final latents on the pipeline (pipe.last_record_latents) — decoding
+    them equals the ungated generation, so the 14B/720p fit-then-fire run
+    gets its first video from the record pass instead of a second full
+    denoise (cli/inference.py fit_teacache path)."""
+    dit, vae, t5 = _components()
+    resident = VerseCrafterPipeline(
+        dit_params=dit, dit_cfg=DIT_CFG, vae_params=vae, vae_cfg=VAE_CFG,
+        t5_params=t5, t5_cfg=T5_CFG, scheduler_name="unipc",
+        cfg_parallel=False)
+    ref = resident("a car", negative_prompt="static", output_type="numpy",
+                   **_gen_kwargs())
+
+    shell = VerseCrafterPipeline(
+        dit_params=None, dit_cfg=DIT_CFG, vae_params=None, vae_cfg=VAE_CFG,
+        t5_params=None, t5_cfg=T5_CFG, scheduler_name="unipc",
+        cfg_parallel=False)
+    kw = _gen_kwargs()
+    controls, mask = kw.pop("control_videos"), kw.pop("mask_video")
+    rel_e0, rel_res = generate_staged(
+        shell, StageFactories(lambda: t5, lambda: vae, lambda: dit),
+        "a car", negative_prompt="static", control_videos=controls,
+        mask_video=mask, record_teacache=True, **kw)
+    assert rel_e0.shape[0] == kw["num_inference_steps"] - 1
+    lat = shell.last_record_latents
+    assert lat is not None
+    shell.vae_params = vae
+    video = np.asarray(shell.decode_latents(lat, "numpy"))
+    np.testing.assert_allclose(video, ref, atol=2e-4)
+
+
 def test_fresh_init_factories_tiny_staged_run():
     """fresh_init_factories('tiny') drives a full staged generation with a
     quantized DiT (the flag path the 14B chip run uses, at toy scale)."""

@@ -246,6 +246,23 @@ def _main_staged(args, h, w):
         if args.fit_teacache:
             with open(args.fit_teacache, "w") as f:
                 _json.dump(fit, f)
+        # the record trajectory is itself a full ungated generation —
+        # decode its latents into the first output video instead of
+        # discarding ~half the run's denoise work
+        lat = getattr(pipe, "last_record_latents", None)
+        if lat is not None:
+            import time as _time
+            t0 = _time.perf_counter()
+            pipe.vae_params = factories.vae()
+            rec_video = pipe.decode_latents(lat, "uint8")
+            pipe.vae_params = None
+            pipe.last_record_latents = None
+            out0 = save_generated_video(
+                rec_video, {"save_path": args.save_path, "fps": args.fps})
+            print(_json.dumps({
+                "record_video": out0,
+                "record_decode_s": round(_time.perf_counter() - t0, 1)}),
+                flush=True)
 
     video = generate_staged(
         pipe, factories, args.prompt, NEGATIVE_PROMPT,

@@ -275,7 +275,10 @@ class VerseCrafterPipeline:
         self.cfg_skip_ratio = 0.0
         try:
             kwargs.setdefault("output_type", "latent")
-            self(*args, **kwargs)
+            # the recording IS a full-quality ungated denoise — keep its
+            # output so callers (staged fit-then-fire) can decode it into
+            # a video instead of paying a second full trajectory
+            self.last_record_latents = self(*args, **kwargs)
             rec = self.teacache_record
         finally:
             self.teacache_record = None

@@ -139,6 +139,12 @@ def generate_staged(
                 dtype=dtype, progress=progress, **call_kwargs))
         _free(pipe, "dit_params")
         pipe._resident_expert = None
+        # the record trajectory's final latents are a full-quality ungated
+        # generation — strip reference-frame slots so the caller can decode
+        # them directly (saves a whole second denoise at 14B/720p scale)
+        lat = getattr(pipe, "last_record_latents", None)
+        if lat is not None and n_ref:
+            pipe.last_record_latents = lat[:, :, n_ref:]
         profile["total"] = round(sum(
             v for v in profile.values() if isinstance(v, float)), 2)
         pipe.last_stage_profile = profile

@@ -327,32 +327,40 @@ def deformable_attention(p: Params, query, reference_points, value, shapes,
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
 
-        # Head folded into the gather index: fetching [.., heads*hd] rows and
-        # then taking the head diagonal (as a literal grid_sample port would)
-        # moves heads× more bytes through the gather than needed — on TPU
-        # these gathers ARE the deformable-attention cost (chip-measured:
-        # the Swin-T 896² forward is gather-bound). [B, HW*heads, hd] rows
-        # with idx*heads+head fetch exactly the per-head slice.
-        flat = lvl.reshape(B, ht * wd * heads, hd)
+        # ONE gather per sample point instead of four. The bilinear corners
+        # (y0,x0)..(y0+1,x0+1) are fetched as a single pre-built 2x2 PATCH
+        # row: pad the level map with a zero ring (out-of-range corners then
+        # read zero exactly like the per-corner ok-mask they replace), stack
+        # the four shifted views along a new axis, and gather [4*hd]-wide
+        # rows at the patch base (y0+1, x0+1). On TPU the gathers ARE the
+        # deformable-attention cost and it is per-ROW overhead-bound (hd=32
+        # rows are far below the transaction width), so 4x fewer rows at 4x
+        # the width is the right trade (VERDICT r4 #5). The head stays
+        # folded into the gather index — [.., heads, 4*hd] rows fetch
+        # exactly the per-head slice.
+        lvlp = jnp.pad(lvl, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+        patch = jnp.stack(
+            [lvlp[:, :-1, :-1], lvlp[:, :-1, 1:],
+             lvlp[:, 1:, :-1], lvlp[:, 1:, 1:]], axis=-2)
+        # [B, (ht+1)*(wd+1)*heads, 4*hd]
+        flat = patch.reshape(B, (ht + 1) * (wd + 1) * heads, 4 * hd)
         hidx = jnp.arange(heads, dtype=jnp.int32)[None, None, :, None]
-
-        def sample(yy, xx):
-            ok = (xx >= 0) & (xx < wd) & (yy >= 0) & (yy < ht)
-            idx = jnp.clip(yy, 0, ht - 1) * wd + jnp.clip(xx, 0, wd - 1)
-            idx = idx * heads + hidx                       # [B,Q,heads,P]
-            g_ = jax.vmap(lambda fm, ii: fm[ii])(flat, idx.reshape(B, -1))
-            g_ = g_.reshape(B, Q, heads, n_points, hd)
-            return jnp.where(ok[..., None], g_, 0.0)
-
-        s00 = sample(y0i, x0i)
-        s01 = sample(y0i, x0i + 1)
-        s10 = sample(y0i + 1, x0i)
-        s11 = sample(y0i + 1, x0i + 1)
-        samp = ((1 - fx) * (1 - fy) * s00 + fx * (1 - fy) * s01
-                + (1 - fx) * fy * s10 + fx * fy * s11)
+        # whole-point validity: inside [-1, size-1] at least one corner is
+        # real and the zero ring covers the rest; outside, the clamped base
+        # would read live rows — mask the sample entirely
+        ok = ((x0i >= -1) & (x0i <= wd - 1)
+              & (y0i >= -1) & (y0i <= ht - 1))
+        idx = (jnp.clip(y0i + 1, 0, ht) * (wd + 1)
+               + jnp.clip(x0i + 1, 0, wd)) * heads + hidx  # [B,Q,heads,P]
+        g_ = jax.vmap(lambda fm, ii: fm[ii])(flat, idx.reshape(B, -1))
+        samp4 = g_.reshape(B, Q, heads, n_points, 4, hd)
+        samp4 = jnp.where(ok[..., None, None], samp4, 0.0)
+        cw = jnp.stack(
+            [(1 - fx) * (1 - fy), fx * (1 - fy),
+             (1 - fx) * fy, fx * fy], axis=-2)             # [B,Q,h,P,4,1]
+        samp = (samp4.astype(jnp.float32) * cw.astype(jnp.float32)).sum(-2)
         out = out + jnp.einsum("bqhpd,bqhp->bqhd",
-                               samp.astype(jnp.float32),
-                               w[:, :, :, li].astype(jnp.float32))
+                               samp, w[:, :, :, li].astype(jnp.float32))
     return _lin(p["output_proj"], out.reshape(B, Q, D).astype(query.dtype))
 
 

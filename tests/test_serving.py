@@ -648,3 +648,100 @@ def test_run_generate_request_staged_residency(tmp_path):
                                  lambda i, n: None, staged_factories=staged)
     finally:
         qz.MIN_SIZE = old_min
+
+
+def test_subprocess_fallback_argv_contract(tmp_path):
+    """The tier-3 argv must parse against the REAL cli.inference parser
+    (every forwarded flag exists, model args appended last)."""
+    from versecrafter_tpu.cli.inference import parse_args
+
+    server = ApiServer(workdir=str(tmp_path), subprocess_fallback=True,
+                       subprocess_model_args=["--staged", "--smoke_scale",
+                                              "tiny"])
+    argv = server._build_subprocess_argv({
+        "rendering_maps_path": str(tmp_path / "maps"), "prompt": "p",
+        "input_image_path": str(tmp_path / "img.png"),
+        "height": 480, "width": 832, "num_frames": 81,
+        "num_inference_steps": 7, "guidance_scale": 3.0, "seed": 11,
+        "cfg_skip_ratio": 0.25, "int8_attention": True,
+    })
+    assert argv[1:3] == ["-m", "versecrafter_tpu.cli.inference"]
+    args = parse_args(argv[3:])
+    assert args.sample_size == "480,832" and args.video_length == 81
+    assert args.num_inference_steps == 7 and args.seed == 11
+    assert args.cfg_skip_ratio == 0.25 and args.int8_attention
+    assert args.staged and args.smoke_scale == "tiny"
+    # no resident teacache default leaks into the fresh process
+    assert args.teacache_threshold == 0.0
+
+
+def test_generate_subprocess_fallback(tmp_path):
+    """Tier 3 end-to-end: the resident tiers raise, the subprocess runs,
+    progress lines stream into the task, the printed mp4 path completes
+    the task (reference fallback behavior, api_server.py:1333-1480)."""
+    import sys
+
+    def broken_factory():
+        raise RuntimeError("resident pipeline wedged")
+
+    server = ApiServer(workdir=str(tmp_path), pipeline_factory=broken_factory,
+                       subprocess_fallback=True)
+    out = tmp_path / "generated" / "out.mp4"
+    script = (
+        "import os, sys\n"
+        "print('denoise 1 / 2', flush=True)\n"
+        "print('denoise 2 / 2', flush=True)\n"
+        f"os.makedirs({str(out.parent)!r}, exist_ok=True)\n"
+        f"open({str(out)!r}, 'wb').write(b'x')\n"
+        f"print({str(out)!r})\n")
+    server._build_subprocess_argv = lambda params: [sys.executable, "-c",
+                                                    script]
+    tid = server.tasks.create("generate").task_id
+    server.run_generate(tid, {"rendering_maps_path": str(tmp_path)})
+    st = server.tasks.get(tid)
+    assert st["status"] == "COMPLETED", st
+    assert (tmp_path / st["result"]["video_path"]).exists()
+
+    # with the fallback disabled the same failure propagates as FAILED
+    server2 = ApiServer(workdir=str(tmp_path), pipeline_factory=broken_factory)
+    tid2 = server2.tasks.create("generate").task_id
+    server2.run_generate(tid2, {"rendering_maps_path": str(tmp_path)})
+    assert server2.tasks.get(tid2)["status"] == "FAILED"
+
+
+def test_generate_subprocess_fallback_failure(tmp_path):
+    """A failing subprocess surfaces FAILED with the output tail."""
+    import sys
+
+    def broken_factory():
+        raise RuntimeError("resident pipeline wedged")
+
+    server = ApiServer(workdir=str(tmp_path), pipeline_factory=broken_factory,
+                       subprocess_fallback=True)
+    server._build_subprocess_argv = lambda params: [
+        sys.executable, "-c", "import sys; print('boom'); sys.exit(3)"]
+    tid = server.tasks.create("generate").task_id
+    server.run_generate(tid, {"rendering_maps_path": str(tmp_path)})
+    st = server.tasks.get(tid)
+    assert st["status"] == "FAILED"
+    assert "rc=3" in st["error"] and "boom" in st["error"]
+
+
+def test_download_nested_result_path(api):
+    """Task results live under subdirs (generated/video.mp4) — the download
+    routes must span segments like the reference's Flask <path:> converter
+    (api_server.py:1738-1943), with the traversal guard still active."""
+    base, server = api
+    sub = os.path.join(server.workdir, "generated")
+    os.makedirs(sub, exist_ok=True)
+    payload = os.urandom(256)
+    with open(os.path.join(sub, "video.mp4"), "wb") as f:
+        f.write(payload)
+    with urllib.request.urlopen(
+            f"{base}/api/download/generated/video.mp4") as r:
+        assert r.read() == payload
+    b64 = _get(f"{base}/api/download_base64/generated/video.mp4")[1]["data"]
+    assert base64.b64decode(b64) == payload
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{base}/api/download/generated/../../oops")
+    assert ei.value.code in (403, 404, 500)

@@ -8,9 +8,14 @@ generation dispatch :1442-1480) on the stdlib HTTP stack.
 
 TPU-native differences (SURVEY.md §5.8): no CUDA_VISIBLE_DEVICES process
 partitioning — preprocessing and rendering share the host/mesh with the
-model; generation dispatches to a resident model server over HTTP or runs
-in-process; no torchrun-subprocess fallback tier (there is no rank spawning
-to fall back to).
+model; generation dispatches to a resident model server over HTTP, runs
+in-process, or — tier 3, `--subprocess_fallback`, mirroring the reference's
+torchrun-subprocess fallback when the resident model wedges
+(api_server.py:1333-1480) — re-runs the request through a fresh
+`cli.inference` subprocess. A fresh process is the TPU-native degraded
+path: it re-acquires the device cleanly (no rank spawning exists to fall
+back to; a wedged resident pipeline's buffers die with nothing because the
+subprocess only starts after the in-process attempt raised).
 
 Workflow endpoints:
   POST/GET /api/preprocess[_get]  image -> depth + masks + gaussians
@@ -48,7 +53,9 @@ class ApiServer:
                  model_server_url: Optional[str] = None,
                  pipeline_factory=None,
                  model_server_stall_timeout: float = 1800.0,
-                 unload_after_generate: bool = False):
+                 unload_after_generate: bool = False,
+                 subprocess_fallback: bool = False,
+                 subprocess_model_args: Optional[list] = None):
         # unload_after_generate mirrors the reference's single-GPU memory
         # management: free the model after each generation so render/VAE
         # stages get the HBM back (reference api_server.py:474-481,
@@ -60,6 +67,12 @@ class ApiServer:
         self.chunks = ChunkStore()
         self.model_server_url = model_server_url
         self.model_server_stall_timeout = model_server_stall_timeout
+        self.subprocess_fallback = subprocess_fallback
+        # model-config argv (e.g. ["--staged", "--smoke_scale", "14b"])
+        # appended to every fallback invocation — the subprocess must be
+        # told which model to build, exactly like the reference's fallback
+        # re-reads its launch config (api_server.py:1333-1369)
+        self.subprocess_model_args = list(subprocess_model_args or ())
         self._pipeline = None
         self._pipeline_factory = pipeline_factory
         self._loading_lock = threading.Lock()
@@ -237,10 +250,19 @@ class ApiServer:
                 params["input_image_path"] = self.safe_path(params["input_image_path"])
             params.setdefault("save_path", os.path.join(self.workdir, "generated"))
 
-            if self.model_server_url:
-                self._generate_via_model_server(task_id, params)
-            else:
-                self._generate_in_process(task_id, params)
+            try:
+                if self.model_server_url:
+                    self._generate_via_model_server(task_id, params)
+                else:
+                    self._generate_in_process(task_id, params)
+            except Exception as e:  # noqa: BLE001 — tier-3 degraded path
+                if not self.subprocess_fallback:
+                    raise
+                self.tasks.update(
+                    task_id, status=RUNNING,
+                    message=f"resident generation failed ({e}); "
+                            "falling back to subprocess")
+                self._generate_via_subprocess(task_id, params)
         except Exception as e:  # noqa: BLE001
             self.tasks.update(task_id, status=FAILED, error=str(e),
                               message=traceback.format_exc()[-2000:])
@@ -322,6 +344,78 @@ class ApiServer:
                           result={"video_path": os.path.relpath(out, self.workdir)})
         if self.unload_after_generate:
             self.unload_model()
+
+    def _build_subprocess_argv(self, params: dict) -> list:
+        """Request params -> `cli.inference` argv for the tier-3 fallback
+        (reference builds a torchrun command the same way,
+        api_server.py:1370-1441). Only params with a CLI counterpart are
+        forwarded; the server's `subprocess_model_args` supply the model
+        config."""
+        import sys
+
+        argv = [sys.executable, "-m", "versecrafter_tpu.cli.inference",
+                "--rendering_maps_path", params["rendering_maps_path"],
+                "--prompt", str(params.get("prompt", "")),
+                "--input_image_path", str(params.get("input_image_path", "")),
+                "--save_path", params.get(
+                    "save_path", os.path.join(self.workdir, "generated")),
+                "--sample_size", f"{int(params.get('height', 480))},"
+                                 f"{int(params.get('width', 832))}",
+                "--video_length", str(int(params.get("num_frames", 81)))]
+        flag_map = {"num_inference_steps": int, "guidance_scale": float,
+                    "seed": int, "fps": int, "shift": float,
+                    "teacache_threshold": float, "teacache_skip_start": int,
+                    "cfg_skip_ratio": float}
+        for key, cast in flag_map.items():
+            if key in params:
+                argv += [f"--{key}", str(cast(params[key]))]
+        # the fresh process carries NO resident teacache default: unless the
+        # request asked for it, pin it off (the CLI default is 0.10)
+        if "teacache_threshold" not in params:
+            argv += ["--teacache_threshold", "0"]
+        if params.get("int8_attention"):
+            argv.append("--int8_attention")
+        return argv + self.subprocess_model_args
+
+    def _generate_via_subprocess(self, task_id: str, params: dict):
+        """Dispatch tier 3 (reference api_server.py:1333-1480): run the
+        request through a FRESH `cli.inference` process. Stdout is streamed
+        into the task message (the CLI prints `denoise i / n` per step and
+        the saved mp4 path last), so /api/status keeps ticking exactly like
+        the resident tiers."""
+        import subprocess
+
+        argv = self._build_subprocess_argv(params)
+        self.tasks.update(task_id, status=RUNNING,
+                          message="subprocess: starting")
+        proc = subprocess.Popen(argv, stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+        last_path = None
+        tail = []
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            line = line.strip()
+            if not line:
+                continue
+            tail = (tail + [line])[-20:]
+            if line.startswith("denoise "):
+                try:  # "denoise i / n"
+                    i, n = line[8:].split(" / ")
+                    self.tasks.update(task_id,
+                                      progress=int(100 * int(i) / int(n)),
+                                      message=f"subprocess: step {i}/{n}")
+                except ValueError:
+                    pass
+            elif line.endswith(".mp4") and os.path.exists(line):
+                last_path = line
+        rc = proc.wait()
+        if rc != 0 or last_path is None:
+            raise RuntimeError(
+                f"subprocess fallback failed (rc={rc}); tail:\n"
+                + "\n".join(tail))
+        self.tasks.update(
+            task_id, status=COMPLETED, progress=100,
+            result={"video_path": os.path.relpath(last_path, self.workdir)})
 
     def run_workflow(self, task_id: str, params: dict):
         """Render then generate (api /api/workflow)."""
@@ -427,7 +521,7 @@ def build_router(server: ApiServer) -> Router:
         return 200, {"filename": q["filename"], "size": len(data)}
 
     # --- downloads ----------------------------------------------------------
-    @r.route("GET", "/api/download/<path>")
+    @r.route("GET", "/api/download/<path:path>")
     def download(req):
         p = server.safe_path(req.params["path"].replace("%2F", "/"))
         if not os.path.isfile(p):
@@ -435,7 +529,7 @@ def build_router(server: ApiServer) -> Router:
         with open(p, "rb") as f:
             return 200, (f.read(), "application/octet-stream")
 
-    @r.route("GET", "/api/download_base64/<path>")
+    @r.route("GET", "/api/download_base64/<path:path>")
     def download_b64(req):
         p = server.safe_path(req.params["path"].replace("%2F", "/"))
         if not os.path.isfile(p):
@@ -443,7 +537,7 @@ def build_router(server: ApiServer) -> Router:
         with open(p, "rb") as f:
             return 200, {"data": base64.b64encode(f.read()).decode()}
 
-    @r.route("GET", "/api/download_chunk/<path>")
+    @r.route("GET", "/api/download_chunk/<path:path>")
     def download_chunk(req):
         p = server.safe_path(req.params["path"].replace("%2F", "/"))
         if not os.path.isfile(p):
@@ -551,6 +645,15 @@ def main(argv=None):
     p.add_argument("--unload_after_generate", action="store_true",
                    help="free the model after each generation (single-chip "
                         "memory management, reference api_server.py:474-481)")
+    p.add_argument("--subprocess_fallback", action="store_true",
+                   help="tier-3 degraded path: when the resident tiers "
+                        "raise, re-run the request through a fresh "
+                        "cli.inference process (reference torchrun "
+                        "fallback, api_server.py:1333-1480)")
+    p.add_argument("--subprocess_model_args", default="",
+                   help="model-config argv appended to every fallback "
+                        "invocation, e.g. '--staged --smoke_scale 14b "
+                        "--quantize_bits 4 --int8_compute'")
     args = p.parse_args(argv)
 
     from versecrafter_tpu.utils.cache import enable_persistent_cache
@@ -561,10 +664,14 @@ def main(argv=None):
         from versecrafter_tpu.serve.model_server import default_pipeline_factory
         factory = default_pipeline_factory(args.model_path,
                                            auto_mesh=args.auto_mesh)
+    import shlex
     server = ApiServer(workdir=args.workdir,
                        model_server_url=args.model_server_url,
                        pipeline_factory=factory,
-                       unload_after_generate=args.unload_after_generate)
+                       unload_after_generate=args.unload_after_generate,
+                       subprocess_fallback=args.subprocess_fallback,
+                       subprocess_model_args=shlex.split(
+                           args.subprocess_model_args))
     if args.preload_model:
         server.start_model_loading_async()
     httpd = make_server(build_router(server), args.host, args.port)

@@ -38,8 +38,14 @@ class Router:
         self.routes = []
 
     def add(self, method: str, pattern: str, fn: Callable[[Request], Tuple[int, Any]]):
+        # <name> matches one segment; <path:name> spans segments (the Flask
+        # converter the reference's download routes rely on for nested
+        # result paths like generated/video.mp4, api_server.py:1738-1943)
+        def param(m):
+            return (f"(?P<{m.group(2)}>.+)" if m.group(1)
+                    else f"(?P<{m.group(2)}>[^/]+)")
         regex = re.compile(
-            "^" + re.sub(r"<(\w+)>", r"(?P<\1>[^/]+)", pattern) + "$")
+            "^" + re.sub(r"<(path:)?(\w+)>", param, pattern) + "$")
         self.routes.append((method, regex, fn))
 
     def route(self, method: str, pattern: str):

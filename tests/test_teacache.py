@@ -233,11 +233,14 @@ def test_estimate_denoise_gb_calibration():
         auto_cfg_parallel, estimate_denoise_gb)
 
     geo = versecrafter_14b()
-    # measured to RUN on one v5e:
-    assert estimate_denoise_gb(WAN21_14B, 4, 32760, 2) <= 19.0   # 16.69 s/step
-    assert estimate_denoise_gb(geo, 4, 32760, 1) <= 19.0         # staged r4 e2e
-    assert estimate_denoise_gb(geo, 4, 75600, 1) <= 19.0         # 39.7 s/step
-    # measured to OOM (compile helper 500):
-    assert estimate_denoise_gb(geo, 4, 75600, 2) > 19.0
+    # measured to RUN on one v5e (threshold 16.0 — see staged.py docstring;
+    # the 2026-08-20 canonical run OOM'd at 22.68/15.75 GB because the old
+    # 19.0 threshold predated the chunk-aware estimator):
+    assert estimate_denoise_gb(WAN21_14B, 4, 32760, 2) <= 16.0   # 16.69 s/step
+    assert estimate_denoise_gb(geo, 4, 32760, 2) <= 16.0         # staged r5 e2e
+    assert estimate_denoise_gb(geo, 4, 32760, 1) <= 16.0         # staged r4 e2e
+    assert estimate_denoise_gb(geo, 4, 75600, 1) <= 16.0         # 39.7 s/step
+    # measured to OOM (remote AOT: 22.68 G of 15.75 G hbm):
+    assert estimate_denoise_gb(geo, 4, 75600, 2) > 16.0
     assert auto_cfg_parallel(geo, 4, 32760)       # 480p x 81f -> batched
     assert not auto_cfg_parallel(geo, 4, 75600)   # 720p x 81f -> sequential

@@ -180,16 +180,20 @@ def estimate_denoise_gb(dit_cfg, bits: int, tokens: int,
     """Estimated peak HBM (GB) of one denoise step — the live-set model of
     scripts/analyze_14b_sp.py made FFN-chunking aware (models.wan_dit
     FFN_CHUNK_ROWS: above 70k rows the [rows, ffn] hidden never fully
-    materializes). Calibrated against chip ground truth on the 16 GB v5e:
+    materializes). Calibrated against chip ground truth on the 16 GB v5e
+    (re-run 2026-08-20 — the chunk-aware estimator shifted every point,
+    so the old 19.0 threshold let the measured-OOM 720p CFG-2 point
+    through and the canonical run died in the remote AOT compile at
+    22.68 GB used):
 
-      RUNS:    480p81f CFG-2 base W4A8 (est 10.8), 480p81f CFG-1 geoada
-               W4A8 (est 15.3), 720p81f CFG-1 geoada W4A8 chunked (est 18.0)
-      OOM:     720p81f CFG-2 geoada W4A8 (est 23.6 — compile helper 500s)
+      RUNS:    480p81f CFG-2 geoada W4A8 (est 15.0 — staged e2e 01:26
+               Aug 20), 480p81f CFG-1 geoada W4A8 (est 11.44),
+               720p81f CFG-1 geoada W4A8 chunked (est 12.98)
+      OOM:     720p81f CFG-2 geoada W4A8 (est 17.39 — AOT helper:
+               22.68 G of 15.75 G hbm)
 
-    so the fits-threshold sits at 19.0 GB-est: everything measured to run
-    is under it, the measured OOM point is well over. (Estimates exceed the
-    15.75 GB physical HBM because the 6x-token live set overcounts what XLA
-    actually keeps alive.)"""
+    so the fits-threshold sits at 16.0 GB-est: everything measured to run
+    is under it, the measured OOM point is over."""
     GB = float(1 << 30)
     d, f = dit_cfg.dim, dit_cfg.ffn_dim
     n_geo = len(dit_cfg.geoada_layers or ())
@@ -213,7 +217,7 @@ def estimate_denoise_gb(dit_cfg, bits: int, tokens: int,
 
 # chip-calibrated: see estimate_denoise_gb. Batched CFG-2 is selected only
 # when its estimated step footprint clears this.
-BATCHED_CFG_FITS_EST_GB = 19.0
+BATCHED_CFG_FITS_EST_GB = 16.0
 
 
 def auto_cfg_parallel(dit_cfg, bits: int, tokens: int) -> bool:

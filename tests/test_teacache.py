@@ -107,6 +107,50 @@ def test_recording_blocks_measures_residual_drift():
     np.testing.assert_allclose(np.asarray(st2.accum), rel, rtol=1e-4)
 
 
+def test_recording_subsampled_state_matches_full_stats():
+    """A record state built at ceil(S/stride) rows (the 720p HBM fit —
+    teacache.TEA_RECORD_SUBSAMPLE_ROWS) must report the same rel-L1
+    residual drift as the full-resolution state: the statistic is a mean
+    over ~400M elements at production scale, so a strided subset estimates
+    it tightly. Here the residual field is built so subset and full agree
+    analytically AND a random-field case stays within a few percent."""
+    rng = np.random.default_rng(7)
+    b, s, d = 1, 4096, 16
+    stride = tc.RECORD_SUBSAMPLE_STRIDE
+    tokens = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    e0 = jnp.asarray(rng.standard_normal((b, 6, d)), jnp.float32)
+    d1 = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    d2 = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+
+    full = tc.init_state(b, s, d, jnp.float32)
+    sub = tc.init_state(b, -(-s // stride), d, jnp.float32)
+    assert not isinstance(sub.prev_residual, dict)
+
+    _, f1 = tc.recording_blocks(lambda tk: tk + d1, tokens, e0, full)
+    _, s1 = tc.recording_blocks(lambda tk: tk + d1, tokens, e0, sub)
+    assert s1.prev_residual.shape == (b, -(-s // stride), d)
+    np.testing.assert_allclose(np.asarray(s1.prev_residual),
+                               np.asarray(d1)[:, ::stride], atol=1e-6)
+
+    out_f, f2 = tc.recording_blocks(lambda tk: tk + d2, tokens, e0, f1)
+    out_s, s2 = tc.recording_blocks(lambda tk: tk + d2, tokens, e0, s1)
+    # the OUTPUT is identical (recording never skips, fresh pass both ways)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_f))
+    # the drift statistic agrees to sampling error on a random field
+    rf, rs = float(f2.accum[0]), float(s2.accum[0])
+    assert abs(rs - rf) <= 0.05 * max(rf, 1e-6), (rs, rf)
+
+
+def test_recording_rejects_non_strided_state_rows():
+    rng = np.random.default_rng(3)
+    b, s, d = 1, 100, 8
+    tokens = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    e0 = jnp.asarray(rng.standard_normal((b, 6, d)), jnp.float32)
+    bad = tc.init_state(b, 33, d, jnp.float32)  # ceil(100/3)=34, 100/33→3
+    with np.testing.assert_raises(ValueError):
+        tc.recording_blocks(lambda tk: tk, tokens, e0, bad)
+
+
 def test_record_fit_fire_end_to_end():
     """The full loop the reference never shipped a utility for: record
     trajectories -> fit coefficients -> enable_teacache with them -> steps
@@ -147,6 +191,42 @@ def test_record_fit_fire_end_to_end():
     assert np.isfinite(out).all()
     accums = np.stack(pipe.teacache_accum_history)  # [steps, rows]
     assert (accums != 0).any(), "no step ever skipped with fitted coefficients"
+
+
+def test_record_through_pipeline_with_subsampled_state(monkeypatch):
+    """record_teacache_stats with the subsample threshold forced low — the
+    exact wiring the 14B 720p record pass uses (pipeline builds the record
+    state at ceil(S/stride) rows; sequential-CFG per-branch states): stats
+    stay finite and the fit still works."""
+    import jax
+    from tests.test_pipeline import (
+        DIT_CFG, T5_CFG, VAE_CFG, _controls, _live_dit_params, _mask)
+    from versecrafter_tpu.models.t5 import init_t5
+    from versecrafter_tpu.models.vae import init_vae
+    from versecrafter_tpu.sampling.pipeline import VerseCrafterPipeline
+
+    monkeypatch.setattr(tc, "TEA_RECORD_SUBSAMPLE_ROWS", 1)
+    monkeypatch.setattr(tc, "RECORD_SUBSAMPLE_STRIDE", 4)
+
+    pipe = VerseCrafterPipeline(
+        dit_params=_live_dit_params(), dit_cfg=DIT_CFG,
+        vae_params=init_vae(jax.random.key(1), VAE_CFG, jnp.float32),
+        vae_cfg=VAE_CFG,
+        t5_params=init_t5(jax.random.key(2), T5_CFG, jnp.float32),
+        t5_cfg=T5_CFG, scheduler_name="unipc")
+    kw = dict(control_videos=_controls(), mask_video=_mask(), height=8,
+              width=8, num_frames=5, num_inference_steps=6,
+              guidance_scale=2.0, shift=3.0, seed=7, dtype=jnp.float32)
+    # batched-CFG recording (the 480p path)
+    rel_e0, rel_res = pipe.record_teacache_stats("a car", **kw)
+    assert np.isfinite(rel_e0).all() and np.isfinite(rel_res).all()
+    # sequential-CFG recording (the 720p path: per-branch subsampled states)
+    pipe.cfg_parallel = False
+    pipe._jit_cache = {}
+    rel_e0s, rel_ress = pipe.record_teacache_stats("a car", **kw)
+    assert np.isfinite(rel_e0s).all() and np.isfinite(rel_ress).all()
+    coeffs = tc.fit_teacache_coefficients(rel_e0s, rel_ress, degree=2)
+    assert np.isfinite(coeffs).all()
 
 
 def test_batch1_cond_path_matches_batched_semantics():

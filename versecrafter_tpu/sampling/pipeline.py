@@ -717,9 +717,14 @@ class VerseCrafterPipeline:
         # state rides the jitted step as an argument either way, and at
         # 75,600 tok the two sequential-CFG prev_residuals alone were
         # 1.48 GB of pointless HBM arguments on the 720p 14B step
-        tea_seq = seq_len if (self.teacache_threshold > 0
-                              or getattr(self, "teacache_record", None)
-                              is not None) else 0
+        recording = getattr(self, "teacache_record", None) is not None
+        tea_seq = seq_len if (self.teacache_threshold > 0 or recording) else 0
+        if recording and tea_batch * seq_len > tc.TEA_RECORD_SUBSAMPLE_ROWS:
+            # the record pass only REDUCES the residual (rel-L1 drift), so
+            # its state tracks a strided row subset — the full-resolution
+            # record state pushed the 14B 720p step 99 MB past the v5e HBM
+            # (see teacache.TEA_RECORD_SUBSAMPLE_ROWS)
+            tea_seq = -(-seq_len // tc.RECORD_SUBSAMPLE_STRIDE)
         tea_state = tc.init_state(tea_batch, tea_seq, self.dit_cfg.dim, dtype)
         tea_state = self._shard_tea_state(tea_state)
         tea_state_u = (self._shard_tea_state(

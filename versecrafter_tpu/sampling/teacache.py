@@ -52,6 +52,20 @@ class TeaCacheState(NamedTuple):
 # every chip-validated short-sequence program keeps exact bf16 caching.
 TEA_RES_QUANT_ROWS = 70_000
 
+# RECORD-pass residual tracking is row-subsampled above this many B*S rows.
+# Recording only needs mean|r_t - r_{t-1}| / mean|r_{t-1}| — a scalar per
+# row-batch over a 387M-element field at 720p — and a strided 1/16 row
+# subset estimates that to well under the trajectory's own step-to-step
+# noise. The full-resolution record state was the difference between
+# fitting and not fitting on one v5e: the 14B W4A8 720p x 81f record step
+# compiled to 99 MB OVER the 15.75 GB HBM budget carrying the full
+# [1, 75600, 5120] int8 cache + its f32 rel-L1 reduce temps (chipq5
+# canon720, 2026-08-20); the subsampled state is 46 MB bf16. The GATED
+# pass is untouched — it must APPLY the cached residual on skipped steps,
+# so it keeps the full [B, S, D] (int8 above TEA_RES_QUANT_ROWS) cache.
+TEA_RECORD_SUBSAMPLE_ROWS = 70_000
+RECORD_SUBSAMPLE_STRIDE = 16
+
 
 def _store_residual(res: jnp.ndarray, quantize: bool):
     if not quantize:
@@ -192,10 +206,23 @@ def recording_blocks(run_blocks, tokens, e0, state):
     per-row relative-L1 drift of the blocks residual vs the previous step
     (the quantity the rescale polynomial predicts) and prev_mod snapshots
     e0. VerseCrafterPipeline.record_teacache_stats drives this and pairs
-    accum with the host-side rel-L1 of consecutive prev_mod snapshots."""
+    accum with the host-side rel-L1 of consecutive prev_mod snapshots.
+
+    When the state's residual rows are FEWER than the token rows, the state
+    was built row-subsampled (init_state seq = ceil(S / stride), see
+    TEA_RECORD_SUBSAMPLE_ROWS) and the drift statistic runs on the strided
+    subset — the stride is recovered exactly from the two shapes."""
     quantized = isinstance(state.prev_residual, dict)
     fresh = run_blocks(tokens)
-    residual = fresh - tokens
+    s_full = tokens.shape[1]
+    s_sub = res_shape(state)[1]
+    stride = max(1, round(s_full / s_sub)) if s_sub else 1
+    if s_sub and -(-s_full // stride) != s_sub:
+        raise ValueError(
+            f"record state rows {s_sub} are not a ceil-strided subset of "
+            f"sequence {s_full}")
+    residual = fresh[:, ::stride] - tokens[:, ::stride] \
+        if stride > 1 else fresh - tokens
     rf = residual.astype(jnp.float32)
     pf = _load_residual(state.prev_residual, jnp.float32)
     rel_res = (jnp.mean(jnp.abs(rf - pf), axis=(1, 2))

@@ -87,7 +87,7 @@ def main():
     # driver-captured artifact carries the production numbers, not only the
     # bf16 reference point. VC_BENCH_FAST=1 skips (~6 min extra warm).
     import os
-    extra = {}
+    extra = {"download_probe_s": _download_probe_s()}
     if not os.environ.get("VC_BENCH_FAST"):
         try:
             extra.update(_w8a8_static_step_ms(
@@ -114,6 +114,26 @@ def main():
         # downloads, which overlap device work (geometry/render.py)
         **{f"render_{k}": v for k, v in render.items()},
     }))
+
+
+def _download_probe_s():
+    """Tunnel-health stamp: seconds to pull a ~40 MB device array to host.
+    Healthy ≈ 2 s at the measured ~19 MB/s download; the axon tunnel
+    degrades gradually by hours of day and multi-dispatch WALL numbers
+    (composed_wall_s, render_wall_s) inflate in lockstep with it while the
+    5-dispatch step bench stays stable — this field lets a reader tell an
+    unhealthy-window wall from a real regression (CLAUDE.md round-4
+    bandwidth protocol)."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = jnp.ones((10 * 1024, 1024), jnp.float32)  # 40 MiB
+    x.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(x)
+    return round(time.perf_counter() - t0, 2)
 
 
 def _w8a8_static_step_ms(params, cfg, cos, sin, x, t, ctx, geo):

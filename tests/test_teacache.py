@@ -193,6 +193,55 @@ def test_record_fit_fire_end_to_end():
     assert (accums != 0).any(), "no step ever skipped with fitted coefficients"
 
 
+def test_host_gated_matches_in_graph_cond(monkeypatch):
+    """The host-gated path (tc.host_gate over wan_dit_e0 + two small
+    programs — the 720p sequential-CFG HBM fix) must reproduce the in-graph
+    lax.cond path exactly: same skip schedule, same latents."""
+    import jax
+    from tests.test_pipeline import (
+        DIT_CFG, T5_CFG, VAE_CFG, _controls, _live_dit_params, _mask)
+    from versecrafter_tpu.models.t5 import init_t5
+    from versecrafter_tpu.models.vae import init_vae
+    from versecrafter_tpu.sampling.pipeline import VerseCrafterPipeline
+
+    pipe = VerseCrafterPipeline(
+        dit_params=_live_dit_params(), dit_cfg=DIT_CFG,
+        vae_params=init_vae(jax.random.key(1), VAE_CFG, jnp.float32),
+        vae_cfg=VAE_CFG,
+        t5_params=init_t5(jax.random.key(2), T5_CFG, jnp.float32),
+        t5_cfg=T5_CFG, scheduler_name="unipc", cfg_parallel=False)
+    kw = dict(control_videos=_controls(), mask_video=_mask(), height=8,
+              width=8, num_frames=5, num_inference_steps=8,
+              guidance_scale=2.0, shift=3.0, seed=7, dtype=jnp.float32,
+              output_type="latent")
+    rel_e0, rel_res = pipe.record_teacache_stats("a car", **kw)
+    coeffs = tc.fit_teacache_coefficients(rel_e0, rel_res, degree=2)
+    thresh = float(np.polyval(coeffs, rel_e0.mean()) * 2.0)
+    pipe.enable_teacache(max(thresh, 1e-6), skip_start=1,
+                         coefficients=coeffs)
+    pipe.teacache_debug = True
+
+    monkeypatch.setattr(tc, "TEA_HOST_GATE_ROWS", 10 ** 9)  # in-graph cond
+    ref = np.asarray(pipe("a car", **kw))
+    ref_hist = np.stack(pipe.teacache_accum_history)
+
+    monkeypatch.setattr(tc, "TEA_HOST_GATE_ROWS", 0)        # host-gated
+    got = np.asarray(pipe("a car", **kw))
+    got_hist = np.stack(pipe.teacache_accum_history)
+
+    # identical skip schedule (accum==0 <=> that step ran fresh) and
+    # near-identical accum trajectory (host f64 polyval vs device f32 poly)
+    assert ((ref_hist == 0) == (got_hist == 0)).all()
+    assert (ref_hist != 0).any(), "schedule never skipped — vacuous test"
+    np.testing.assert_allclose(got_hist, ref_hist, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    # cfg-skip composes: the uncond branch freezes inside the window
+    pipe.enable_cfg_skip(0.25)
+    out = np.asarray(pipe("a car", **kw))
+    assert np.isfinite(out).all()
+
+
 def test_record_through_pipeline_with_subsampled_state(monkeypatch):
     """record_teacache_stats with the subsample threshold forced low — the
     exact wiring the 14B 720p record pass uses (pipeline builds the record

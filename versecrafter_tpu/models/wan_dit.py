@@ -719,6 +719,23 @@ def wan_dit_embed(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
     return tokens, e, e0, ctx, ctx_img, grid
 
 
+def wan_dit_e0(params: Params, cfg: WanDiTConfig, t: jnp.ndarray) -> jnp.ndarray:
+    """The [B, 6, D] fp32 time-modulation vector — exactly the `e0`
+    wan_dit_embed computes, extracted because it depends ONLY on the
+    timestep and the time-embedding weights. The host-gated TeaCache path
+    (sampling/teacache.host_gate) evaluates the skip metric from this tiny
+    program before dispatching a step, instead of tracing both the fresh
+    and cached paths into one lax.cond program (which at 75,600 tokens
+    cost ~1.6 GB of dual-path temps + fragmentation on the 14B 720p step)."""
+    from versecrafter_tpu.utils.quantize import dequantize_tree
+    te = dequantize_tree(params["time_embedding"])
+    e = sinusoidal_embedding_1d(cfg.freq_dim, t)
+    e = _linear(te["fc2"], jax.nn.silu(_linear(te["fc1"], e).astype(jnp.float32)))
+    e = e.astype(jnp.float32)
+    e0 = _linear(dequantize_tree(params["time_projection"]), jax.nn.silu(e))
+    return e0.reshape(t.shape[0], 6, cfg.dim).astype(jnp.float32)
+
+
 def wan_dit_blocks(params: Params, cfg: WanDiTConfig, x: jnp.ndarray,
                    e0: jnp.ndarray, cos, sin, context: jnp.ndarray,
                    geoada_tokens: Optional[jnp.ndarray] = None,

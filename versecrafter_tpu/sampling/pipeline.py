@@ -505,6 +505,137 @@ class VerseCrafterPipeline:
 
         return jax.jit(fn, donate_argnums=(8,))
 
+    def _denoise_fn_hostgated(self, calc: bool):
+        """Batch-1 sequential-CFG step with the TeaCache decision taken on
+        HOST (tc.host_gate over wan_dit_e0 — the metric depends only on the
+        timestep trajectory): `calc=True` runs the blocks and returns
+        (pred, fresh_tokens) — the residual is stored by the SEPARATE
+        `_residual_fn_hostgated` program; `calc=False` applies a passed
+        residual (embed + add + head only, the reference's cheap path).
+        This replaces the in-graph lax.cond whose dual-path [1,S,D] temps +
+        fragmentation overflowed the v5e by 1.58 GB at 75,600 tokens
+        (14B W4A8 720p x 81f, chipq5 canon720). Storing the residual
+        in-program ALSO overflowed (chipq6 canon720_gated): `fresh - tokens`
+        keeps the embed tokens live across the whole 40-block scan
+        (+0.77 GB at the scan's peak) and adds the diff + int8-quantize
+        temps on top — returning `fresh` instead costs its 0.77 GB only at
+        program END (after the scan's working set has died) and moves the
+        subtract/quantize into a ~2.7 GB follow-up program."""
+        dit_cfg = self.dit_cfg
+
+        def fn(dit_params, latents, t, context, geoada, cos, sin,
+               residual, geoada_scale, extras):
+            from versecrafter_tpu.utils.quantize import dequantize_tree
+            from versecrafter_tpu.models.wan_dit import (
+                wan_dit_blocks, wan_dit_embed, wan_dit_head, patchify,
+                _linear)
+            dit_params = {
+                k: (v if k in ("blocks", "geoada_blocks")
+                    else dequantize_tree(v))
+                for k, v in dit_params.items()}
+            x = latents
+            ctx = context[context.shape[0] // 2:]  # cond-only convention
+            tvec = jnp.full((x.shape[0],), t, jnp.float32)
+            y_in = extras.get("y")
+            clip = extras.get("clip_fea")
+            ycam = extras.get("y_camera")
+            if y_in is not None:
+                x = jnp.concatenate([x, y_in], axis=1)
+            tokens, e, e0, ctx_e, ctx_img, grid = wan_dit_embed(
+                dit_params, dit_cfg, x, tvec, ctx, clip_fea=clip,
+                y_camera=ycam)
+            gtok = _linear(dit_params["geoada_patch_embedding"],
+                           patchify(geoada, dit_cfg.patch_size)) \
+                if dit_cfg.has_geoadapter else None
+            if self.attn_impl == "sp":
+                from versecrafter_tpu.parallel.sharding import (
+                    constrain_tokens)
+                tokens = constrain_tokens(tokens)
+                if gtok is not None:
+                    gtok = constrain_tokens(gtok)
+            if calc:
+                tokens = wan_dit_blocks(
+                    dit_params, dit_cfg, tokens, e0, cos, sin, ctx_e,
+                    geoada_tokens=gtok, geoada_scale=geoada_scale,
+                    attn_impl=self.attn_impl, context_img=ctx_img)
+            else:
+                tokens = tokens + tc._load_residual(residual, tokens.dtype)
+            pred = wan_dit_head(dit_params, dit_cfg, tokens, e, grid)
+            from versecrafter_tpu.parallel.sharding import current_mesh
+            ctx_mesh = current_mesh()
+            if ctx_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                pred = jax.lax.with_sharding_constraint(
+                    pred, NamedSharding(ctx_mesh["mesh"], PartitionSpec()))
+            return (pred, tokens) if calc else pred
+
+        return jax.jit(fn)
+
+    def _residual_fn_hostgated(self):
+        """Second (small) program of the host-gated calc step: recompute the
+        cheap patch embedding from the PRE-step latents — bit-reproducible,
+        it depends only on latents/extras and the embedding weights — and
+        store `fresh - tokens` as the TeaCache residual (int8 above
+        tc.TEA_RES_QUANT_ROWS). Runs strictly AFTER the big step has
+        drained, so its working set (~2.7 GB at 75,600 tok) never coexists
+        with the block scan's."""
+        dit_cfg = self.dit_cfg
+
+        def fn(dit_params, latents, t, context, fresh, extras):
+            from versecrafter_tpu.utils.quantize import dequantize_tree
+            from versecrafter_tpu.models.wan_dit import wan_dit_embed
+            dit_params = {
+                k: (v if k in ("blocks", "geoada_blocks")
+                    else dequantize_tree(v))
+                for k, v in dit_params.items()}
+            x = latents
+            ctx = context[context.shape[0] // 2:]
+            tvec = jnp.full((x.shape[0],), t, jnp.float32)
+            y_in = extras.get("y")
+            if y_in is not None:
+                x = jnp.concatenate([x, y_in], axis=1)
+            tokens, _, _, _, _, _ = wan_dit_embed(
+                dit_params, dit_cfg, x, tvec, ctx,
+                clip_fea=extras.get("clip_fea"),
+                y_camera=extras.get("y_camera"))
+            if self.attn_impl == "sp":
+                from versecrafter_tpu.parallel.sharding import (
+                    constrain_tokens)
+                tokens = constrain_tokens(tokens)
+            quantized = (tokens.shape[0] * tokens.shape[1]
+                         > tc.TEA_RES_QUANT_ROWS)
+            return tc._store_residual(
+                fresh - tokens if quantized
+                else (fresh - tokens).astype(tokens.dtype), quantized)
+
+        return jax.jit(fn)
+
+    def _get_residual_hostgated(self, key_extra=()):
+        key = ("hostgated_res", self.attn_impl, *key_extra)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._residual_fn_hostgated()
+        return self._jit_cache[key]
+
+    def _get_denoise_hostgated(self, calc: bool, key_extra=()):
+        from versecrafter_tpu.models import wan_dit
+        key = ("hostgated", calc, self.attn_impl,
+               wan_dit.INT8_QK_SCORE, wan_dit.PROJ_STAT_FUSION, *key_extra)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._denoise_fn_hostgated(calc)
+        return self._jit_cache[key]
+
+    def _e0_fn(self):
+        """Tiny jitted program computing the [B,6,D] time-modulation vector
+        (jit prunes the unused weight arguments, so only the time-embedding
+        tables reach the executable)."""
+        key = ("e0",)
+        if key not in self._jit_cache:
+            from versecrafter_tpu.models.wan_dit import wan_dit_e0
+            dit_cfg = self.dit_cfg
+            self._jit_cache[key] = jax.jit(
+                lambda p, t: wan_dit_e0(p, dit_cfg, t))
+        return self._jit_cache[key]
+
     def _cfg_combine(self):
         """uncond + g * (cond - uncond), the same expression the batched
         program applies after its split (one tiny compiled op — eager jnp
@@ -718,7 +849,13 @@ class VerseCrafterPipeline:
         # 75,600 tok the two sequential-CFG prev_residuals alone were
         # 1.48 GB of pointless HBM arguments on the 720p 14B step
         recording = getattr(self, "teacache_record", None) is not None
-        tea_seq = seq_len if (self.teacache_threshold > 0 or recording) else 0
+        # host-gated TeaCache for big-sequence sequential CFG: the decision
+        # moves to host (tc.host_gate) and the residual cache rides two
+        # small programs instead of one lax.cond program (tc.TEA_HOST_GATE_ROWS)
+        tea_host = (seq_cfg and self.teacache_threshold > 0 and not recording
+                    and batch * seq_len > tc.TEA_HOST_GATE_ROWS)
+        tea_seq = seq_len if ((self.teacache_threshold > 0 and not tea_host)
+                              or recording) else 0
         if recording and tea_batch * seq_len > tc.TEA_RECORD_SUBSAMPLE_ROWS:
             # the record pass only REDUCES the residual (rel-L1 drift), so
             # its state tracks a strided row subset — the full-resolution
@@ -735,6 +872,10 @@ class VerseCrafterPipeline:
         # makes its second-half slice pick the negative prompts
         context_sw = (jnp.concatenate([context[batch:], context[:batch]])
                       if seq_cfg else None)
+        if tea_host:
+            tea_hosts = {"c": tc.HostTeaState(batch, self.dit_cfg.dim),
+                         "u": tc.HostTeaState(batch, self.dit_cfg.dim)}
+            tea_residuals = {"c": None, "u": None}
         if self.teacache_debug:
             # per-generation snapshots — without the reset a resident server
             # pipeline accumulates stale cross-request history unboundedly
@@ -775,7 +916,60 @@ class VerseCrafterPipeline:
                 dit_params = self.dit_params_high if use_high else self.dit_params
                 # np scalars ride the jit call's own transfer — an eager
                 # jnp.asarray would be one extra device round trip per step
-                if seq_cfg:
+                if seq_cfg and tea_host:
+                    ke = tuple(sorted(extras))
+                    e0_np = np.asarray(self._e0_fn()(
+                        dit_params, np.full((batch,), float(t), np.float32)))
+
+                    def _branch(name, ctx_in):
+                        # e0 depends only on t, so both branches see the
+                        # same metric; states still advance independently
+                        # (cfg-skip freezes the uncond branch's state)
+                        calc = bool(tc.host_gate(
+                            tea_hosts[name], e0_np, i,
+                            self.teacache_threshold,
+                            self.teacache_skip_start,
+                            self.teacache_coefficients).any()) \
+                            or tea_residuals[name] is None
+                        fn = self._get_denoise_hostgated(calc, key_extra=ke)
+                        if calc:
+                            # drop the stale residual BEFORE dispatch — the
+                            # calc program doesn't read it, and old+new
+                            # caches must not coexist in the HBM budget
+                            tea_residuals[name] = None
+                            pred, fresh = fn(
+                                dit_params, latents, np.float32(float(t)),
+                                ctx_in, geoada_context, cos, sin, None,
+                                gscale, extras)
+                            # strict serialization (axon allocator lesson):
+                            # the residual program's temps must not queue
+                            # while the big step still holds its working set
+                            pred.block_until_ready()
+                            tea_residuals[name] = self._get_residual_hostgated(
+                                key_extra=ke)(
+                                dit_params, latents, np.float32(float(t)),
+                                ctx_in, fresh, extras)
+                            # drain before the next big program dispatches:
+                            # queued programs count toward the HBM budget,
+                            # and this one pins `fresh` (0.77 GB) until done
+                            jax.block_until_ready(tea_residuals[name])
+                            del fresh
+                            return pred
+                        return fn(
+                            dit_params, latents, np.float32(float(t)),
+                            ctx_in, geoada_context, cos, sin,
+                            tea_residuals[name], gscale, extras)
+
+                    noise_pred = _branch("c", context)
+                    if use_cfg:
+                        noise_pred.block_until_ready()
+                        pred_u = _branch("u", context_sw)
+                        noise_pred = self._cfg_combine()(
+                            pred_u, noise_pred, guidance)
+                    if self.teacache_debug:
+                        self.teacache_accum_history.append(
+                            tea_hosts["c"].accum.copy())
+                elif seq_cfg:
                     fn = self._get_denoise(
                         False, key_extra=tuple(sorted(extras)))
                     noise_pred, tea_state = fn(
@@ -805,7 +999,8 @@ class VerseCrafterPipeline:
                     self.teacache_record.append(
                         (np.asarray(tea_state.prev_mod),
                          np.asarray(tea_state.accum)))
-                if self.teacache_debug and self.teacache_threshold > 0.0:
+                if (self.teacache_debug and self.teacache_threshold > 0.0
+                        and not tea_host):
                     self.teacache_accum_history.append(
                         np.asarray(tea_state.accum))
                 latents = sched.step(noise_pred, i, latents)

@@ -66,6 +66,53 @@ TEA_RES_QUANT_ROWS = 70_000
 TEA_RECORD_SUBSAMPLE_ROWS = 70_000
 RECORD_SUBSAMPLE_STRIDE = 16
 
+# Above this many B*S rows, sequential-CFG (batch-1) generations gate
+# TeaCache ON HOST instead of with the in-graph lax.cond: the skip metric
+# depends only on the e0 trajectory (timestep schedule x time-embedding
+# weights — models.wan_dit.wan_dit_e0), so the decision can be taken
+# before dispatch and small per-purpose programs run instead: the full
+# step returning (pred, fresh_tokens), a follow-up that recomputes the
+# cheap embed and stores `fresh - tokens` as the int8 residual, and the
+# embed+residual+head skip step. The cond formulation traces both paths
+# into one program; at 75,600 tokens its dual-path [1,S,D] temps + 20.8%
+# allocator fragmentation pushed the gated 14B W4A8 720p step to 17.33 GB
+# on the 15.75 GB v5e (chipq5 canon720 2026-08-20), and even a fused
+# calc+store program OOM'd — the store kept the embed tokens live across
+# the whole 40-block scan (chipq6 canon720_gated).
+# The gate sits above every chip-validated 480p shape, whose single-program
+# lax.cond numbers (skipped step ≈ 40 ms) stay untouched.
+TEA_HOST_GATE_ROWS = 70_000
+
+
+class HostTeaState:
+    """Host-side accumulator for the host-gated path — the exact decision
+    state gated_blocks keeps on device (prev_mod/accum/valid), minus the
+    residual cache, which stays device-resident per CFG branch."""
+
+    def __init__(self, batch: int, dim: int):
+        self.prev_mod = np.zeros((batch, 6, dim), np.float32)
+        self.accum = np.zeros((batch,), np.float32)
+        self.valid = np.zeros((batch,), bool)
+
+
+def host_gate(state: HostTeaState, e0: np.ndarray, step_index: int,
+              threshold: float, skip_start: int = 5,
+              coefficients=VERSECRAFTER_COEFFS) -> np.ndarray:
+    """Numpy replica of gated_blocks' per-row decision; mutates `state`
+    (prev_mod/accum/valid advance exactly as the in-graph state would) and
+    returns should_calc [B] bool."""
+    e0 = np.asarray(e0, np.float32)
+    rel = (np.abs(e0 - state.prev_mod).mean(axis=(1, 2))
+           / np.maximum(np.abs(state.prev_mod).mean(axis=(1, 2)), 1e-8))
+    accum = state.accum + np.polyval(np.asarray(coefficients, np.float64),
+                                     rel).astype(np.float32)
+    must = (step_index < skip_start) | ~state.valid
+    should = must | (accum >= threshold)
+    state.accum = np.where(should, 0.0, accum).astype(np.float32)
+    state.prev_mod = e0
+    state.valid = np.ones_like(state.valid)
+    return should
+
 
 def _store_residual(res: jnp.ndarray, quantize: bool):
     if not quantize:

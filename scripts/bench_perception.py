@@ -71,7 +71,7 @@ def bench_sam2(tiny: bool):
            image_size=size, boxes=2)
 
 
-def bench_gdino(tiny: bool):
+def bench_gdino(tiny: bool, bf16: bool = False):
     import jax.numpy as jnp
     import numpy as np
     import torch
@@ -107,7 +107,8 @@ def bench_gdino(tiny: bool):
     torch.manual_seed(0)
     t0 = time.perf_counter()
     hf = transformers.GroundingDinoForObjectDetection(hf_cfg).eval()
-    params = gdino_hf.convert_hf_gdino(hf.state_dict(), cfg)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    params = gdino_hf.convert_hf_gdino(hf.state_dict(), cfg, dtype=dtype)
     build_s = time.perf_counter() - t0
     del hf
 
@@ -119,7 +120,8 @@ def bench_gdino(tiny: bool):
         logits, boxes = gdino_hf.gdino_forward_jit(params, cfg, px, ids)
         _drain(logits)
 
-    _timed("gdino_swin" + ("_tiny" if tiny else "t_896"), run,
+    _timed("gdino_swin" + ("_tiny" if tiny else "t_896")
+           + ("_bf16" if bf16 else ""), run,
            det_size=det, build_s=round(build_s, 1))
 
 
@@ -149,6 +151,9 @@ def main():
     ap.add_argument("--models", default="sam2,gdino,moge")
     ap.add_argument("--tiny", action="store_true",
                     help="wiring smoke on CPU at toy scale")
+    ap.add_argument("--bf16", action="store_true",
+                    help="gdino: bf16 weights/activations (halves gather "
+                         "traffic, 2x MXU rate; locations/softmax stay f32)")
     args = ap.parse_args()
 
     import jax
@@ -159,7 +164,10 @@ def main():
 
     for m in args.models.split(","):
         try:
-            {"sam2": bench_sam2, "gdino": bench_gdino,
+            if m == "gdino":
+                bench_gdino(args.tiny, bf16=args.bf16)
+                continue
+            {"sam2": bench_sam2,
              "moge": bench_moge}[m](args.tiny)
         except Exception as e:  # noqa: BLE001 — report, keep benching
             print(json.dumps({"metric": f"perception_{m}",

@@ -99,3 +99,25 @@ def test_full_detection_parity(hf_model, jparams):
                                rtol=5e-3, atol=5e-3)
     # padded text positions are -inf in both
     assert np.isneginf(got_logits[..., L:]).all()
+
+
+def test_bf16_detection_envelope(hf_model, jparams):
+    """The bf16 fast path (convert dtype=bf16; gdino_forward casts pixels to
+    the weight dtype) must track the f32 detections closely: sampling
+    locations, softmaxes and the box sigmoid/logit recursion stay fp32, so
+    only matmul/gather operands are rounded."""
+    rng = np.random.default_rng(1)
+    px = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    ids = _text()
+    ref_logits, ref_boxes = gdino_forward(jparams, CFG, jnp.asarray(px), ids)
+    bparams = convert_hf_gdino(hf_model.state_dict(), CFG,
+                               dtype=jnp.bfloat16)
+    logits, boxes = gdino_forward(bparams, CFG, jnp.asarray(px), ids)
+    assert np.asarray(boxes).dtype == np.float32  # box math stayed fp32
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(ref_boxes),
+                               atol=0.06)
+    L = ids.shape[1]
+    np.testing.assert_allclose(
+        np.asarray(logits[..., :L]).astype(np.float32),
+        np.asarray(ref_logits[..., :L]).astype(np.float32), atol=1.5)
+    assert np.isneginf(np.asarray(logits)[..., L:]).all()

@@ -47,6 +47,8 @@ def main(argv=None):
     p.add_argument("--neural_fresh_init", action="store_true",
                    help="neural segmenter with random real-scale weights "
                         "(smoke; no checkpoints ship here)")
+    p.add_argument("--gdino_bf16", action="store_true",
+                   help="bf16 GDINO detector (faster on TPU)")
     p.add_argument("--sample_size", default="480,832")
     p.add_argument("--num_inference_steps", type=int, default=30)
     p.add_argument("--video_length", type=int, default=None,
@@ -97,6 +99,8 @@ def main(argv=None):
             seg_extra += [f"--{flag}", getattr(args, flag)]
     if args.neural_fresh_init:
         seg_extra.append("--neural_fresh_init")
+    if args.gdino_bf16:
+        seg_extra.append("--gdino_bf16")
     stage("segment", lambda: segment.main([
         "-i", os.path.join(data, "0001.png"), "-t", args.text_prompt,
         "-o", os.path.join(out, "object_mask"),

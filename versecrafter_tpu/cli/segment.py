@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--neural_fresh_init", action="store_true",
                    help="random real-scale weights (smoke/bench; no "
                         "checkpoints ship in this environment)")
+    p.add_argument("--gdino_bf16", action="store_true",
+                   help="run the GDINO detector in bf16 (faster on TPU; "
+                        "locations/softmax/box recursion stay fp32)")
     args = p.parse_args(argv)
 
     import cv2
@@ -57,7 +60,8 @@ def main(argv=None):
             sam2_checkpoint=args.sam2_checkpoint,
             gdino_checkpoint=args.gdino_checkpoint,
             bert_vocab=args.bert_vocab, mask_backend=args.mask_backend,
-            fresh_init=args.neural_fresh_init, **kw)
+            fresh_init=args.neural_fresh_init,
+            gdino_bf16=args.gdino_bf16, **kw)
     else:
         seg = ImageSegmenter(backend=args.backend, **kw)
     dets = seg.segment_image(img, args.text, depth=depth)

@@ -497,6 +497,13 @@ def gdino_forward(params: Params, cfg: dict, pixel_values: jnp.ndarray,
     they're the only value-dependent host computation)."""
     B = pixel_values.shape[0]
     d = cfg["d_model"]
+    # activations follow the converted-weight dtype (convert_hf_gdino
+    # dtype=bf16 halves the deformable-attention gather traffic and runs
+    # the Swin/BERT/encoder matmuls at the 2x bf16 MXU rate; sampling
+    # locations, softmaxes, layernorms and the box sigmoid/logit recursion
+    # stay fp32 regardless)
+    pixel_values = pixel_values.astype(
+        params["swin"]["patch_embed"]["weight"].dtype)
     if attn3d is None or pos_ids is None:
         attn3d_np, pos_np = text_masks_and_positions(np.asarray(input_ids))
         attn3d = jnp.asarray(attn3d_np)

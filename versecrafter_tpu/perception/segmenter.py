@@ -127,7 +127,8 @@ class ImageSegmenter:
                      gdino_checkpoint: Optional[str] = None,
                      bert_vocab: Optional[str] = None,
                      mask_backend: str = "sam2",
-                     fresh_init: bool = False, **kwargs) -> "ImageSegmenter":
+                     fresh_init: bool = False,
+                     gdino_bf16: bool = False, **kwargs) -> "ImageSegmenter":
         """Build the neural (GDINO->SAM2) segmenter from torch checkpoints
         (HuggingFace GroundingDinoForObjectDetection / Sam2Model / SamModel
         state-dict layouts — what grounded_sam2_infer.py:104-143 loads), or
@@ -158,13 +159,17 @@ class ImageSegmenter:
             return sd["model"] if "model" in sd and not hasattr(
                 sd["model"], "shape") else sd
 
+        import jax.numpy as _jnp
+        gdtype = _jnp.bfloat16 if gdino_bf16 else _jnp.float32
         gcfg = dict(gdino_hf.SWINT_CFG)
         if gdino_checkpoint:
-            gparams = gdino_hf.convert_hf_gdino(load_sd(gdino_checkpoint), gcfg)
+            gparams = gdino_hf.convert_hf_gdino(load_sd(gdino_checkpoint),
+                                                gcfg, dtype=gdtype)
         elif fresh_init:
             hf = transformers.GroundingDinoForObjectDetection(
                 gdino_hf.hf_swint_config()).eval()
-            gparams = gdino_hf.convert_hf_gdino(hf.state_dict(), gcfg)
+            gparams = gdino_hf.convert_hf_gdino(hf.state_dict(), gcfg,
+                                                dtype=gdtype)
             del hf
         else:
             raise RuntimeError(

@@ -23,3 +23,21 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_jax_memory_between_modules():
+    """Release each module's compiled executables (and the device buffers
+    their constants pin) once the module finishes. The suite grew to the
+    point where ~200 accumulated CPU-mesh programs made the 32k-token SP
+    test abort inside XLA (reproducible in-suite, passes standalone) —
+    per-module cache clearing keeps the peak bounded while leaving
+    within-module reuse intact."""
+    yield
+    jax.clear_caches()
+    gc.collect()

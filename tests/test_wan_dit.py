@@ -312,3 +312,31 @@ def test_ffn_chunked_matches_unchunked(monkeypatch):
     monkeypatch.setattr(wd, "FFN_CHUNK_ROWS", 7)  # 48 rows -> 7-row chunks
     out = wan_dit_forward(params, TINY, x, t, ctx, cos, sin)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_wan_dit_e0_matches_embed_e0():
+    """wan_dit_e0 (the host-gated TeaCache metric program,
+    sampling/teacache.host_gate) must reproduce wan_dit_embed's e0 exactly
+    — on a bf16 tree AND on a quantized tree (the 14B staged path hands it
+    int8/int4 leaves, which it dequantizes itself)."""
+    from versecrafter_tpu.models.wan_dit import wan_dit_e0, wan_dit_embed
+    from versecrafter_tpu.utils import quantize as qz
+
+    params = init_wan_dit(jax.random.key(3), TINY, dtype=jnp.float32)
+    x, t, ctx, cos, sin = _inputs(TINY)
+    _, _, e0_ref, _, _, _ = wan_dit_embed(params, TINY, x, t, ctx)
+    e0 = wan_dit_e0(params, TINY, t)
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e0_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    old_min = qz.MIN_SIZE
+    qz.MIN_SIZE = 1 << 10
+    try:
+        qparams = qz.quantize_tree(params, bits=8)
+    finally:
+        qz.MIN_SIZE = old_min
+    e0_q = wan_dit_e0(qparams, TINY, t)
+    assert e0_q.shape == e0_ref.shape and e0_q.dtype == jnp.float32
+    # int8 weight rounding envelope, not exactness
+    scale = np.abs(np.asarray(e0_ref)).max()
+    assert np.abs(np.asarray(e0_q) - np.asarray(e0_ref)).max() <= 0.06 * max(scale, 1.0)

@@ -17,6 +17,10 @@ length is exactly what the toy tests failed to cover.
 
 
 
+import os
+import subprocess
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +31,28 @@ from versecrafter_tpu.parallel.sharding import (
     mesh_context, sequence_parallel_attention, shard_dit_params)
 
 SEQ = 32760  # = 21 * 30 * 52 (480p x 81f latent grid)
+
+# XLA CPU silently SIGABRTs on the first 32k shard_map attention when a
+# few hundred other suite tests ran first in the same interpreter
+# (reproduced twice 2026-08-20 — crash in jax array materialization with
+# >90 GB host RAM free and no rlimit/cgroup cap; the identical test passes
+# standalone in the same environment in ~25 min). The heavy length-coverage
+# cases therefore run through a fresh-process wrapper inside `pytest tests/`.
+_INLINE = os.environ.get("VC_SP_LARGE_INLINE") == "1"
+heavy = pytest.mark.skipif(
+    not _INLINE,
+    reason="runs inside test_heavy_cases_in_fresh_process (see note above)")
+
+
+@pytest.mark.skipif(_INLINE, reason="wrapper never recurses")
+def test_heavy_cases_in_fresh_process():
+    env = dict(os.environ, VC_SP_LARGE_INLINE="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", os.path.abspath(__file__),
+         "-q", "-x"],
+        env=env, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, (r.stdout[-4000:], r.stderr[-2000:])
 
 
 @jax.jit
@@ -55,6 +81,7 @@ def _qkv(heads, head_dim, seed=0):
     return q, k, v
 
 
+@heavy
 @pytest.mark.parametrize("heads,expected_path", [
     (2, "ring"),      # heads % sp != 0 -> ring KV rotation
     (8, "ulysses"),   # heads % sp == 0 -> head all_to_all
@@ -92,6 +119,7 @@ def _chunked_reference_by_head(q, k, v, chunk=4096):
     return jnp.concatenate(outs, axis=1)
 
 
+@heavy
 @pytest.mark.parametrize("heads,expected_path", [
     (2, "ring"),      # heads % sp != 0 -> ring KV rotation
     (8, "ulysses"),   # heads % sp == 0 -> head all_to_all
@@ -123,6 +151,7 @@ def test_windowed_ring_refusal_at_production_heads():
             sequence_parallel_attention(q, k, v, window_size=(256, 256))
 
 
+@heavy
 def test_sharded_denoise_forward_32k_vs_single():
     """Thin-width DiT forward at the full 480p x 81f latent shape
     [21, 60, 104] (32,760 tokens): sp=8-sharded (mesh collectives through

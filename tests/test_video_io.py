@@ -50,3 +50,26 @@ def test_step_timer():
     s = t.summary()
     assert s["steps"] == 3
     assert s["mean_ms"] >= 9.0
+
+
+def test_missing_leading_control_stream_zero_filled(tmp_path):
+    """A missing control mp4 becomes zeros IN ITS SLOT — including a
+    missing LEADING stream (the demo clips ship without background_RGB.mp4;
+    reference versecrafter_inference.py:377-382 drops that slot and the
+    misaligned 3-stream stack crashes at the GeoAdapter patch embed)."""
+    from versecrafter_tpu.serve.model_server import load_request_inputs
+
+    rng = np.random.default_rng(0)
+    t, h, w = 5, 8, 8
+    for name in ["background_depth", "3D_gaussian_RGB", "3D_gaussian_depth",
+                 "merged_mask"]:  # background_RGB deliberately absent
+        save_video(rng.random((t, h, w, 3)).astype(np.float32),
+                   str(tmp_path / f"{name}.mp4"), fps=5)
+    controls, mask = load_request_inputs({
+        "rendering_maps_path": str(tmp_path),
+        "height": h, "width": w, "num_frames": t})
+    assert len(controls) == 4
+    assert all(c.shape == (1, 3, t, h, w) for c in controls)
+    assert np.abs(controls[0]).max() == 0.0  # zero-filled slot 0
+    assert np.abs(controls[1]).max() > 0.0   # loaded stream kept its slot
+    assert mask.shape == (1, 1, t, h, w)

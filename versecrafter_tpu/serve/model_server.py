@@ -119,17 +119,27 @@ def load_request_inputs(params: dict):
     fps = int(params.get("fps", 16))
     control_names = ["background_RGB.mp4", "background_depth.mp4",
                      "3D_gaussian_RGB.mp4", "3D_gaussian_depth.mp4"]
+    # A missing stream becomes zeros IN ITS SLOT (reference
+    # versecrafter_inference.py:377-382 zero-fills too, but only after the
+    # first stream loaded — a missing LEADING stream there drops the slot
+    # and misaligns every later channel; deferring the fill until shapes
+    # are known keeps slot alignment for any miss pattern, e.g. the demo
+    # clips, which ship without background_RGB.mp4).
     controls = []
     for name in control_names:
         p = os.path.join(maps_dir, name)
         if os.path.exists(p):
             controls.append(load_video(p, num_frames=n, size=(h, w), fps=fps))
-        elif controls:
-            controls.append(np.zeros_like(controls[0]))
-    if not controls:
+        else:
+            print(f"warning: control video not found, zero-filled: {p}")
+            controls.append(None)
+    loaded = [c for c in controls if c is not None]
+    if not loaded:
         raise FileNotFoundError(
-            f"no control maps in {maps_dir!r} (need at least "
-            f"{control_names[0]}; run the render step first)")
+            f"no control maps in {maps_dir!r} (need at least one of "
+            f"{control_names}; run the render step first)")
+    controls = [np.zeros_like(loaded[0]) if c is None else c
+                for c in controls]
     mask_p = os.path.join(maps_dir, "merged_mask.mp4")
     if os.path.exists(mask_p):
         mask = load_video(mask_p, num_frames=n, size=(h, w), fps=fps)[:, :1]
